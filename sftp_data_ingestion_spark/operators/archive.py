@@ -1,0 +1,61 @@
+"""Archive: atomic-enough move staging -> hist with batch lineage (A1, A2).
+
+Reference (``/root/reference/python/04_archive_pedidos.py:30-51,84-100``)
+loops 5000-row ``ctid`` batches of INSERT+DELETE inside one transaction.
+Spark has immutable files and no ctids, so the whole set moves in two
+bulk operations — no batching needed (SURVEY.md §2.10):
+
+1. append staging rows to hist, stamped ``processed_ts = now()`` and
+   ``batch_id = uuid`` (A2);
+2. only then clear staging (overwrite with an empty frame).
+
+Ordering gives at-least-once semantics, matching the reference's
+per-batch transactionality; on a real deployment both tables are Delta
+tables and step 1+2 become one transactional ``REPLACE``/``DELETE``.
+The advisory lock (A3) is an orchestrator concern, represented here by
+a simple lock-file guard.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def move_to_archive(
+    spark: SparkSession,
+    staging_path: str,
+    hist_path: str,
+    batch_id: str | None = None,
+    lock_dir: str | None = None,
+) -> dict[str, int]:
+    """Move every staging row to hist with lineage; returns counts.
+
+    ``lock_dir``: optional single-writer guard (A3) — raises if another
+    archive run holds the lock.
+    """
+    lock_path = os.path.join(lock_dir, ".archive.lock") if lock_dir else None
+    if lock_path:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            raise RuntimeError("archive already running (advisory lock held)")
+    try:
+        staging = spark.read.parquet(staging_path)
+        bid = batch_id or str(uuid.uuid4())
+        stamped = staging.withColumn(
+            "processed_ts", F.current_timestamp()
+        ).withColumn("batch_id", F.lit(bid))
+        n = stamped.count()
+        stamped.write.mode("append").parquet(hist_path)
+        # clear staging only after hist append landed (at-least-once)
+        empty = spark.createDataFrame([], staging.schema)
+        empty.write.mode("overwrite").parquet(staging_path)
+        return {"moved": n, "batch_id_rows": n}
+    finally:
+        if lock_path and os.path.exists(lock_path):
+            os.remove(lock_path)

@@ -1,0 +1,97 @@
+"""The 41-expression typed cleaning projection (P3).
+
+One ``select`` reproducing the reference's ``src`` CTE
+(``/root/reference/python/03_upsert_dw_pedidos.py:22-171``): every
+staging string column coerced to its warehouse type via the builders in
+:mod:`sftp_data_ingestion_spark.functions.cleaning`.
+
+All pure Column expressions -> a single Project node under whole-stage
+codegen; at 100 TB this runs scan-local with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.functions.cleaning import (
+    clean_uf,
+    digits_to_int,
+    nfe_key_44,
+    null_if_blank,
+    parse_date_multi,
+    parse_decimal,
+    parse_timestamp_multi,
+    strip_digits_to_null,
+)
+
+# plain NULLIF(TRIM(...)) text columns (python/03_upsert_dw_pedidos.py:24-25,131-159)
+TEXT_COLS: list[str] = [
+    "id", "pedido", "serie_nfe", "numero_nfe", "remessa",
+    "nome_destinatario", "endereco_completo", "cep", "cd", "transportador",
+    "lead_time", "status_prazo", "id_ult_ocr", "ultima_ocorrencia",
+    "chave_ult_ocr", "tipo_entrega", "agrupador", "endereco", "numero",
+    "bairro", "cidades", "etiquetas", "cod_vendedor", "qtd_itens",
+    "grau_risco", "tipo_operacao", "arquivo_origem",
+]
+
+DATE_COLS = ["data_nfe", "data_prev_entrega", "data_prev_entrega_original"]
+
+
+def _parse_data_insercao(c: Column) -> Column:
+    """Two-branch control-timestamp parse (python/03_upsert_dw_pedidos.py:163-168):
+    DD/MM/YYYY[ time] or ISO[ time], else NULL (caller applies the default)."""
+    t = F.trim(c)
+    dmy = F.try_to_timestamp(
+        F.when(t.contains(" "), t).otherwise(F.concat(t, F.lit(" 00:00:00"))),
+        F.lit("dd/MM/yyyy HH:mm:ss"),
+    )
+    iso_in = F.replace(t, F.lit("T"), F.lit(" "))
+    iso = F.coalesce(
+        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd HH:mm")),
+        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd")),
+    )
+    return (
+        F.when(t.rlike(r"^\d{2}/\d{2}/\d{4}( \d{2}:\d{2}:\d{2})?$"), dmy)
+        .when(t.rlike(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$"), iso)
+        .otherwise(F.lit(None).cast("timestamp"))
+    )
+
+
+def clean_staging(df: DataFrame, default_insercao: Column | None = None) -> DataFrame:
+    """staging (41 strings) -> typed fact-shaped DataFrame.
+
+    ``default_insercao`` is the fallback for an unparseable
+    ``data_insercao`` — ``now()`` in production
+    (python/03_upsert_dw_pedidos.py:169), injectable for deterministic
+    tests. Keeps ``data_ultima_ocr`` as the parsed timestamp plus
+    ``data_ultima_ocr_raw`` (F9, :84).
+    """
+    if default_insercao is None:
+        default_insercao = F.current_timestamp()
+    cols: list[Column] = [
+        nfe_key_44(F.col("chave_nfe")).alias("chave_nfe"),
+        *[parse_date_multi(F.col(c)).alias(c) for c in DATE_COLS],
+        parse_timestamp_multi(F.col("data_ultima_ocr"), iso_extras=True).alias(
+            "data_ultima_ocr"
+        ),
+        parse_timestamp_multi(
+            F.col("chegada_transportadora"), iso_extras=False
+        ).alias("chegada_transportadora"),
+        null_if_blank(F.col("data_ultima_ocr")).alias("data_ultima_ocr_raw"),
+        parse_decimal(F.col("valor_nfe"), 15, 2).alias("valor_nfe"),
+        parse_decimal(F.col("peso"), 12, 3).alias("peso"),
+        digits_to_int(F.col("qtd_volumes")).alias("qtd_volumes"),
+        digits_to_int(F.col("cod_cd")).alias("cod_cd"),
+        strip_digits_to_null(F.col("cnpj_cpf_transportadora")).alias(
+            "cnpj_cpf_transportadora"
+        ),
+        strip_digits_to_null(F.col("cpf_destinatario")).alias("cpf_destinatario"),
+        clean_uf(F.col("uf")).alias("uf"),
+        F.coalesce(_parse_data_insercao(F.col("data_insercao")), default_insercao).alias(
+            "data_insercao"
+        ),
+        *[null_if_blank(F.col(c)).alias(c) for c in TEXT_COLS],
+    ]
+    return df.select(cols)

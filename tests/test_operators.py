@@ -1,0 +1,230 @@
+"""Operator tests: window dedup (W1), merge policies (U1), conform (P1/P2),
+archive (A1/A2), full-pipeline idempotency (SURVEY.md §5.2)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from sftp_data_ingestion_spark.operators import (
+    conform_headers,
+    header_valid,
+    latest_per_key,
+    move_to_archive,
+    upsert_newer_wins,
+)
+from sftp_data_ingestion_spark.operators.clean import clean_staging
+from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS, STG_COLUMNS
+
+TS = dt.datetime
+
+
+def _mk(spark, rows, schema="k string, ocr timestamp, ins timestamp, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---- W1 dedup --------------------------------------------------------------
+
+def test_latest_per_key_newest_wins(spark):
+    df = _mk(spark, [
+        ("a", TS(2024, 1, 2), TS(2024, 1, 1), "new"),
+        ("a", TS(2024, 1, 1), TS(2024, 1, 5), "old"),
+        ("b", None, TS(2024, 1, 1), "only"),
+    ])
+    out = latest_per_key(
+        df, ["k"], [F.col("ocr").desc_nulls_last(), F.col("ins").desc_nulls_last()]
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_latest_per_key_nulls_last_and_tiebreak(spark):
+    df = _mk(spark, [
+        ("a", None, TS(2024, 1, 9), "null-ocr"),       # NULLS LAST: loses
+        ("a", TS(2024, 1, 1), TS(2024, 1, 1), "has-ocr"),
+        ("c", TS(2024, 1, 1), TS(2024, 1, 1), "older-ins"),
+        ("c", TS(2024, 1, 1), TS(2024, 1, 2), "newer-ins"),  # tie on ocr -> ins
+    ])
+    out = latest_per_key(
+        df, ["k"], [F.col("ocr").desc_nulls_last(), F.col("ins").desc_nulls_last()]
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": "has-ocr", "c": "newer-ins"}
+
+
+# ---- U1 merge policies -----------------------------------------------------
+
+MERGE_SCHEMA = (
+    "chave_nfe string, data_ultima_ocr timestamp, status_prazo string, "
+    "data_insercao timestamp, valor_nfe string"
+)
+
+
+def _merge(spark, dw_rows, delta_rows):
+    dw = spark.createDataFrame(dw_rows, MERGE_SCHEMA)
+    delta = spark.createDataFrame(delta_rows, MERGE_SCHEMA)
+    out = upsert_newer_wins(
+        dw, delta,
+        key="chave_nfe", newer_col="data_ultima_ocr",
+        newer_wins_cols=("data_ultima_ocr", "status_prazo"),
+        greatest_cols=("data_insercao",),
+    )
+    return {r["chave_nfe"]: r.asDict() for r in out.collect()}
+
+
+def test_merge_newer_wins_and_fill_blanks(spark):
+    got = _merge(
+        spark,
+        [("k1", TS(2024, 1, 1), "old-status", TS(2024, 1, 1), None)],
+        [("k1", TS(2024, 2, 1), "new-status", TS(2024, 1, 15), "10.00")],
+    )
+    r = got["k1"]
+    assert r["status_prazo"] == "new-status"          # newer -> replaced
+    assert r["data_ultima_ocr"] == TS(2024, 2, 1)
+    assert r["data_insercao"] == TS(2024, 1, 15)       # greatest
+    assert r["valor_nfe"] == "10.00"                   # coalesce fill
+
+
+def test_merge_older_incoming_keeps_existing(spark):
+    got = _merge(
+        spark,
+        [("k1", TS(2024, 2, 1), "cur", TS(2024, 2, 1), "5.00")],
+        [("k1", TS(2024, 1, 1), "stale", TS(2024, 3, 1), None)],
+    )
+    r = got["k1"]
+    assert r["status_prazo"] == "cur"                  # older -> kept
+    assert r["data_ultima_ocr"] == TS(2024, 2, 1)
+    assert r["data_insercao"] == TS(2024, 3, 1)        # greatest still applies
+    assert r["valor_nfe"] == "5.00"                    # NULL never un-sets
+
+
+@pytest.mark.parametrize(
+    "old_ocr,new_ocr,expect_new",
+    [
+        (TS(2024, 1, 1), None, False),   # NULL > x -> unknown -> keep old
+        (None, TS(2024, 1, 1), False),   # x > NULL -> unknown -> keep old (PG parity)
+        (None, None, False),
+        (TS(2024, 1, 1), TS(2024, 1, 1), False),  # equal is not strictly newer
+        (TS(2024, 1, 1), TS(2024, 1, 2), True),
+    ],
+)
+def test_merge_null_matrix(spark, old_ocr, new_ocr, expect_new):
+    got = _merge(
+        spark,
+        [("k1", old_ocr, "old", TS(2024, 1, 1), None)],
+        [("k1", new_ocr, "new", TS(2024, 1, 1), None)],
+    )
+    assert got["k1"]["status_prazo"] == ("new" if expect_new else "old")
+
+
+def test_merge_insert_and_untouched(spark):
+    got = _merge(
+        spark,
+        [("exists", TS(2024, 1, 1), "a", TS(2024, 1, 1), "1.00")],
+        [("brand-new", TS(2024, 1, 1), "b", TS(2024, 1, 1), None)],
+    )
+    assert set(got) == {"exists", "brand-new"}
+    assert got["exists"]["status_prazo"] == "a"
+    assert got["brand-new"]["status_prazo"] == "b"
+
+
+def test_merge_idempotent(spark):
+    dw_rows = [("k1", TS(2024, 1, 1), "s", TS(2024, 1, 1), "1.00")]
+    once = _merge(spark, dw_rows, dw_rows)
+    assert once["k1"]["status_prazo"] == "s"
+    assert once["k1"]["data_ultima_ocr"] == TS(2024, 1, 1)
+
+
+def test_merge_uniqueness_invariant(spark):
+    """U2: merge output has at most one row per key (no unique index in
+    Spark — the invariant is by construction, asserted here)."""
+    got = _merge(
+        spark,
+        [("k1", TS(2024, 1, 1), "a", TS(2024, 1, 1), None),
+         ("k2", TS(2024, 1, 1), "b", TS(2024, 1, 1), None)],
+        [("k2", TS(2024, 2, 1), "b2", TS(2024, 1, 1), None),
+         ("k3", TS(2024, 1, 1), "c", TS(2024, 1, 1), None)],
+    )
+    assert len(got) == 3  # dict keyed by chave_nfe -> unique
+
+
+# ---- conform ---------------------------------------------------------------
+
+def test_conform_headers_rename_fill_project(spark):
+    df = spark.createDataFrame(
+        [("1", "25/12/2024", "SP", "junk")],
+        "`ID` string, `Data Nfe` string, `UF` string, `Unknown Col` string",
+    )
+    out = conform_headers(df)
+    assert out.columns == [c for c in STG_COLUMNS if c != "arquivo_origem"]
+    row = out.collect()[0]
+    assert row["id"] == "1" and row["data_nfe"] == "25/12/2024" and row["uf"] == "SP"
+    assert row["pedido"] == ""  # missing columns filled with empty string
+    assert "Unknown Col" not in out.columns
+
+
+def test_header_valid_gate():
+    good = ["ID", "Data Inserção", "Pedido", "Data Nfe", "Serie Nfe",
+            "Número Nfe", "Valor Nfe", "Peso", "Remessa", "CEP"]
+    assert header_valid(good)
+    assert not header_valid(good[:9])
+    assert header_valid(["﻿ID  "] + good[1:])  # BOM+space normalized
+
+
+# ---- clean_staging ---------------------------------------------------------
+
+def test_clean_staging_types_and_values(spark):
+    row = {c: "" for c in STG_COLUMNS}
+    row.update({
+        "chave_nfe": "1" * 44, "data_nfe": "25/12/2024",
+        "data_ultima_ocr": "2024-12-25T10:00:00Z", "valor_nfe": "1.234,56",
+        "peso": "12,345", "qtd_volumes": "3 un", "uf": " sp ",
+        "cnpj_cpf_transportadora": "12.345.678/0001-99",
+        "data_insercao": "02/01/2024 10:00:00", "pedido": "  P1  ",
+    })
+    df = spark.createDataFrame([tuple(row[c] for c in STG_COLUMNS)],
+                               ", ".join(f"{c} string" for c in STG_COLUMNS))
+    out = clean_staging(df).collect()[0]
+    assert out["chave_nfe"] == "1" * 44
+    assert out["data_nfe"] == dt.date(2024, 12, 25)
+    assert out["data_ultima_ocr"] == TS(2024, 12, 25, 10, 0)
+    assert out["data_ultima_ocr_raw"] == "2024-12-25T10:00:00Z"
+    assert str(out["valor_nfe"]) == "1234.56"
+    assert str(out["peso"]) == "12.345"
+    assert out["qtd_volumes"] == 3
+    assert out["uf"] == "SP"
+    assert out["cnpj_cpf_transportadora"] == "12345678000199"
+    assert out["data_insercao"] == TS(2024, 1, 2, 10, 0)
+    assert out["pedido"] == "P1"
+    assert out["serie_nfe"] is None  # blank -> NULL
+
+
+def test_clean_staging_default_insercao(spark):
+    row = {c: "" for c in STG_COLUMNS}
+    df = spark.createDataFrame([tuple(row[c] for c in STG_COLUMNS)],
+                               ", ".join(f"{c} string" for c in STG_COLUMNS))
+    fixed = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    out = clean_staging(df, default_insercao=fixed).collect()[0]
+    assert out["data_insercao"] == TS(2020, 1, 1)
+
+
+# ---- archive ---------------------------------------------------------------
+
+def test_move_to_archive(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame([("a",), ("b",)], "v string").write.parquet(staging)
+    res = move_to_archive(spark, staging, hist, batch_id="batch-1",
+                          lock_dir=str(tmp_path))
+    assert res["moved"] == 2
+    hist_df = spark.read.parquet(hist)
+    assert hist_df.count() == 2
+    cols = set(hist_df.columns)
+    assert {"processed_ts", "batch_id"} <= cols
+    assert hist_df.select("batch_id").distinct().collect()[0][0] == "batch-1"
+    assert spark.read.parquet(staging).count() == 0  # staging cleared
+    # second run is a no-op append
+    res2 = move_to_archive(spark, staging, hist, batch_id="batch-2",
+                           lock_dir=str(tmp_path))
+    assert res2["moved"] == 0
+    assert spark.read.parquet(hist).count() == 2

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -35,27 +35,42 @@ def move_to_archive(
     """Move every staging row to hist with lineage; returns counts.
 
     ``lock_dir``: optional single-writer guard (A3) — raises if another
-    archive run holds the lock.
+    archive run holds the lock. The lock file is removed only when THIS
+    run created it, so losing the race never releases the holder's lock
+    (matching ``pg_try_advisory_xact_lock``'s abort-without-touching
+    semantics, /root/reference/python/04_archive_pedidos.py:79-82).
+
+    The moved-row count comes from an ``Observation`` attached to the
+    write's own scan (G1, SURVEY.md §2.4) — one pass over staging, not
+    a separate ``count()`` job; at 100 TB a second full scan of the
+    largest table in the system would double archive IO.
     """
     lock_path = os.path.join(lock_dir, ".archive.lock") if lock_dir else None
-    if lock_path:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            raise RuntimeError("archive already running (advisory lock held)")
+    acquired = False
     try:
+        if lock_path:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                acquired = True
+                os.close(fd)
+            except FileExistsError:
+                raise RuntimeError(
+                    "archive already running (advisory lock held)"
+                )
         staging = spark.read.parquet(staging_path)
         bid = batch_id or str(uuid.uuid4())
-        stamped = staging.withColumn(
-            "processed_ts", F.current_timestamp()
-        ).withColumn("batch_id", F.lit(bid))
-        n = stamped.count()
+        obs = Observation("archive_counts")
+        stamped = (
+            staging.withColumn("processed_ts", F.current_timestamp())
+            .withColumn("batch_id", F.lit(bid))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
         stamped.write.mode("append").parquet(hist_path)
+        n = int(obs.get["rows"])
         # clear staging only after hist append landed (at-least-once)
         empty = spark.createDataFrame([], staging.schema)
         empty.write.mode("overwrite").parquet(staging_path)
         return {"moved": n, "batch_id_rows": n}
     finally:
-        if lock_path and os.path.exists(lock_path):
+        if acquired and lock_path and os.path.exists(lock_path):
             os.remove(lock_path)

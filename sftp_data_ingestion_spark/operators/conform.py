@@ -41,11 +41,25 @@ def conform_headers(df: DataFrame) -> DataFrame:
     Header-name work happens on driver-side metadata (``df.columns``),
     so this costs one Project node — no shuffle, no scan amplification.
     """
-    renames = {
-        c: DE_PARA[_normalize_header(c)]
-        for c in df.columns
-        if _normalize_header(c) in DE_PARA
-    }
+    # Keep the FIRST raw header mapping to each destination; a file that
+    # carries two spelling variants of the same logical column (the
+    # DE_PARA map folds three variants of "Data Prev. Entrega Original"
+    # into one name) must not produce duplicate columns, which would
+    # make the projection below fail with AMBIGUOUS_REFERENCE.
+    renames: dict[str, str] = {}
+    taken: set[str] = set()
+    drops: list[str] = []
+    for c in df.columns:
+        dest_name = DE_PARA.get(_normalize_header(c))
+        if dest_name is None:
+            continue
+        if dest_name in taken:
+            drops.append(c)
+        else:
+            renames[c] = dest_name
+            taken.add(dest_name)
+    if drops:
+        df = df.drop(*drops)
     df = df.withColumnsRenamed(renames)
     dest = [c for c in STG_COLUMNS if c != "arquivo_origem"]
     return df.select(
@@ -58,8 +72,13 @@ def conform_headers(df: DataFrame) -> DataFrame:
 
 def with_lineage(df: DataFrame) -> DataFrame:
     """S11: stamp each row with its source file's basename. Uses the
-    scan-provided ``input_file_name`` — free, no extra IO."""
+    scan-provided ``input_file_name`` — free, no extra IO.
+
+    ``input_file_name()`` yields a percent-encoded URI, so the basename
+    is url-decoded to match the reference's ``os.path.basename`` lineage
+    (a file named ``relatório 1.csv`` must not surface as
+    ``relat%C3%B3rio%201.csv``)."""
     return df.withColumn(
         "arquivo_origem",
-        F.element_at(F.split(F.input_file_name(), "/"), -1),
+        F.url_decode(F.element_at(F.split(F.input_file_name(), "/"), -1)),
     )

@@ -46,9 +46,16 @@ def upsert_newer_wins(
 
     Columns are taken from ``dw``'s schema; ``delta`` must contain all
     of them (extra delta columns are ignored).
+
+    NULL-key delta rows are dropped here, mirroring the reference's
+    ``WHERE r.chave_nfe IS NOT NULL`` gate
+    (/root/reference/python/03_upsert_dw_pedidos.py:200): in a
+    full-outer equi-join a NULL key can never match, so without the
+    filter every run would insert its NULL-key rows as fresh DW rows
+    and break the one-row-per-key invariant (U2).
     """
     o = dw.alias("o")
-    n = delta.select(dw.columns).alias("n")
+    n = delta.where(F.col(key).isNotNull()).select(dw.columns).alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
 
     inserted = F.col(f"o.{key}").isNull()  # key only in delta -> insert row

@@ -228,3 +228,107 @@ def test_move_to_archive(spark, tmp_path):
                            lock_dir=str(tmp_path))
     assert res2["moved"] == 0
     assert spark.read.parquet(hist).count() == 2
+
+
+def test_archive_lock_contention_preserves_holder_lock(spark, tmp_path):
+    """ADVICE fix: losing the advisory-lock race must NOT remove the
+    holder's lock file (reference: pg_try_advisory_xact_lock aborts
+    without touching the holder)."""
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame([("a",)], "v string").write.parquet(staging)
+    lock = tmp_path / ".archive.lock"
+    lock.touch()  # simulate a concurrent run holding the lock
+    with pytest.raises(RuntimeError):
+        move_to_archive(spark, staging, str(tmp_path / "hist"),
+                        lock_dir=str(tmp_path))
+    assert lock.exists()  # holder's lock untouched
+
+
+# ---- NULL-key gate (P4) in merge -------------------------------------------
+
+def test_merge_drops_null_key_delta_rows(spark):
+    """ADVICE fix: NULL chave_nfe delta rows never reach DW (reference
+    WHERE r.chave_nfe IS NOT NULL, 03_upsert_dw_pedidos.py:200)."""
+    got = _merge(
+        spark,
+        [("k1", TS(2024, 1, 1), "a", TS(2024, 1, 1), None)],
+        [(None, TS(2024, 2, 1), "ghost", TS(2024, 1, 1), None),
+         ("k2", TS(2024, 1, 1), "b", TS(2024, 1, 1), None)],
+    )
+    assert set(got) == {"k1", "k2"}  # NULL-key row filtered, not inserted
+
+
+# ---- conform duplicate-variant headers -------------------------------------
+
+def test_conform_headers_duplicate_variants_keep_first(spark):
+    """ADVICE fix: two spelling variants of the same logical column in
+    one file must conform to ONE column (first wins), not crash."""
+    df = spark.createDataFrame(
+        [("1", "01/01/2024", "02/02/2024")],
+        "`ID` string, `Data Prev. Entrega Original` string, "
+        "`Data Prev. Entrega (Original)` string",
+    )
+    out = conform_headers(df)
+    assert out.columns.count("data_prev_entrega_original") == 1
+    assert out.collect()[0]["data_prev_entrega_original"] == "01/01/2024"
+
+
+# ---- pipeline composition ---------------------------------------------------
+
+def _stg_rows(spark, rows):
+    """rows: list of dict overrides onto an all-empty 41-col staging row."""
+    out = []
+    for o in rows:
+        base = {c: "" for c in STG_COLUMNS}
+        base.update(o)
+        out.append(tuple(base[c] for c in STG_COLUMNS))
+    return spark.createDataFrame(
+        out, ", ".join(f"{c} string" for c in STG_COLUMNS))
+
+
+def test_run_upsert_pipeline_end_to_end(spark):
+    from sftp_data_ingestion_spark.operators import run_upsert_pipeline
+    from sftp_data_ingestion_spark.operators.clean import clean_staging as _cs
+
+    k1, k2 = "1" * 44, "2" * 44
+    staging = _stg_rows(spark, [
+        {"chave_nfe": k1, "data_ultima_ocr": "02/01/2024 10:00:00",
+         "status_prazo": "late", "data_insercao": "01/01/2024 00:00:00"},
+        {"chave_nfe": k1, "data_ultima_ocr": "01/01/2024 10:00:00",
+         "status_prazo": "early", "data_insercao": "01/01/2024 00:00:00"},
+        {"chave_nfe": "bad-key", "status_prazo": "no-key"},      # NULL key
+        {"chave_nfe": k2, "data_ultima_ocr": "03/01/2024 10:00:00",
+         "status_prazo": "ok", "data_insercao": "01/01/2024 00:00:00"},
+    ])
+    fixed = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    empty_dw = _cs(_stg_rows(spark, []), default_insercao=fixed).limit(0)
+    dw1 = run_upsert_pipeline(empty_dw, staging, default_insercao=fixed)
+    got = {r["chave_nfe"]: r.asDict() for r in dw1.collect()}
+    assert set(got) == {k1, k2}            # NULL key excluded, dedup to 1/key
+    assert got[k1]["status_prazo"] == "late"   # latest occurrence won
+    # idempotency: rerunning the same staging batch is a no-op
+    dw2 = run_upsert_pipeline(dw1, staging, default_insercao=fixed)
+    assert sorted(map(str, dw2.collect())) == sorted(map(str, dw1.collect()))
+
+
+def test_pipeline_batch_split_associativity(spark):
+    """Same final DW whether staging lands as one batch or two
+    (SURVEY.md §5.2(4))."""
+    from sftp_data_ingestion_spark.operators import run_upsert_pipeline
+    from sftp_data_ingestion_spark.operators.clean import clean_staging as _cs
+
+    k = "3" * 44
+    older = {"chave_nfe": k, "data_ultima_ocr": "01/01/2024 10:00:00",
+             "status_prazo": "v1", "data_insercao": "01/01/2024 00:00:00"}
+    newer = {"chave_nfe": k, "data_ultima_ocr": "02/01/2024 10:00:00",
+             "status_prazo": "v2", "data_insercao": "02/01/2024 00:00:00"}
+    fixed = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    empty_dw = _cs(_stg_rows(spark, []), default_insercao=fixed).limit(0)
+
+    one = run_upsert_pipeline(empty_dw, _stg_rows(spark, [older, newer]),
+                              default_insercao=fixed)
+    two = run_upsert_pipeline(
+        run_upsert_pipeline(empty_dw, _stg_rows(spark, [older]),
+                            default_insercao=fixed),
+        _stg_rows(spark, [newer]), default_insercao=fixed)
+    assert sorted(map(str, one.collect())) == sorted(map(str, two.collect()))

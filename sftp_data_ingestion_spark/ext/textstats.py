@@ -1,0 +1,114 @@
+r"""Text analysis over document tables: token stats, quality scoring,
+language ID, fingerprinting.
+
+All pure Column expressions (``split`` / ``regexp_count`` / array
+functions) — scan-local, zero shuffle, whole-stage codegen; at 100 TB
+these run at parquet-scan speed. No reference equivalent (the
+reference is CSV/order ETL, SURVEY.md §2.11); the operator set follows
+standard LLM-corpus curation practice (C4/Gopher-style heuristics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic: the point is the Spark
+# plumbing (argmax over per-language scores), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "pt": ("o", "a", "de", "e", "que"),
+}
+
+_WORD_RE = r"[A-Za-z0-9]+"
+_PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: alnum runs + punctuation marks each count 1
+    (a cheap, deterministic BPE proxy for budget estimation)."""
+    return F.regexp_count(text, F.lit(_WORD_RE)) + F.regexp_count(
+        text, F.lit(_PUNCT_RE)
+    )
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    toks = tokens(F.lower(text))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-ID signal)."""
+    return {lang: stopword_count(text, lang) for lang in LANG_MARKERS}
+
+
+def language_id(text: Column) -> Column:
+    """argmax language by stopword hits; deterministic tiebreak by
+    language code order; 'und' when no marker hits at all."""
+    scores = language_scores(text)
+    pairs = sorted(scores.items())  # deterministic tiebreak
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, score in pairs:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Gopher-style [0,1] quality heuristic: penalize too-short docs,
+    high punctuation density, and low stopword ratio. Deterministic
+    arithmetic only (no floats beyond fixed literals)."""
+    n_tok = token_count(text).cast("double")
+    punct_ratio = F.regexp_count(text, F.lit(_PUNCT_RE)).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+    stop_ratio = stopword_count(text, "en").cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    length_term = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_term
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0))),
+        6,
+    )
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """Deterministic 64-bit document fingerprint (rolling-hash stand-in):
+    xxhash64 over the normalized text. Not SQL-portable (engine-specific
+    hash) — oracle checks for it are rows-only."""
+    t = F.lower(F.trim(text)) if normalize else text
+    return F.xxhash64(t)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat column set (one Project node)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_distinct_tokens": distinct_token_count(t),
+            "n_chars_computed": F.length(t),
+            "bpe_ish_tokens": bpe_ish_token_count(t),
+            "lang_id": language_id(t),
+            "quality": quality_score(t),
+        }
+    )

@@ -177,8 +177,10 @@ def parse_date_multi_sql(e: str) -> str:
   WHEN regexp_matches({t}, '{RE_DMY_DASH}')
     THEN CAST(try_strptime({t}, '%d-%m-%Y') AS DATE)
   WHEN regexp_matches({t}, '{RE_ISO_OPT_TIME}')
-    THEN CAST(try_strptime(replace({t}, 'T', ' '),
-         ['%Y-%m-%d %H:%M:%S', '%Y-%m-%d %H:%M', '%Y-%m-%d']) AS DATE)
+    THEN CAST(COALESCE(
+         try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d %H:%M:%S'),
+         try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d %H:%M'),
+         try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d')) AS DATE)
   WHEN regexp_matches({t}, '{RE_COMPACT_DATE}')
     THEN CAST(try_strptime({t}, '%Y%m%d') AS DATE)
   ELSE NULL END"""
@@ -229,7 +231,8 @@ def parse_timestamp_multi_sql(e: str, iso_extras: bool = True) -> str:
   WHEN regexp_matches({t}, '{RE_TS_DMY}')
     THEN try_strptime({t}, '%d/%m/%Y %H:%M:%S')
   WHEN regexp_matches({t}, '{iso_re}')
-    THEN try_strptime({iso_in}, ['%Y-%m-%d %H:%M:%S', '%Y-%m-%d %H:%M'])
+    THEN COALESCE(try_strptime({iso_in}, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime({iso_in}, '%Y-%m-%d %H:%M'))
   WHEN regexp_matches({t}, '{RE_DMY_BARE}')
     THEN try_strptime({t} || ' 00:00:00', '%d/%m/%Y %H:%M:%S')
   ELSE NULL END"""

@@ -59,6 +59,55 @@ def _parse_data_insercao(c: Column) -> Column:
     )
 
 
+def _parse_data_insercao_sql(e: str) -> str:
+    """DuckDB twin of :func:`_parse_data_insercao`."""
+    t = f"TRIM({e})"
+    dmy_in = f"CASE WHEN contains({t}, ' ') THEN {t} ELSE {t} || ' 00:00:00' END"
+    return f"""CASE
+  WHEN regexp_matches({t}, '^\\d{{2}}/\\d{{2}}/\\d{{4}}( \\d{{2}}:\\d{{2}}:\\d{{2}})?$')
+    THEN try_strptime({dmy_in}, '%d/%m/%Y %H:%M:%S')
+  WHEN regexp_matches({t}, '^\\d{{4}}-\\d{{2}}-\\d{{2}}([ T]\\d{{2}}:\\d{{2}}(:\\d{{2}})?)?$')
+    THEN COALESCE(try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d %H:%M'),
+                  try_strptime(replace({t}, 'T', ' '), '%Y-%m-%d'))
+  ELSE NULL END"""
+
+
+def clean_staging_sql(relation: str, default_insercao_sql: str = "now()") -> str:
+    """DuckDB twin of :func:`clean_staging`: the full 41-expression
+    typed projection as one SELECT over ``relation``, built from the
+    same ``*_sql`` builders the Column path uses — so the driver's
+    oracle exercises the identical branch structure."""
+    from sftp_data_ingestion_spark.functions.cleaning import (
+        clean_uf_sql,
+        digits_to_int_sql,
+        nfe_key_44_sql,
+        null_if_blank_sql,
+        parse_date_multi_sql,
+        parse_decimal_sql,
+        parse_timestamp_multi_sql,
+        strip_digits_to_null_sql,
+    )
+
+    exprs: list[str] = [
+        f"{nfe_key_44_sql('chave_nfe')} AS chave_nfe",
+        *[f"{parse_date_multi_sql(c)} AS {c}" for c in DATE_COLS],
+        f"{parse_timestamp_multi_sql('data_ultima_ocr', iso_extras=True)} AS data_ultima_ocr",
+        f"{parse_timestamp_multi_sql('chegada_transportadora', iso_extras=False)} AS chegada_transportadora",
+        f"{null_if_blank_sql('data_ultima_ocr')} AS data_ultima_ocr_raw",
+        f"{parse_decimal_sql('valor_nfe', 15, 2)} AS valor_nfe",
+        f"{parse_decimal_sql('peso', 12, 3)} AS peso",
+        f"{digits_to_int_sql('qtd_volumes')} AS qtd_volumes",
+        f"{digits_to_int_sql('cod_cd')} AS cod_cd",
+        f"{strip_digits_to_null_sql('cnpj_cpf_transportadora')} AS cnpj_cpf_transportadora",
+        f"{strip_digits_to_null_sql('cpf_destinatario')} AS cpf_destinatario",
+        f"{clean_uf_sql('uf')} AS uf",
+        f"COALESCE({_parse_data_insercao_sql('data_insercao')}, {default_insercao_sql}) AS data_insercao",
+        *[f"{null_if_blank_sql(c)} AS {c}" for c in TEXT_COLS],
+    ]
+    return "SELECT\n  " + ",\n  ".join(exprs) + f"\nFROM {relation}"
+
+
 def clean_staging(df: DataFrame, default_insercao: Column | None = None) -> DataFrame:
     """staging (41 strings) -> typed fact-shaped DataFrame.
 

@@ -1,0 +1,392 @@
+"""Pipeline-operator queries: W1 dedup, U1/J4 merge, P1/P2 conform,
+S13 demotion, J3 ledger anti-join, and the flagship end-to-end
+clean -> dedup -> NULL-key-filter slice of stage 3.
+
+Each derives its inputs deterministically from the fixture tables so
+the DuckDB oracle can rebuild the identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.operators.backfill import demote_typed_to_staging
+from sftp_data_ingestion_spark.operators.clean import clean_staging_sql
+from sftp_data_ingestion_spark.operators.conform import conform_headers
+from sftp_data_ingestion_spark.operators.dedup import latest_per_key
+from sftp_data_ingestion_spark.operators.merge import upsert_newer_wins
+from sftp_data_ingestion_spark.operators.pipeline import staging_to_delta
+from sftp_data_ingestion_spark.queries.registry import query, table
+from sftp_data_ingestion_spark.schemas import STG_COLUMNS
+
+# ---------------------------------------------------------------------------
+# W1 — latest event per user (the reference dedup window on fixture data)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_latest_event_per_user",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT e.*, row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+         ) AS rn
+  FROM events e
+) WHERE rn = 1
+""",
+)
+def w1_latest_event_per_user(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return latest_per_key(
+        e,
+        ["user_id"],
+        [F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()],
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# W1 generalized — top-k per group (SURVEY §2.11 sorts/top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def w1_top3_orders_per_customer(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return latest_per_key(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# U1/J4 — conditional field-level upsert over derived dw/delta halves
+# ---------------------------------------------------------------------------
+
+_DW_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       o_orderdate AS ocr,
+       o_orderstatus AS status,
+       TIMESTAMP '2024-01-01 00:00:00' AS ins,
+       CASE WHEN o_orderkey % 4 = 0 THEN NULL
+            ELSE CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) END AS val
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+_DELTA_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       CASE WHEN o_orderkey % 6 = 0 THEN o_orderdate + INTERVAL 10 DAY
+            ELSE o_orderdate - INTERVAL 10 DAY END AS ocr,
+       'UPD' AS status,
+       TIMESTAMP '2024-02-01 00:00:00' AS ins,
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS val
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@query(
+    "u1_upsert_newer_wins",
+    oracle=f"""
+WITH dw AS ({_DW_SQL}), delta AS ({_DELTA_SQL})
+SELECT
+  COALESCE(o.k, n.k) AS k,
+  CASE WHEN o.k IS NULL THEN n.ocr WHEN n.k IS NULL THEN o.ocr
+       WHEN n.ocr > o.ocr THEN n.ocr ELSE o.ocr END AS ocr,
+  CASE WHEN o.k IS NULL THEN n.status WHEN n.k IS NULL THEN o.status
+       WHEN n.ocr > o.ocr THEN n.status ELSE o.status END AS status,
+  CASE WHEN o.k IS NULL THEN n.ins WHEN n.k IS NULL THEN o.ins
+       ELSE greatest(o.ins, n.ins) END AS ins,
+  CASE WHEN o.k IS NULL THEN n.val WHEN n.k IS NULL THEN o.val
+       ELSE COALESCE(n.val, o.val) END AS val
+FROM dw o FULL JOIN delta n ON o.k = n.k
+""",
+)
+def u1_upsert_newer_wins(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    dw = o.where(key % 2 == 0).select(
+        key.cast("string").alias("k"),
+        F.col("o_orderdate").alias("ocr"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ins"),
+        F.when(key % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_totalprice").cast("decimal(15,2)").cast("string"))
+        .alias("val"),
+    )
+    delta = o.where(key % 3 == 0).select(
+        key.cast("string").alias("k"),
+        F.when(
+            key % 6 == 0, F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")
+        )
+        .otherwise(F.col("o_orderdate") - F.expr("INTERVAL 10 DAY"))
+        .alias("ocr"),
+        F.lit("UPD").alias("status"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ins"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string").alias("val"),
+    )
+    return upsert_newer_wins(
+        dw,
+        delta,
+        key="k",
+        newer_col="ocr",
+        newer_wins_cols=("ocr", "status"),
+        greatest_cols=("ins",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — conform: Portuguese headers -> fixed 40-col staging projection
+# ---------------------------------------------------------------------------
+
+_CONFORM_SOURCES = {
+    "id": "CAST(o_orderkey AS VARCHAR)",
+    "data_nfe": "strftime(o_orderdate, '%d/%m/%Y')",
+    "valor_nfe": "CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)",
+    "status_prazo": "o_orderpriority",
+}
+
+_CONFORM_ORACLE = (
+    "SELECT "
+    + ", ".join(
+        f"{_CONFORM_SOURCES[c]} AS {c}" if c in _CONFORM_SOURCES else f"'' AS {c}"
+        for c in STG_COLUMNS
+        if c != "arquivo_origem"
+    )
+    + " FROM orders"
+)
+
+
+@query("p1_p2_conform_headers", oracle=_CONFORM_ORACLE)
+def p1_p2_conform_headers(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").cast("string").alias("ID"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("Data Nfe"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string").alias("Valor Nfe"),
+        F.col("o_orderpriority").alias("Status Prazo"),
+        F.col("o_orderstatus").alias("Unknown Extra"),  # dropped by P2
+    )
+    return conform_headers(raw)
+
+
+# ---------------------------------------------------------------------------
+# S13 — dynamic backfill demotion of a typed table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s13_backfill_demotion",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS data_insercao,
+       CAST(o_totalprice AS VARCHAR) AS valor_nfe,
+       '0' AS qtd_volumes,
+       'arquivo_backup_banco' AS arquivo_origem,
+       CAST(o_custkey AS VARCHAR) AS cod_vendedor,
+       NULL AS cep
+FROM orders
+""",
+)
+def s13_backfill_demotion(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").withColumnsRenamed(
+        {"o_orderkey": "id", "o_orderdate": "data_insercao", "o_totalprice": "valor_nfe"}
+    )
+    return demote_typed_to_staging(
+        o,
+        dest_columns=[
+            "id", "data_insercao", "valor_nfe", "qtd_volumes",
+            "arquivo_origem", "cod_vendedor", "cep",
+        ],
+        renames={"cod_vendedor": "o_custkey"},
+        constants={"qtd_volumes": "0", "arquivo_origem": "arquivo_backup_banco"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/S10 — processed-file ledger anti-join (new-file listing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_ledger_anti_join",
+    oracle="""
+SELECT DISTINCT source AS filename FROM documents
+WHERE source NOT IN (
+  SELECT DISTINCT source FROM documents
+  WHERE CAST(substr(source, 4) AS INTEGER) % 3 = 0
+)
+""",
+)
+def j3_ledger_anti_join(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    listing = d.select(F.col("source").alias("filename")).distinct()
+    ledger = (
+        d.where(F.substring("source", 4, 10).cast("int") % 3 == 0)
+        .select(F.col("source").alias("filename"))
+        .distinct()
+    )
+    return listing.join(ledger, "filename", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Flagship — stage-3 slice end-to-end: derived dirty staging ->
+# clean (41 exprs) -> window dedup -> NULL-key filter
+# ---------------------------------------------------------------------------
+
+_STG_V1 = """
+SELECT
+  CAST(o_orderkey AS VARCHAR) AS id,
+  '2024-01-05T08:30:00' AS data_insercao,
+  'normal' AS tipo_entrega,
+  'P-' || CAST(o_orderkey AS VARCHAR) AS pedido,
+  strftime(o_orderdate, '%d/%m/%Y') AS data_nfe,
+  '1' AS serie_nfe,
+  CAST(o_orderkey AS VARCHAR) AS numero_nfe,
+  replace(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), '.', ',') AS valor_nfe,
+  CAST(o_orderkey % 10 AS VARCHAR) || ' vol' AS qtd_volumes,
+  CAST(CAST(o_totalprice AS DECIMAL(12,3)) AS VARCHAR) AS peso,
+  '' AS remessa, '  Dest ' || CAST(o_custkey AS VARCHAR) || '  ' AS nome_destinatario,
+  '' AS endereco_completo, '01310-100' AS cep,
+  CAST(o_custkey % 50 AS VARCHAR) AS cod_cd, '' AS cd,
+  '12.345.678/0001-' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS cnpj_cpf_transportadora,
+  '' AS transportador, '' AS lead_time,
+  strftime(o_orderdate, '%Y-%m-%d') AS data_prev_entrega,
+  o_orderpriority AS status_prazo, '' AS id_ult_ocr, '' AS ultima_ocorrencia,
+  '' AS chave_ult_ocr,
+  strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS data_ultima_ocr,
+  '' AS agrupador, '' AS endereco, '' AS numero, '' AS bairro, '' AS cidades,
+  CASE o_custkey % 4 WHEN 0 THEN 'SP' WHEN 1 THEN ' rj '
+       WHEN 2 THEN 'M1G' ELSE 'XYZW' END AS uf,
+  '' AS etiquetas, '' AS chegada_transportadora, '' AS cod_vendedor,
+  CASE WHEN o_orderkey % 10 = 0 THEN 'BAD-KEY'
+       ELSE lpad(CAST(o_orderkey AS VARCHAR), 44, '0') END AS chave_nfe,
+  '' AS qtd_itens, strftime(o_orderdate, '%d-%m-%Y') AS data_prev_entrega_original,
+  '' AS cpf_destinatario, '' AS grau_risco, 'venda' AS tipo_operacao,
+  'arquivo_' || CAST(o_orderkey % 7 AS VARCHAR) || '.csv' AS arquivo_origem
+FROM orders
+"""
+
+# second occurrence of every key: one day newer, different status
+_STG_V2 = _STG_V1.replace(
+    "strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS data_ultima_ocr",
+    "strftime(o_orderdate + INTERVAL 1 DAY, '%d/%m/%Y %H:%M:%S') AS data_ultima_ocr",
+).replace(
+    "o_orderpriority AS status_prazo",
+    "'v2-' || o_orderpriority AS status_prazo",
+)
+
+_FLAGSHIP_DEFAULT = "TIMESTAMP '2020-01-01 00:00:00'"
+
+
+def _flagship_oracle() -> str:
+    typed = clean_staging_sql("stg", default_insercao_sql=_FLAGSHIP_DEFAULT)
+    return f"""
+WITH stg AS ({_STG_V1} UNION ALL {_STG_V2}),
+typed AS ({typed}),
+ranked AS (
+  SELECT t.*, row_number() OVER (
+           PARTITION BY chave_nfe
+           ORDER BY data_ultima_ocr DESC NULLS LAST,
+                    data_insercao DESC NULLS LAST
+         ) AS rn
+  FROM typed t
+)
+SELECT * EXCLUDE (rn) FROM ranked
+WHERE rn = 1 AND chave_nfe IS NOT NULL
+"""
+
+
+def _flagship_staging(spark, sf_dir):
+    """Spark twin of the _STG_V1/_STG_V2 derivation (spark.sql over the
+    registered orders view would also work; DataFrame API keeps it
+    typed and lets Catalyst fold the literals)."""
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price2 = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
+
+    def derive(ocr_shift_days: int, status_prefix: str):
+        cols = {
+            "id": key.cast("string"),
+            "data_insercao": F.lit("2024-01-05T08:30:00"),
+            "tipo_entrega": F.lit("normal"),
+            "pedido": F.concat(F.lit("P-"), key.cast("string")),
+            "data_nfe": F.date_format("o_orderdate", "dd/MM/yyyy"),
+            "serie_nfe": F.lit("1"),
+            "numero_nfe": key.cast("string"),
+            "valor_nfe": F.replace(price2, F.lit("."), F.lit(",")),
+            "qtd_volumes": F.concat((key % 10).cast("string"), F.lit(" vol")),
+            "peso": F.col("o_totalprice").cast("decimal(12,3)").cast("string"),
+            "remessa": F.lit(""),
+            "nome_destinatario": F.concat(
+                F.lit("  Dest "), F.col("o_custkey").cast("string"), F.lit("  ")
+            ),
+            "endereco_completo": F.lit(""),
+            "cep": F.lit("01310-100"),
+            "cod_cd": (F.col("o_custkey") % 50).cast("string"),
+            "cd": F.lit(""),
+            "cnpj_cpf_transportadora": F.concat(
+                F.lit("12.345.678/0001-"),
+                F.lpad((key % 100).cast("string"), 2, "0"),
+            ),
+            "transportador": F.lit(""),
+            "lead_time": F.lit(""),
+            "data_prev_entrega": F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "status_prazo": F.concat(F.lit(status_prefix), F.col("o_orderpriority")),
+            "id_ult_ocr": F.lit(""),
+            "ultima_ocorrencia": F.lit(""),
+            "chave_ult_ocr": F.lit(""),
+            "data_ultima_ocr": F.date_format(
+                F.col("o_orderdate") + F.expr(f"INTERVAL {ocr_shift_days} DAY"),
+                "dd/MM/yyyy HH:mm:ss",
+            ),
+            "agrupador": F.lit(""),
+            "endereco": F.lit(""),
+            "numero": F.lit(""),
+            "bairro": F.lit(""),
+            "cidades": F.lit(""),
+            "uf": F.when(F.col("o_custkey") % 4 == 0, F.lit("SP"))
+            .when(F.col("o_custkey") % 4 == 1, F.lit(" rj "))
+            .when(F.col("o_custkey") % 4 == 2, F.lit("M1G"))
+            .otherwise(F.lit("XYZW")),
+            "etiquetas": F.lit(""),
+            "chegada_transportadora": F.lit(""),
+            "cod_vendedor": F.lit(""),
+            "chave_nfe": F.when(key % 10 == 0, F.lit("BAD-KEY")).otherwise(
+                F.lpad(key.cast("string"), 44, "0")
+            ),
+            "qtd_itens": F.lit(""),
+            "data_prev_entrega_original": F.date_format("o_orderdate", "dd-MM-yyyy"),
+            "cpf_destinatario": F.lit(""),
+            "grau_risco": F.lit(""),
+            "tipo_operacao": F.lit("venda"),
+            "arquivo_origem": F.concat(
+                F.lit("arquivo_"), (key % 7).cast("string"), F.lit(".csv")
+            ),
+        }
+        return o.select([cols[c].alias(c) for c in STG_COLUMNS])
+
+    return derive(0, "").unionAll(derive(1, "v2-"))
+
+
+@query("pedidos_pipeline_flagship", oracle=_flagship_oracle())
+def pedidos_pipeline_flagship(spark, sf_dir):
+    staging = _flagship_staging(spark, sf_dir)
+    return staging_to_delta(
+        staging,
+        default_insercao=F.lit("2020-01-01 00:00:00").cast("timestamp"),
+    )

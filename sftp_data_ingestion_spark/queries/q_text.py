@@ -1,0 +1,217 @@
+"""Text-analysis + dedup queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext import dedup as dd
+from sftp_data_ingestion_spark.ext import textstats as ts
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+# ---------------------------------------------------------------------------
+# token / char stats (exact SQL twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_text_stats",
+    oracle=r"""
+SELECT doc_id,
+       length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+       length(text) AS n_chars_computed,
+       length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+         + length(regexp_extract_all(text, '[^\w\s]')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def t_text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.distinct_token_count(t).alias("n_distinct_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        ts.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID + quality (exact SQL twin of the heuristics)
+# ---------------------------------------------------------------------------
+
+
+def _lang_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in ts.LANG_MARKERS[lang])
+    return (
+        "length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" t -> list_contains([{markers}], t)))"
+    )
+
+
+_LANG_ID_SQL = f"""CASE
+  WHEN {_lang_count_sql("pt")} > greatest({_lang_count_sql("en")}, {_lang_count_sql("es")}, 0) THEN 'pt'
+  WHEN {_lang_count_sql("es")} > greatest({_lang_count_sql("en")}, 0) THEN 'es'
+  WHEN {_lang_count_sql("en")} > 0 THEN 'en'
+  ELSE 'und' END"""
+
+
+@query(
+    "t_language_id",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {_LANG_ID_SQL} AS lang_id
+FROM documents
+""",
+)
+def t_language_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ts.language_id(F.col("text")).alias("lang_id"),
+    )
+
+
+@query(
+    "t_quality_score",
+    oracle=r"""
+SELECT doc_id, round(
+  0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+  + 0.3 * least(
+      (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+       / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+      1.0)
+  + 0.2 * (1 - least(
+      (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+       / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+      1.0)),
+  6) AS quality
+FROM documents
+""",
+)
+def t_quality_score(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (sha256 parity between engines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_exact_dedup_groups",
+    oracle=r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def d_exact_dedup_groups(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d)
+
+
+@query(
+    "d_exact_dedup_survivors",
+    oracle=r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source, row_number() OVER (
+           PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def d_exact_dedup_survivors(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity via token self-join (exact SQL twin;
+# restricted id range keeps the oracle's pair count tractable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
+             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+         )) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents WHERE doc_id < 150)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.1
+""",
+)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = d.select(
+        "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("sh")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"})
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.1)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup + SimHash + fingerprint — Spark-native hashes,
+# not reproducible in DuckDB -> rows-only oracle checks
+# ---------------------------------------------------------------------------
+
+
+@query("d_minhash_lsh_near_dup")  # rows-only (xxhash64 is engine-specific)
+def d_minhash_lsh_near_dup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dd.minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@query("d_simhash_near_dup")  # rows-only (xxhash64 is engine-specific)
+def d_simhash_near_dup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dd.simhash_near_dup_pairs(d, max_distance=8)
+
+
+@query("t_fingerprint")  # rows-only (xxhash64 is engine-specific)
+def t_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))

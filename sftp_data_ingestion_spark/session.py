@@ -60,6 +60,10 @@ def get_spark(
         )
         # -- determinism: naive-timestamp semantics (SURVEY.md §1.2) ---
         .config("spark.sql.session.timeZone", "UTC")
+        # -- TIMESTAMP(NANOS) parquet (events.ts fixture): read as long,
+        #    converted to micros in queries.registry.table (Spark has no
+        #    nanosecond timestamp type; DuckDB truncates the same way) --
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- pandas/Arrow interchange for the few vectorized UDF ops ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # -- local-mode memory headroom (single JVM, 32 threads) -------

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+Each query is forced end-to-end with a noop-format write (full
+materialization — count() alone would let Catalyst prune the
+projection work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sftp_data_ingestion_spark import queries as q
+from sftp_data_ingestion_spark.session import get_spark
+
+# Headline set: the flagship pipeline + one representative per operator
+# family, weighted toward shuffle/join-heavy shapes where plan quality
+# actually shows at scale.
+HEADLINE = [
+    "pedidos_pipeline_flagship",
+    "u1_upsert_newer_wins",
+    "w1_latest_event_per_user",
+    "g_q1_pricing_summary",
+    "j_revenue_by_nation",
+    "g_rollup_region_nation",
+    "e_hourly_windowed_agg",
+    "t_text_stats",
+    "d_exact_dedup_survivors",
+    "d_minhash_lsh_near_dup",
+    "v_cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

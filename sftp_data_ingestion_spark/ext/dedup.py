@@ -74,34 +74,52 @@ def exact_dedup_groups(
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (pure array
-    expressions: split -> sliding windows via transform over indices)."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    Built by zip_with over (n-1) shifted copies of the token array —
+    NOT ``transform(sequence, i -> slice(toks, i, n))``, whose lambda
+    re-evaluates the tokenization per index element (O(tokens^2) per
+    row; observed 17s on 5k docs vs <2s for this shape). Shifted
+    slices reference the token split a constant number of times."""
     toks = F.split(normalized(text), " ")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), count - 1)
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    gram = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0))
+        )
+        # zip_with pads the shorter side with NULL; concat propagates
+        # NULL, so incomplete tail windows drop in the filter below
+        gram = F.zip_with(
+            gram, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    full = F.filter(gram, lambda g: g.isNotNull())
     # a doc shorter than n words contributes its whole text as one shingle
     whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(count > 0, gram).otherwise(whole))
-
-
-def _seeded_hash(seed: int):
-    # single-arg closure: a default-arg lambda would instead bind the
-    # higher-order function's INDEX argument (silent semantic corruption)
-    return lambda s: F.xxhash64(s, F.lit(seed))
+    return F.array_distinct(
+        F.when(F.size(full) > 0, full).otherwise(whole)
+    )
 
 
 def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed i, min over shingles of
     ``xxhash64(shingle, i)``. Array of ``num_hashes`` longs, all
-    JVM-side expression work — no UDF, no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    JVM-side expression work — no UDF, no shuffle.
+
+    Shaped as ONE fold over the shingle array (zip_with running minima
+    against the per-shingle hash vector) instead of ``num_hashes``
+    separate ``array_min(transform(...))`` expressions: Catalyst's
+    CollapseProject would inline the shingle derivation into every
+    copy, exploding codegen ~64x (observed 53s -> ~2s on 500 docs)."""
+    long_max = F.lit((1 << 63) - 1).cast("long")
+    init = F.array_repeat(long_max, num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -127,8 +145,14 @@ def lsh_candidate_pairs(
     pairs (a < b). Shuffle key is the band hash — uniform; bucket-local
     join cost only. Requires a ``minhash`` column (see with_minhash)."""
     rows_per_band = num_hashes // bands
-    banded = df.select(
-        F.col(id_col).alias("id"),
+    # Exchange barrier: materialize the signature BEFORE the 16 band
+    # expressions reference it — otherwise CollapseProject inlines the
+    # full minhash fold into every band (16x compute). At scale this is
+    # the standard "shuffle signatures, not text" stage; an ~0.5 KB
+    # array per row is negligible shuffle volume.
+    sig = df.select(F.col(id_col).alias("id"), "minhash").repartition("id")
+    banded = sig.select(
+        F.col("id"),
         F.posexplode(
             F.array(
                 *[
@@ -218,21 +242,37 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over tokens: bit i set iff the majority of token
     hashes have bit i set. Pure array/bitwise expressions."""
     toks = F.array_distinct(F.split(normalized(text), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    acc = F.lit(0).cast("long")
-
-    def bit_test(mask: int):
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-    for i in range(bits):
-        mask = (1 << i) if i < 63 else -(2**63)  # bit 63 = sign bit
-        ones = F.size(F.filter(hashes, bit_test(mask)))
-        bit_set = ones * 2 > n
-        acc = acc + F.when(bit_set, F.lit(mask).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+    masks = [(1 << i) if i < bits - 1 else -(2 ** (bits - 1)) for i in range(bits)]
+    # ONE fold accumulating per-bit set-counts (same CollapseProject
+    # rationale as minhash_signature: don't reference `toks` 64 times)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, F.lit(1)
+                    ).otherwise(F.lit(0))
+                    for m in masks
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(toks)
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    # single reference to `counts`: majority-vote bits -> sum of masks
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            mask_arr,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -249,7 +289,9 @@ def simhash_near_dup_pairs(
     """Near-dup by SimHash Hamming distance, bucketed by 16-bit
     sub-bands (pigeonhole: distance <= 3 over 4 bands -> at least one
     band identical), so candidate generation is a bucket join."""
-    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    ).repartition("id")  # materialize sig before the 4 band projections
     banded = sig.select(
         "id",
         "sig",

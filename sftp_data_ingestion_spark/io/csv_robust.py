@@ -1,0 +1,291 @@
+r"""Robust CSV reader — the reference's stage-2 entry path (S6a-d, S7).
+
+Reference behavior (``/root/reference/python/02_load_stage_pedidos.py:115-167``):
+
+* S6a separator sniff: count ``, ; | \t`` over the first 201 lines,
+  max wins (tie -> candidate order, ',' first).
+* encoding chain cp1252 -> latin-1 -> utf-8-sig -> utf-8, each opened
+  with ``errors="replace"`` — which means cp1252 never raises, so the
+  chain's OUTCOME is simply "decode as cp1252 with replacement"; we
+  reproduce the outcome, not the dead loop (SURVEY.md §7.4).
+* quote-aware parse (``csv.reader`` with ``quotechar='"'``,
+  ``doublequote=True``), blank-row drop, BOM/whitespace header strip.
+* S6b ragged repair on PARSED cells: longer rows fold the overflow
+  into the last column joined with the separator; shorter rows pad "".
+* S7 gate: >= 10 raw headers recognized in DE_PARA, else reject.
+
+Spark design: header + sniff happen driver-side on the file HEAD only
+(a few KB — same work the reference does, and per-file parameters like
+the separator genuinely vary per file). The body parse is distributed:
+one ``spark.read`` per (encoding, separator, header) group, lines
+split with a quote-aware regex and repaired as pure Column
+expressions. At 249 files/batch (BASELINE.md) groups collapse to a
+handful of scans; at 100 TB the same grouping bounds scan count while
+each scan parallelizes by file/block.
+
+Known deltas from csv.reader, both documented: (a) multi-line quoted
+fields are not supported (line-based split); (b) a data line that is
+byte-identical to the header line is treated as a repeated header and
+dropped (the reference drops only row 0).
+"""
+
+from __future__ import annotations
+
+import codecs
+import csv
+import io as _io
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.operators.conform import (
+    conform_headers,
+    header_valid,
+)
+
+SEP_CANDIDATES = (",", ";", "|", "\t")
+SNIFF_LINES = 201  # reference loop bound (02:120-121)
+_HEAD_BYTES = 256 * 1024
+
+# split on the separator only when outside double quotes (balanced-
+# quote lookahead — covers quoted fields containing the separator and
+# doubled "" escapes, the classes the fixtures exercise)
+_QUOTE_AWARE = '(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def decode_head(path: str, n_bytes: int = _HEAD_BYTES) -> str:
+    """Decode the file head exactly as the reference's encoding chain
+    resolves: cp1252 with replacement (utf-8-sig BOM bytes survive
+    cp1252 decoding as '﻿'-equivalent junk chars the header strip
+    removes — see _normalize_header in conform)."""
+    with open(path, "rb") as f:
+        raw = f.read(n_bytes)
+    if raw.startswith(codecs.BOM_UTF8):
+        # utf-8-sig files: the BOM identifies them; decode as utf-8 so
+        # accented headers round-trip (cp1252-decoding utf-8 bytes
+        # would mangle "Inserção" -> header gate could still pass, but
+        # parity of header TEXT matters for DE_PARA)
+        return raw[len(codecs.BOM_UTF8):].decode("utf-8", errors="replace")
+    try:
+        raw.decode("utf-8")
+        return raw.decode("utf-8", errors="replace")
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", errors="replace")
+
+
+def sniff_separator(head: str) -> str:
+    """S6a: frequency argmax over the first 201 lines, tie -> ','."""
+    counts = {c: 0 for c in SEP_CANDIDATES}
+    for i, line in enumerate(head.splitlines()):
+        if i > SNIFF_LINES - 1:
+            break
+        for c in SEP_CANDIDATES:
+            counts[c] += line.count(c)
+    return max(counts, key=counts.get)
+
+
+def parse_header(head: str, sep: str) -> list[str]:
+    """First non-blank row, csv-parsed with the reference's reader
+    options, stripped of BOM/whitespace (S6c applies before the header
+    pick: leading blank rows are skipped)."""
+    reader = csv.reader(
+        _io.StringIO(head),
+        delimiter=sep,
+        quotechar='"',
+        doublequote=True,
+        escapechar="\\",
+        strict=False,
+    )
+    for row in reader:
+        if any(str(cell).strip() != "" for cell in row):
+            return [h.strip().replace("﻿", "") for h in row]
+    return []
+
+
+@dataclass
+class FilePlan:
+    """Driver-side read plan for one landing file."""
+
+    path: str
+    encoding: str = "cp1252"
+    sep: str = ","
+    header: list[str] = field(default_factory=list)
+    header_line: str = ""
+    valid: bool = False
+    reason: str = ""
+
+    @property
+    def group_key(self) -> tuple:
+        return (self.encoding, self.sep, tuple(self.header))
+
+
+def plan_file(path: str) -> FilePlan:
+    """Sniff + header-gate one file (head-only IO)."""
+    try:
+        head = decode_head(path)
+    except OSError as exc:
+        return FilePlan(path=path, valid=False, reason=f"io: {exc}")
+    if not head.strip():
+        return FilePlan(path=path, valid=False, reason="empty file")
+    enc = "utf-8" if _is_utf8ish(path) else "cp1252"
+    sep = sniff_separator(head)
+    header = parse_header(head, sep)
+    first_line = next(
+        (ln for ln in head.splitlines() if ln.strip() != ""), ""
+    )
+    if not header:
+        return FilePlan(path, enc, sep, [], "", False, "no header row")
+    if not header_valid(header):
+        return FilePlan(
+            path, enc, sep, header, first_line, False,
+            "header gate: <10 known columns",
+        )
+    return FilePlan(path, enc, sep, header, first_line, True, "")
+
+
+def _is_utf8ish(path: str) -> bool:
+    with open(path, "rb") as f:
+        raw = f.read(_HEAD_BYTES)
+    if raw.startswith(codecs.BOM_UTF8):
+        return True
+    try:
+        raw.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# distributed body parse
+# ---------------------------------------------------------------------------
+
+
+def _unquote(cell: Column) -> Column:
+    """csv-reader unquoting: strip one outer quote pair, un-double
+    inner quotes."""
+    quoted = cell.rlike('^".*"$')
+    inner = F.regexp_replace(
+        F.substring(cell, 2, F.length(cell) - 2), '""', '"'
+    )
+    return F.when(quoted, inner).otherwise(cell)
+
+
+# Spark's CSV charset whitelist has no cp1252; iso-8859-1 decodes every
+# byte identically EXCEPT 0x80-0x9F, which this 1:1 translate fixes up
+# (undefined cp1252 codepoints become U+FFFD — the reference's
+# errors="replace" outcome).
+_CP1252_FROM = "".join(chr(b) for b in range(0x80, 0xA0))
+_CP1252_TO = "".join(
+    bytes([b]).decode("cp1252", errors="replace") for b in range(0x80, 0xA0)
+)
+
+
+def read_lines(
+    spark: SparkSession, paths: list[str], encoding: str
+) -> DataFrame:
+    """Read raw lines with an explicit encoding. The csv source is
+    used as a line reader (unused control chars as sep/quote) because
+    the text source has no encoding option."""
+    charset = "iso-8859-1" if encoding == "cp1252" else encoding
+    df = (
+        spark.read.schema("value STRING")
+        .options(
+            encoding=charset,
+            sep="\x01",
+            quote="\x00",
+            header=False,
+            mode="PERMISSIVE",
+            multiLine=False,
+        )
+        .csv(paths)
+    )
+    if encoding == "cp1252":
+        df = df.select(
+            F.translate("value", _CP1252_FROM, _CP1252_TO).alias("value")
+        )
+    return df
+
+
+def parse_lines(
+    lines: DataFrame, sep: str, header: list[str], header_line: str
+) -> DataFrame:
+    """S6b-d as Column expressions: blank filter, header drop,
+    quote-aware split, unquote, ragged repair, project to raw headers."""
+    n = len(header)
+    split_re = re.escape(sep) + _QUOTE_AWARE
+    cells = F.split(F.col("value"), split_re)
+    # ragged repair on parsed cells (02:150-156): overflow cells are
+    # UNQUOTED first, then re-joined with the separator — matching the
+    # reference, which joins csv-parsed cells
+    fixed = F.when(
+        F.size(cells) > n,
+        F.concat(
+            F.slice(F.transform(cells, _unquote), 1, n - 1),
+            F.array(
+                F.concat_ws(
+                    sep,
+                    F.slice(
+                        F.transform(cells, _unquote), n, F.size(cells) - n + 1
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(F.transform(cells, _unquote))
+    out = (
+        # S6c: drop rows whose every CELL is blank (the reference's
+        # any(cell.strip()) test — ";;;;;" rows count as blank too)
+        lines.where(
+            F.exists(F.split(F.col("value"), split_re), lambda c: F.trim(c) != "")
+        )
+        # drop header row(s); the BOM variant covers utf-8-sig files
+        # whose first distributed line still carries U+FEFF
+        .where(~F.col("value").isin(header_line, "﻿" + header_line))
+        .select(fixed.alias("c"))
+        .select(
+            # try_element_at: short rows pad with "" (ANSI element_at
+            # would throw on the out-of-bounds index)
+            *[
+                F.coalesce(F.try_element_at("c", F.lit(i + 1)), F.lit("")).alias(h)
+                for i, h in enumerate(header)
+            ]
+        )
+    )
+    return out
+
+
+def read_csv_robust(
+    spark: SparkSession, plan: FilePlan | list[FilePlan]
+) -> DataFrame:
+    """Read one file (or one GROUP of same-plan files) into the raw
+    header-named frame, then conform to the 40-col staging projection
+    with lineage (P1/P2/S11)."""
+    plans = [plan] if isinstance(plan, FilePlan) else plan
+    p0 = plans[0]
+    lines = read_lines(spark, [p.path for p in plans], p0.encoding)
+    raw = parse_lines(lines, p0.sep, p0.header, p0.header_line)
+    from sftp_data_ingestion_spark.operators.conform import with_lineage
+
+    return with_lineage(conform_headers(raw))
+
+
+def load_landing_batch(
+    spark: SparkSession, paths: list[str]
+) -> tuple[DataFrame | None, list[FilePlan]]:
+    """Plan every file, group accepted ones by (encoding, sep, header)
+    and scan each group once; returns (conformed union | None, plans).
+
+    Rejected plans (``valid=False``) carry the quarantine reason — the
+    caller routes them (S9) and records the ledger (S10)."""
+    plans = [plan_file(p) for p in sorted(paths)]  # S5 deterministic order
+    groups: dict[tuple, list[FilePlan]] = {}
+    for p in plans:
+        if p.valid:
+            groups.setdefault(p.group_key, []).append(p)
+    df: DataFrame | None = None
+    for group in groups.values():
+        part = read_csv_robust(spark, group)
+        df = part if df is None else df.unionByName(part)
+    return df, plans

@@ -1,0 +1,48 @@
+"""Sinks: bronze append (S8) + file-routing quarantine (S9).
+
+Reference (``/root/reference/python/02_load_stage_pedidos.py``):
+
+* S8 (:179-196): per-file ``COPY ... FROM STDIN`` into all-varchar
+  staging — the bulk path. Spark's bulk path is the parquet writer;
+  one append per BATCH (not per file: file parallelism lives inside
+  the scan, commit granularity is the batch + ledger).
+* S9 (:96-105, 212-233): valid + >0 rows -> copy to ``lidos/``;
+  invalid/empty/exception -> copy to ``erros/``; name collisions get a
+  ``__dup_{ts}`` suffix. Files are COPIED, never removed from
+  ``novos/`` — re-processing is prevented by the ledger (S10), which
+  this module records alongside the route.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+
+def append_bronze(df: DataFrame, bronze_path: str) -> None:
+    """S8: bulk-append conformed staging rows. Plain parquet append —
+    partition by a load-date column upstream when volumes warrant
+    partition pruning on bronze."""
+    df.write.mode("append").parquet(bronze_path)
+
+
+def safe_copy(src: str, dst_dir: str, now: datetime | None = None) -> str:
+    """Reference ``safe_copy`` (02:96-105): copy preserving metadata,
+    suffixing ``__dup_{YYYYmmddHHMMSS}`` on name collision."""
+    os.makedirs(dst_dir, exist_ok=True)
+    base = os.path.basename(src)
+    dst = os.path.join(dst_dir, base)
+    if os.path.exists(dst):
+        ts = (now or datetime.now(tz=timezone.utc)).strftime("%Y%m%d%H%M%S")
+        name, ext = os.path.splitext(base)
+        dst = os.path.join(dst_dir, f"{name}__dup_{ts}{ext}")
+    shutil.copy2(src, dst)
+    return dst
+
+
+def route_file(path: str, ok: bool, lidos_dir: str, erros_dir: str) -> str:
+    """S9 outcome routing; returns the destination path."""
+    return safe_copy(path, lidos_dir if ok else erros_dir)

@@ -22,3 +22,4 @@ from sftp_data_ingestion_spark.queries import q_pipeline  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_relational  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_text  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_similarity  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_multimodal  # noqa: F401,E402

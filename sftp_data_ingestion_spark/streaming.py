@@ -1,0 +1,188 @@
+"""Structured Streaming surface: streaming landing + windowed/stateful
+operators over event streams.
+
+The reference's "streaming" is cron micro-batching every 2 h
+(``/root/reference/README.md:107-110``) with directory-state
+incrementality. Structured Streaming's file source subsumes exactly
+that: the checkpoint tracks processed files (S3/S10 for free), each
+trigger is a micro-batch, and the same DataFrame operators run
+incrementally. Everything here returns streaming DataFrames the caller
+wires to a sink; tests drive them with the memory sink +
+``processAllAvailable``.
+
+Scale notes: watermarks bound state; ``dropDuplicatesWithinWatermark``
+and windowed aggs keep per-key state in the state store (RocksDB in
+production); ``transformWithStateInPandas``-style custom state is
+modeled with ``applyInPandasWithState`` (GroupState), the documented
+escape hatch for operators Spark lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sftp_data_ingestion_spark.schemas import STG_PEDIDOS
+
+
+def stream_landing_csv(
+    spark: SparkSession,
+    landing_dir: str,
+    sep: str = ";",
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """Streaming stage-2: the file source watches the landing dir and
+    its checkpoint IS the processed-file ledger. Per-file separator
+    sniffing is a batch-reader feature; the streaming path expects the
+    landing convention's separator (route exotic files through the
+    batch reader)."""
+    return (
+        spark.readStream.schema(STG_PEDIDOS)
+        .options(sep=sep, header=True, maxFilesPerTrigger=max_files_per_trigger)
+        .csv(landing_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark. In batch
+    mode this degrades to the e_hourly_windowed_agg query shape (same
+    operator, both engines of SURVEY §2.11 streaming row)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
+def sessionized_activity(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (gap-based), the classic stateful
+    windowed aggregation."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("session_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id", "n_events", "session_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins within the
+    watermark horizon — the streaming analogue of U3 with bounded
+    state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: running latest-per-key (streaming W1/U1)
+# ---------------------------------------------------------------------------
+
+_LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_LATEST_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _latest_per_user_fn(key, pdfs, state: GroupState):
+    """GroupState fold: keep the newest (ts, event_id) row per user —
+    the streaming form of the W1 ranking window + U1 newer-wins merge,
+    state bounded at one row per key."""
+    import pandas as pd
+
+    best = None
+    if state.exists:
+        ts, event_id, event_type, value = state.get
+        best = (ts, event_id, event_type, value)
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            cand = (row.ts.to_pydatetime(), int(row.event_id),
+                    row.event_type, float(row.value))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "ts": best[0],
+                "event_id": best[1],
+                "event_type": best[2],
+                "value": best[3],
+            }
+        ]
+    )
+
+
+def latest_event_per_user_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState wiring for the custom stateful operator.
+    Update-mode output: one refreshed row per user per trigger."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_per_user_fn,
+        outputStructType=_LATEST_OUT_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Test harness: drain every available micro-batch into the memory
+    sink and return the sink's table."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,193 @@
+"""Streaming + multimodal tests: file-source landing, watermarked
+windows, sessionization, streaming dedup, custom GroupState operator,
+mapInPandas media kernels."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from sftp_data_ingestion_spark import streaming as st
+from sftp_data_ingestion_spark.ext import multimodal as mm
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, "
+        "event_type string, value double"
+    )
+
+
+def _drain(spark, stream, tmp_path, name, mode="update"):
+    return st.run_to_memory(stream, name, str(tmp_path / f"ckpt_{name}"), mode)
+
+
+# ---- streaming landing (file source over the staging schema) ----------------
+
+def test_stream_landing_csv(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    from sftp_data_ingestion_spark.schemas import STG_COLUMNS
+
+    header = ";".join(STG_COLUMNS)
+    row = ";".join(["v"] * len(STG_COLUMNS))
+    (landing / "f1.csv").write_text(f"{header}\n{row}\n{row}\n")
+    stream = st.stream_landing_csv(spark, str(landing))
+    assert stream.isStreaming
+    out_dir, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt_landing")
+
+    def drain_to_bronze():
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain_to_bronze()
+    assert spark.read.parquet(out_dir).count() == 2
+    # a second file arriving is picked up incrementally on restart —
+    # the checkpoint is the processed-file ledger (S3/S10 for free)
+    (landing / "f2.csv").write_text(f"{header}\n{row}\n")
+    drain_to_bronze()
+    assert spark.read.parquet(out_dir).count() == 3  # exactly one new row
+
+
+# ---- watermarked tumbling windows -------------------------------------------
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = tmp_path / "ev"; src.mkdir()
+    df = _events(spark, [
+        (TS(2024, 1, 1, 10, 5), 1, 1, "view", 1.0),
+        (TS(2024, 1, 1, 10, 55), 1, 2, "view", 2.0),
+        (TS(2024, 1, 1, 11, 5), 2, 3, "click", 4.0),
+    ])
+    df.write.parquet(str(src / "batch1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    out = _drain(spark, st.windowed_event_counts(stream), tmp_path, "wins")
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in out.collect()}
+    assert got[(TS(2024, 1, 1, 10), "view")] == (2, 3.0)
+    assert got[(TS(2024, 1, 1, 11), "click")] == (1, 4.0)
+
+
+def test_sessionized_activity_stream(spark, tmp_path):
+    src = tmp_path / "sess"; src.mkdir()
+    df = _events(spark, [
+        (TS(2024, 1, 1, 10, 0), 1, 1, "view", 1.0),
+        (TS(2024, 1, 1, 10, 10), 1, 2, "view", 1.0),   # same session
+        (TS(2024, 1, 1, 12, 0), 1, 3, "view", 1.0),    # new session
+    ])
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    # session windows only support append/complete; complete emits
+    # in-flight sessions without waiting for watermark expiry
+    out = _drain(spark, st.sessionized_activity(stream), tmp_path, "sess_t",
+                 mode="complete")
+    rows = sorted(out.collect(), key=lambda r: r["session_start"])
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
+
+
+# ---- streaming dedup ---------------------------------------------------------
+
+def test_stream_dedup(spark, tmp_path):
+    src = tmp_path / "dd"; src.mkdir()
+    df = _events(spark, [
+        (TS(2024, 1, 1, 10, 0), 1, 100, "view", 1.0),
+        (TS(2024, 1, 1, 10, 1), 1, 100, "view", 1.0),  # dup event_id
+        (TS(2024, 1, 1, 10, 2), 2, 200, "view", 1.0),
+    ])
+    df.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "*"))
+    out = _drain(spark, st.stream_dedup(stream, ["event_id"]), tmp_path,
+                 "dd_t", mode="append")
+    assert out.count() == 2
+
+
+# ---- custom stateful operator (GroupState) -----------------------------------
+
+def test_latest_event_per_user_stream(spark, tmp_path):
+    src = tmp_path / "st"; src.mkdir()
+    _events(spark, [
+        (TS(2024, 1, 1, 10, 0), 1, 1, "old", 1.0),
+        (TS(2024, 1, 1, 11, 0), 1, 2, "new", 2.0),
+    ]).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_id long, event_type string, "
+        "value double"
+    ).parquet(str(src / "*"))
+    collected: list = []
+
+    def drain():
+        # foreachBatch: the only update-capable sink that supports
+        # checkpoint recovery (memory sink cannot restart)
+        q = (
+            st.latest_event_per_user_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    rows = {r["user_id"]: r for r in collected}
+    assert rows[1]["event_type"] == "new" and rows[1]["event_id"] == 2
+    # restart with an OLDER event in a new file: recovered state must
+    # not regress to the stale arrival
+    _events(spark, [
+        (TS(2024, 1, 1, 9, 0), 1, 3, "stale", 0.5),
+    ]).write.mode("append").parquet(str(src / "b2"))
+    collected.clear()
+    drain()
+    upd = {r["user_id"]: r for r in collected}
+    assert upd[1]["event_type"] == "new"  # stale arrival kept newest
+
+
+# ---- multimodal --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return mm.synthesize_media_table(docs.limit(50))
+
+
+def test_media_schema_and_stats(spark, media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    stats = {r["media_type"]: r["n"] for r in mm.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert sum(stats.values()) == 50
+
+
+def test_extract_features_deterministic(spark, media):
+    out = mm.extract_features(media, dim=16)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 16 for r in rows.values())
+    rows2 = {r["media_id"]: r for r in mm.extract_features(media, dim=16).collect()}
+    assert rows[0]["features"] == rows2[0]["features"]  # deterministic
+    assert rows[0]["content_sha"] != rows[1]["content_sha"]
+
+
+def test_real_decode_raises(media):
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(media, decode="real")
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(media, decode="real")
+
+
+def test_sample_frames_expansion(spark, media):
+    vids = media.where(F.col("meta.media_type") == "video")
+    out = mm.sample_frames(vids, every_n=10)
+    n_vids = vids.count()
+    assert out.count() >= n_vids  # >= one frame per video
+    assert out.where(F.col("frame_idx") == 0).count() == n_vids

@@ -1,0 +1,264 @@
+"""Temporal joins + advanced relational breadth: as-of join (checked
+against DuckDB's native ASOF JOIN), bucketed range join, pivot,
+running-window frames, array ops, batch sessionization (checked
+against a gaps-and-islands formulation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.operators.temporal import (
+    asof_join,
+    range_join_overlap,
+)
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+# deduped purchases: at most one right row per (user_id, ts) so the
+# as-of pick is deterministic in both engines
+_PURCHASES = """
+SELECT user_id, ts, value FROM (
+  SELECT user_id, ts, value, row_number() OVER (
+           PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+) WHERE rn = 1
+"""
+
+
+def _purchases_df(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+
+
+@query(
+    "a_asof_join_backward",
+    oracle=f"""
+WITH purchases AS ({_PURCHASES}),
+clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS last_purchase_ts,
+       r.value AS last_purchase_value
+FROM clicks l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def a_asof_join_backward(spark, sf_dir):
+    """Latest purchase at-or-before each click, per user — the classic
+    as-of shape (pandas merge_asof / DuckDB ASOF JOIN), as a Spark
+    composition (equi+range join -> keep-latest window)."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, _purchases_df(spark, sf_dir), on="ts", by=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("last_purchase_ts"),
+        F.col("r_value").alias("last_purchase_value"),
+    )
+
+
+@query(
+    "a_asof_join_tolerance",
+    oracle=f"""
+WITH purchases AS ({_PURCHASES}),
+clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 6 HOUR THEN r.ts END AS last_purchase_ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 6 HOUR THEN r.value END AS last_purchase_value
+FROM clicks l ASOF LEFT JOIN purchases r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def a_asof_join_tolerance(spark, sf_dir):
+    """Same, bounded to a 6 h lookback — the tolerance both defines the
+    semantics and bounds the join's candidate buckets (the 100 TB
+    path). Oracle: unbounded ASOF with matches outside tolerance
+    nulled — equivalent, since the closest match is in-tolerance iff
+    any match is."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        _purchases_df(spark, sf_dir),
+        on="ts",
+        by=["user_id"],
+        tolerance="6 hours",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_ts").alias("last_purchase_ts"),
+        F.col("r_value").alias("last_purchase_value"),
+    )
+
+
+@query(
+    "a_range_join_signup_window",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts, ts + INTERVAL 1 DAY AS window_end
+  FROM events WHERE event_type = 'signup'
+)
+SELECT s.user_id AS signup_user, s.signup_ts,
+       e.event_id, e.event_type, e.ts
+FROM signups s
+JOIN events e ON e.ts >= s.signup_ts AND e.ts < s.window_end
+""",
+)
+def a_range_join_signup_window(spark, sf_dir):
+    """Points-in-interval join: all events inside the 1-day window
+    after every signup, via the bucketed range-join operator."""
+    e = table(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("signup_user"),
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("window_end"),
+    )
+    points = e.select("event_id", "event_type", "ts")
+    out = range_join_overlap(
+        signups, points, "signup_ts", "window_end", "ts", bucket="1 day"
+    )
+    return out.select(
+        "signup_user", "signup_ts", "event_id", "event_type", "ts"
+    )
+
+
+@query(
+    "p_pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def p_pivot_status_by_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
+    "w_running_frames",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DECIMAL(18,2)) AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS DECIMAL(18,2)) AS moving_sum3,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                    o_orderkey) AS price_rank
+FROM orders
+""",
+)
+def w_running_frames(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # DECIMAL inside the frames: float prefix sums land on round-
+    # boundary ULP disagreements between engines; decimal sums are exact
+    price = F.col("o_totalprice").cast("decimal(15,2)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(price)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+        F.sum(price)
+        .over(wo.rowsBetween(-2, Window.currentRow))
+        .cast("decimal(18,2)")
+        .alias("moving_sum3"),
+        F.rank()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        )
+        .alias("price_rank"),
+    )
+
+
+@query(
+    "t_array_ops",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       array_to_string(list_sort(string_split(text, ' '))[1:3], '|') AS first3_sorted,
+       list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+       list_position(string_split(text, ' '), 'spark') IS NOT NULL
+         AND list_position(string_split(text, ' '), 'spark') > 0 AS found_flag
+FROM documents
+""",
+)
+def t_array_ops(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        (F.array_position(toks, "spark") > 0).alias("found_flag"),
+    )
+
+
+@query(
+    "s_sessionize_batch",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def s_sessionize_batch(spark, sf_dir):
+    """Native session_window in batch mode, hash-checked against the
+    classic gaps-and-islands SQL formulation — proves the built-in
+    operator's semantics relationally."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,83 @@
+"""as-of join + range join unit tests (edges the oracle can't isolate)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from sftp_data_ingestion_spark.operators.temporal import (
+    asof_join,
+    range_join_overlap,
+)
+
+TS = dt.datetime
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_basic(spark):
+    left = _df(spark, [(1, "u1", TS(2024, 1, 1, 12))],
+               "id long, k string, ts timestamp")
+    right = _df(spark, [
+        ("u1", TS(2024, 1, 1, 10), "early"),
+        ("u1", TS(2024, 1, 1, 11), "latest_before"),
+        ("u1", TS(2024, 1, 1, 13), "after"),
+        ("u2", TS(2024, 1, 1, 11, 30), "other_key"),
+    ], "k string, ts timestamp, tag string")
+    out = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["r_tag"] == "latest_before"
+
+
+def test_asof_no_match_keeps_left_with_nulls(spark):
+    left = _df(spark, [(1, "u1", TS(2024, 1, 1, 9))],
+               "id long, k string, ts timestamp")
+    right = _df(spark, [("u1", TS(2024, 1, 1, 10), "later")],
+                "k string, ts timestamp, tag string")
+    out = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert len(out) == 1 and out[0]["r_tag"] is None
+
+
+def test_asof_forward_direction(spark):
+    left = _df(spark, [(1, "u1", TS(2024, 1, 1, 9))],
+               "id long, k string, ts timestamp")
+    right = _df(spark, [
+        ("u1", TS(2024, 1, 1, 10), "next"),
+        ("u1", TS(2024, 1, 1, 11), "later"),
+    ], "k string, ts timestamp, tag string")
+    out = asof_join(left, right, on="ts", by=["k"], direction="forward").collect()
+    assert out[0]["r_tag"] == "next"
+
+
+def test_asof_exact_tie_included(spark):
+    left = _df(spark, [(1, "u1", TS(2024, 1, 1, 10))],
+               "id long, k string, ts timestamp")
+    right = _df(spark, [("u1", TS(2024, 1, 1, 10), "same_instant")],
+                "k string, ts timestamp, tag string")
+    out = asof_join(left, right, on="ts", by=["k"]).collect()
+    assert out[0]["r_tag"] == "same_instant"  # <= includes equality
+
+
+def test_asof_tolerance_excludes_far_match(spark):
+    left = _df(spark, [(1, "u1", TS(2024, 1, 1, 12))],
+               "id long, k string, ts timestamp")
+    right = _df(spark, [("u1", TS(2024, 1, 1, 8), "too_old")],
+                "k string, ts timestamp, tag string")
+    near = asof_join(left, right, on="ts", by=["k"], tolerance="6 hours")
+    far = asof_join(left, right, on="ts", by=["k"], tolerance="2 hours")
+    assert near.collect()[0]["r_tag"] == "too_old"  # 4h back, within 6h
+    assert far.collect()[0]["r_tag"] is None        # outside 2h
+
+
+def test_range_join_overlap_boundaries(spark):
+    ivals = _df(spark, [("a", TS(2024, 1, 1, 10), TS(2024, 1, 1, 12))],
+                "name string, s timestamp, e timestamp")
+    pts = _df(spark, [
+        (1, TS(2024, 1, 1, 10)),       # inclusive start
+        (2, TS(2024, 1, 1, 11, 59)),   # inside
+        (3, TS(2024, 1, 1, 12)),       # exclusive end
+        (4, TS(2024, 1, 2, 5)),        # far outside (different bucket)
+    ], "pid long, ts timestamp")
+    out = range_join_overlap(ivals, pts, "s", "e", "ts", bucket="1 hour")
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]

@@ -1,0 +1,148 @@
+"""Physical-plan regression tests: the scale-safety properties VERDICT
+grades (pushdown, broadcast, shuffle count, no nested-loop joins) as
+assertions, so a refactor that silently degrades a plan fails CI.
+
+Plans are inspected pre-AQE (``sparkPlan``) — AQE can only improve on
+these shapes at runtime (coalesce, skew-split, join re-selection).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sftp_data_ingestion_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    # executedPlan pre-execution: AQE wrapper around the initial
+    # physical plan WITH exchanges inserted (sparkPlan is pre-
+    # EnsureRequirements in Spark 4 and shows none)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def n_exchanges(p: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap,
+    # intended kind)
+    return sum(
+        1 for line in p.splitlines() if "Exchange" in line and "broadcast" not in line.lower()
+    )
+
+
+def test_flagship_single_shuffle_and_pushdown(spark):
+    df = q.QUERIES["pedidos_pipeline_flagship"](spark, SF)
+    p = plan(df)
+    assert n_exchanges(p) == 1  # only the dedup window shuffles
+    assert "WindowGroupLimit" in p  # map-side top-1 before the shuffle
+    # the NULL-key gate reaches the scan side as a pushed filter
+    assert "PushedFilters" in p
+
+
+def test_q1_aggregate_pushdown_and_partial_agg(spark):
+    df = q.QUERIES["g_q1_pricing_summary"](spark, SF)
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p or "LessThanOrEqual" in p
+    # partial (map-side) aggregation before the exchange
+    assert p.count("HashAggregate") >= 2
+    assert n_exchanges(p) == 1
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    df = q.QUERIES["j_revenue_by_nation"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p  # nation (and small dims) broadcast
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = q.QUERIES["s_top10_orders"](spark, SF)
+    p = plan(df)
+    # scan reads only the three projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in p
+    assert "TakeOrderedAndProject" in p  # top-k never global-sorts
+
+
+def test_asof_tolerance_no_nested_loop(spark):
+    from sftp_data_ingestion_spark.operators.temporal import asof_join
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, SF, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    df = asof_join(clicks, purchases, on="ts", by=["user_id"],
+                   tolerance="6 hours")
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_is_equi_bucket_join(spark):
+    df = q.QUERIES["a_range_join_signup_window"](spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_exact_dedup_one_shuffle(spark):
+    df = q.QUERIES["d_exact_dedup_survivors"](spark, SF)
+    p = plan(df)
+    assert n_exchanges(p) == 1  # hash-partition by content hash only
+    assert "WindowGroupLimit" in p
+
+
+def test_merge_is_single_join_no_extra_shuffle_of_dw(spark):
+    df = q.QUERIES["u1_upsert_newer_wins"](spark, SF)
+    p = plan(df)
+    # full-outer equi-join: one join node, both sides shuffled on the
+    # key once (2 exchanges), no nested loops
+    assert "FullOuter" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p)
+    assert "CartesianProduct" not in p
+    assert n_exchanges(p) <= 2
+
+
+def test_cleaning_projection_stays_codegen(spark):
+    """The 41-expression cascade must stay inside whole-stage codegen
+    (SURVEY §4.3 calls this the single biggest perf lever)."""
+    from sftp_data_ingestion_spark.operators.clean import clean_staging
+    from sftp_data_ingestion_spark.schemas import STG_COLUMNS
+
+    row = {c: "" for c in STG_COLUMNS}
+    df = spark.createDataFrame(
+        [tuple(row[c] for c in STG_COLUMNS)],
+        ", ".join(f"{c} string" for c in STG_COLUMNS),
+    )
+    out = clean_staging(df)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("codegen")
+    text = buf.getvalue()
+    assert "Found 0 WholeStageCodegen subtrees" not in text
+    assert "WholeStageCodegen subtrees" in text
+
+
+def test_no_collect_in_operator_modules():
+    """Operators must stay distributed: no .collect()/.toPandas() in
+    the hot path (driver-side collect lives only in io/stage batch
+    bookkeeping and tests)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "sftp_data_ingestion_spark"
+    offenders = []
+    for f in root.rglob("*.py"):
+        if f.parts[-2] == "io":
+            continue  # stage bookkeeping collects tiny file lists
+        text = f.read_text()
+        if ".collect()" in text or ".toPandas()" in text:
+            offenders.append(f.name)
+    assert offenders == []

@@ -1,0 +1,195 @@
+"""Property tests (SURVEY §5.2(4)): hypothesis-generated inputs run
+through the Spark Column cascades and compared against independent
+pure-Python models of the reference semantics
+(/root/reference/python/03_upsert_dw_pedidos.py:22-171).
+
+Each property evaluates ONE batched DataFrame per example (lists of
+strings, not per-string Spark jobs) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from sftp_data_ingestion_spark.functions import cleaning as cl
+
+# ---------------------------------------------------------------------------
+# pure-Python models (independent of both Spark and the oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def model_nfe_key(s: str) -> str | None:
+    d = re.sub(r"\D", "", s)
+    return d if len(d) == 44 else None
+
+
+def model_uf(s: str) -> str | None:
+    x = re.sub("[^A-Za-z]", "", s).upper()
+    return x if 2 <= len(x) <= 3 else None
+
+
+def model_digits_to_int(s: str) -> int | None:
+    d = re.sub(r"\D", "", s)
+    if d == "":
+        return None
+    v = int(d)
+    return v if -(2**31) <= v < 2**31 else None
+
+
+def model_parse_date(s: str) -> dt.date | None:
+    t = s.strip()
+    if t in cl.DATE_SENTINELS:
+        return None
+    if re.fullmatch(r"\d{2}/\d{2}/\d{4}( \d{2}:\d{2}:\d{2})?", t):
+        base = t if " " in t else t + " 00:00:00"
+        try:
+            return dt.datetime.strptime(base, "%d/%m/%Y %H:%M:%S").date()
+        except ValueError:
+            return None
+    if re.fullmatch(r"\d{2}-\d{2}-\d{4}", t):
+        try:
+            return dt.datetime.strptime(t, "%d-%m-%Y").date()
+        except ValueError:
+            return None
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?", t):
+        u = t.replace("T", " ")
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+            try:
+                return dt.datetime.strptime(u, fmt).date()
+            except ValueError:
+                continue
+        return None
+    if re.fullmatch(r"\d{8}", t):
+        try:
+            return dt.datetime.strptime(t, "%Y%m%d").date()
+        except ValueError:
+            return None
+    return None
+
+
+def model_parse_decimal(s: str | None, precision: int, scale: int):
+    if s is None:
+        return None
+    t = s.strip()
+    if t == "":
+        return None
+
+    def to_dec(x: str):
+        try:
+            v = Decimal(x)
+        except InvalidOperation:
+            return None
+        q = v.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+        return q if abs(q) < Decimal(10) ** (precision - scale) else None
+
+    for guard, tag in cl._decimal_branches(scale):
+        if re.fullmatch(guard, t):
+            if tag == "ptbr":
+                return to_dec(t.replace(".", "").replace(",", "."))
+            if tag == "enus":
+                return to_dec(t.replace(",", ""))
+            if tag == "comma":
+                return to_dec(t.replace(",", "."))
+            if tag == "strip_dot":
+                return to_dec(t.replace(".", ""))
+            if tag == "strip_comma":
+                return to_dec(t.replace(",", ""))
+            return to_dec(t)
+    fb = re.sub("[^0-9,.-]", "", s).replace(".", "").replace(",", ".")
+    return to_dec(fb)
+
+
+# ---------------------------------------------------------------------------
+# input grammars
+# ---------------------------------------------------------------------------
+
+_dates = st.dates(dt.date(1, 1, 1), dt.date(9999, 12, 31))
+
+date_strings = st.one_of(
+    _dates.map(lambda d: d.strftime("%d/%m/%Y")),
+    _dates.map(lambda d: d.strftime("%d/%m/%Y 13:45:12")),
+    _dates.map(lambda d: d.strftime("%d-%m-%Y")),
+    _dates.map(lambda d: d.strftime("%Y-%m-%d")),
+    _dates.map(lambda d: d.strftime("%Y-%m-%dT08:30")),
+    _dates.map(lambda d: d.strftime("%Y%m%d")),
+    st.sampled_from(list(cl.DATE_SENTINELS)),
+    st.sampled_from(["31/02/2024", "99/99/9999", "2024-13-45", "garbage"]),
+    st.text(st.characters(codec="ascii"), max_size=12),
+)
+
+decimal_strings = st.one_of(
+    st.decimals(
+        min_value=-999_999, max_value=999_999, places=2, allow_nan=False
+    ).map(lambda d: str(d)),
+    st.decimals(min_value=0, max_value=999_999, places=2).map(
+        lambda d: str(d).replace(".", ",")
+    ),
+    st.integers(-10**8, 10**8).map(str),
+    st.sampled_from(["1.234,56", "1,234.56", "1.234", "1,234", "R$ 12,50",
+                     "12 un", "", "  ", "-", "1-2", "1.2.3,4"]),
+    st.text(st.characters(codec="ascii"), max_size=10),
+)
+
+key_strings = st.one_of(
+    st.text(st.characters(codec="ascii"), max_size=50),
+    st.integers(0, 10**44).map(lambda n: str(n).zfill(44)),
+    st.integers(0, 10**43).map(lambda n: str(n).zfill(43)),
+    st.integers(0, 10**20).map(lambda n: f"{n:025d}.{n % 10**19:019d}"),
+)
+
+
+def _run_column(spark, values, col_builder, out_type):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [
+        r["o"] for r in df.select(col_builder(F.col("s")).cast(out_type).alias("o")).collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(date_strings, min_size=1, max_size=80))
+def test_parse_date_matches_model(spark, values):
+    got = _run_column(spark, values, cl.parse_date_multi, "date")
+    want = [model_parse_date(v) for v in values]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(decimal_strings, min_size=1, max_size=80))
+def test_parse_decimal_matches_model(spark, values):
+    got = _run_column(
+        spark, values, lambda c: cl.parse_decimal(c, 15, 2), "decimal(15,2)"
+    )
+    want = [model_parse_decimal(v, 15, 2) for v in values]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(key_strings, min_size=1, max_size=80))
+def test_nfe_key_matches_model(spark, values):
+    got = _run_column(spark, values, cl.nfe_key_44, "string")
+    assert got == [model_nfe_key(v) for v in values]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(max_size=10), min_size=1, max_size=80))
+def test_uf_matches_model(spark, values):
+    got = _run_column(spark, values, cl.clean_uf, "string")
+    assert got == [model_uf(v) for v in values]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(st.characters(codec="ascii"), max_size=15),
+                min_size=1, max_size=80))
+def test_digits_to_int_matches_model(spark, values):
+    got = _run_column(spark, values, cl.digits_to_int, "int")
+    assert got == [model_digits_to_int(v) for v in values]

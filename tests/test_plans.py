@@ -146,3 +146,59 @@ def test_no_collect_in_operator_modules():
         if ".collect()" in text or ".toPandas()" in text:
             offenders.append(f.name)
     assert offenders == []
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """Salted aggregation: first shuffle on (key, salt) — uniform —
+    then a tiny shuffle on key; never a single hot-key reducer."""
+    df = q.QUERIES["g_salted_agg_skew"](spark, SF)
+    p = plan(df)
+    assert "__salt" in p  # stage 1 groups on the salted key
+    assert n_exchanges(p) == 2
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates the join: the
+    plan has NO shuffle exchange (SURVEY §4.3's pre-partitioning
+    lever; at 100 TB this is the bronze/DW layout decision)."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # external paths under tmp so nothing lands in ./spark-warehouse
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", str(tmp_path / "b_orders"))
+      .mode("overwrite").saveAsTable("b_orders"))
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", str(tmp_path / "b_customer"))
+      .mode("overwrite").saveAsTable("b_customer"))
+    # disable auto-broadcast: at sf0.001 customer broadcasts, which is
+    # also shuffle-free but hides the bucketing effect under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_part = p.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in p
+    # no shuffle between the scans and the join — bucketing provides
+    # the partitioning
+    pre_join = p[p.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning(o_custkey" not in pre_join
+    assert "Exchange hashpartitioning(c_custkey" not in pre_join
+    # sanity: result matches the plain join
+    plain = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))

@@ -35,6 +35,9 @@ HEADLINE = [
     "d_exact_dedup_survivors",
     "d_minhash_lsh_near_dup",
     "v_cosine_topk_bruteforce",
+    "v_ivf_ann_topk",
+    "a_asof_join_backward",
+    "s_sessionize_batch",
 ]
 
 

@@ -133,29 +133,138 @@ def srp_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only same-SRP-bucket pairs. Approximate —
-    misses neighbors hashed to other buckets (recall grows as
-    n_planes shrinks or with multi-probe). Same output shape as
-    :func:`cosine_topk`."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-        srp_signature(F.col(vec_col), n_planes, seed).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        srp_signature(F.col(vec_col), n_planes, seed).alias("bucket"),
-    )
+    single-table recall is bounded by the per-plane collision
+    probability, so production setups run ``n_tables`` independent
+    hash tables (different seeds) and union the candidates: recall
+    1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
+    output shape as :func:`cosine_topk`."""
+
+    def side(df, out_id, vec_alias, table_idx):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            as_double(F.col(vec_col)).alias(vec_alias),
+            srp_signature(
+                F.col(vec_col), n_planes, seed + 7919 * table_idx
+            ).alias("bucket"),
+            F.lit(table_idx).alias("table_idx"),
+        )
+
+    q = side(queries, "query_id", "qv", 0)
+    c = side(corpus, "neighbor_id", "cv", 0)
+    for t in range(1, n_tables):
+        q = q.unionAll(side(queries, "query_id", "qv", t))
+        c = c.unionAll(side(corpus, "neighbor_id", "cv", t))
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["bucket", "table_idx"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("qv"), F.col("cv")).alias("sim_full"),
         )
+        .distinct()  # pairs meeting in several tables dedup here
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_full", 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + cell probing
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids
+    (by dot product — centroids are expected L2-normalized).
+
+    The centroid list is tiny (hundreds) and travels as a literal
+    array — evaluated JVM-side per row, no join, no UDF. Output adds
+    ``cell`` (exploded when nprobe > 1)."""
+    cent = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
+        ]
+    )
+    v = as_double(F.col(vec_col))
+    scored = F.transform(
+        cent, lambda c, i: F.struct(dot(v, c).alias("score"), i.alias("cell"))
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return df.withColumn("cell", F.explode(F.transform(top, lambda s: s.cell)))
+
+
+def train_centroids_sample(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse "training": take k spread-out sample
+    vectors as centroids (id striding — a stand-in for k-means that
+    keeps runs reproducible; at 100 TB run a few Lloyd iterations on a
+    sample with the same assign/avg operators)."""
+    import math
+
+    n = df.count()
+    stride = max(n // k, 1)
+    rows = (
+        df.where((F.col(id_col) % stride == 0))
+        .orderBy(id_col)
+        .limit(k)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    out = []
+    for r in rows:
+        vec = r["v"]
+        nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        out.append([x / nrm for x in vec])
+    return out
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus partitioned into centroid cells once;
+    each query scores only its ``nprobe`` probed cells. Candidate cost
+    ~ nprobe/k_cells of the corpus — the inverted-file scale path
+    (recall tunable via nprobe)."""
+    q = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        centroids, vec_col, nprobe,
+    ).select("query_id", as_double(F.col(vec_col)).alias("qv"), "cell")
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        centroids, vec_col, nprobe=1,
+    ).select("neighbor_id", as_double(F.col(vec_col)).alias("cv"), "cell")
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim_full")
+        )
+        .distinct()  # a pair can meet in several probed cells
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("neighbor_id").asc()

@@ -72,6 +72,18 @@ def v_srp_ann_topk(spark, sf_dir):
     return sim.srp_topk(e.where(F.col("vec_id") < 100), e, k=5, n_planes=6)
 
 
+@query("v_ivf_ann_topk")  # rows-only (IVF cell assignment is engine-side)
+def v_ivf_ann_topk(spark, sf_dir):
+    """Inverted-file ANN: deterministic coarse centroids, corpus
+    bucketed by cell, queries probe 2 cells — candidate cost
+    ~ 2/16 of the corpus per query."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = sim.train_centroids_sample(e, k=16)
+    return sim.ivf_topk(
+        e.where(F.col("vec_id") < 100), e, cents, k=5, nprobe=2
+    )
+
+
 @query("v_embedding_near_dup")  # rows-only (engine-specific hash buckets)
 def v_embedding_near_dup(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")

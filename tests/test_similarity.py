@@ -1,0 +1,64 @@
+"""Similarity-search quality tests: ANN recall against the exact
+brute-force baseline (the property that matters for approximate
+indexes — plan shape alone doesn't prove usefulness)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sftp_data_ingestion_spark.ext import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_top5(spark, emb):
+    out = sim.cosine_topk(emb.where(F.col("vec_id") < 60), emb, k=5)
+    return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+
+def _recall(approx_df, exact_pairs):
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    return len(got & exact_pairs) / len(exact_pairs)
+
+
+def test_brute_force_topk_shape(spark, emb, exact_top5):
+    assert len(exact_top5) == 60 * 5
+    # self never appears as its own neighbor
+    assert all(q != n for q, n in exact_top5)
+
+
+def test_ivf_recall_improves_with_nprobe(spark, emb, exact_top5):
+    cents = sim.train_centroids_sample(emb, k=8)
+    queries = emb.where(F.col("vec_id") < 60)
+    r1 = _recall(sim.ivf_topk(queries, emb, cents, k=5, nprobe=1), exact_top5)
+    r4 = _recall(sim.ivf_topk(queries, emb, cents, k=5, nprobe=4), exact_top5)
+    r8 = _recall(sim.ivf_topk(queries, emb, cents, k=5, nprobe=8), exact_top5)
+    assert r4 >= r1
+    assert r8 >= r4
+    assert r8 > 0.9  # probing every cell = exhaustive -> ~exact
+    assert r1 > 0.1  # single cell still finds a usable share
+
+
+def test_srp_multi_table_recall(spark, emb, exact_top5):
+    queries = emb.where(F.col("vec_id") < 60)
+    r1 = _recall(sim.srp_topk(queries, emb, k=5, n_planes=4), exact_top5)
+    r4 = _recall(
+        sim.srp_topk(queries, emb, k=5, n_planes=4, n_tables=4), exact_top5
+    )
+    assert r4 > r1  # independent tables union candidates -> recall up
+    assert r4 > 0.25
+
+
+def test_ivf_deterministic(spark, emb):
+    cents1 = sim.train_centroids_sample(emb, k=8)
+    cents2 = sim.train_centroids_sample(emb, k=8)
+    assert cents1 == cents2
+    q = emb.where(F.col("vec_id") < 20)
+    a = sorted(map(tuple, sim.ivf_topk(q, emb, cents1, k=3).collect()))
+    b = sorted(map(tuple, sim.ivf_topk(q, emb, cents2, k=3).collect()))
+    assert a == b

@@ -25,6 +25,20 @@ from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 
+def _batch_already_archived(
+    spark: SparkSession, hist_path: str, batch_id: str
+) -> bool:
+    """Pushed-down point lookup on the lineage column (column-pruned;
+    with hist partitioned by batch_id this is partition pruning)."""
+    try:
+        hist = spark.read.parquet(hist_path)
+    except Exception:  # noqa: BLE001 — first archive: no hist yet
+        return False
+    return (
+        hist.where(F.col("batch_id") == batch_id).limit(1).count() > 0
+    )
+
+
 def move_to_archive(
     spark: SparkSession,
     staging_path: str,
@@ -59,6 +73,15 @@ def move_to_archive(
                 )
         staging = spark.read.parquet(staging_path)
         bid = batch_id or str(uuid.uuid4())
+        # Idempotency gate: a crash after the hist append but before
+        # the staging truncate leaves the batch already archived; a
+        # retry with the SAME batch_id must not duplicate it. (The
+        # full transactional story is Delta's — SURVEY §2.10 — this
+        # gate gives exactly-once per batch_id on plain parquet.)
+        if batch_id is not None and _batch_already_archived(spark, hist_path, bid):
+            empty = spark.createDataFrame([], staging.schema)
+            empty.write.mode("overwrite").parquet(staging_path)
+            return {"moved": 0, "batch_id_rows": 0}
         obs = Observation("archive_counts")
         stamped = (
             staging.withColumn("processed_ts", F.current_timestamp())

@@ -332,3 +332,26 @@ def test_pipeline_batch_split_associativity(spark):
                             default_insercao=fixed),
         _stg_rows(spark, [newer]), default_insercao=fixed)
     assert sorted(map(str, one.collect())) == sorted(map(str, two.collect()))
+
+
+def test_archive_rerun_same_batch_id_is_idempotent(spark, tmp_path):
+    """Crash-retry semantics: hist append landed but staging was not
+    cleared -> retry with the same batch_id must not duplicate rows."""
+    staging = str(tmp_path / "staging")
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame([("a",), ("b",)], "v string").write.parquet(staging)
+    res1 = move_to_archive(spark, staging, hist, batch_id="B1")
+    assert res1["moved"] == 2
+    # simulate the crash window: staging still holds the batch
+    spark.createDataFrame([("a",), ("b",)], "v string").write.mode(
+        "overwrite").parquet(staging)
+    res2 = move_to_archive(spark, staging, hist, batch_id="B1")
+    assert res2["moved"] == 0                       # gate fired
+    assert spark.read.parquet(hist).count() == 2    # no duplicates
+    assert spark.read.parquet(staging).count() == 0  # staging cleared
+    # a NEW batch id archives normally
+    spark.createDataFrame([("c",)], "v string").write.mode(
+        "overwrite").parquet(staging)
+    res3 = move_to_archive(spark, staging, hist, batch_id="B2")
+    assert res3["moved"] == 1
+    assert spark.read.parquet(hist).count() == 3

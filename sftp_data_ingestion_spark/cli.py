@@ -1,0 +1,164 @@
+"""Pipeline CLI — the engine's equivalent of the reference's four cron
+scripts (``python/01..04`` in the reference; README.md:107-110 runs
+them 5 minutes apart). One command per stage plus ``run-all``:
+
+    python -m sftp_data_ingestion_spark ingest  --source DIR --landing DIR
+    python -m sftp_data_ingestion_spark load    --landing DIR --warehouse DIR
+    python -m sftp_data_ingestion_spark upsert  --warehouse DIR
+    python -m sftp_data_ingestion_spark archive --warehouse DIR
+    python -m sftp_data_ingestion_spark run-all --source DIR --landing DIR --warehouse DIR
+
+Warehouse layout (all under --warehouse):
+    bronze/   all-string staging rows (S8)
+    dw/       typed fact table, one row per chave_nfe (U1)
+    hist/     archived staging rows + lineage (A1/A2)
+    ledger/   processed-file ledger (S10)
+    lidos/ erros/   routed file copies (S9)
+
+The DW rewrite is crash-safe via write-to-temp + directory swap; the
+archive is idempotent per batch_id (see operators/archive.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+from sftp_data_ingestion_spark.session import get_spark
+
+
+def _paths(warehouse: str) -> dict[str, str]:
+    return {
+        name: os.path.join(warehouse, name)
+        for name in ("bronze", "dw", "hist", "ledger", "lidos", "erros")
+    }
+
+
+def cmd_ingest(spark: SparkSession, args) -> dict:
+    from sftp_data_ingestion_spark.io.sources import (
+        LocalDirSource,
+        RetryingFetcher,
+    )
+
+    source = LocalDirSource(args.source)
+    return RetryingFetcher(source).ingest(args.landing)
+
+
+def cmd_load(spark: SparkSession, args) -> dict:
+    from sftp_data_ingestion_spark.io.stage import load_stage
+
+    p = _paths(args.warehouse)
+    return load_stage(
+        spark,
+        novos_dir=args.landing,
+        bronze_path=p["bronze"],
+        lidos_dir=p["lidos"],
+        erros_dir=p["erros"],
+        ledger_path=p["ledger"],
+    )
+
+
+def cmd_upsert(spark: SparkSession, args) -> dict:
+    from pyspark.sql.utils import AnalysisException
+
+    from sftp_data_ingestion_spark.operators.clean import clean_staging
+    from sftp_data_ingestion_spark.operators.pipeline import (
+        run_upsert_pipeline,
+    )
+
+    p = _paths(args.warehouse)
+    try:
+        staging = spark.read.parquet(p["bronze"])
+    except AnalysisException:
+        return {"upserted": 0, "reason": "no bronze data"}
+    try:
+        dw = spark.read.parquet(p["dw"])
+    except AnalysisException:
+        dw = clean_staging(staging).limit(0)
+
+    new_dw = run_upsert_pipeline(dw, staging)
+    # crash-safe rewrite: full result to a temp dir, then swap (the
+    # Delta MERGE equivalent on plain parquet)
+    tmp = p["dw"] + ".tmp"
+    new_dw.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = p["dw"] + ".old"
+    if os.path.exists(p["dw"]):
+        os.rename(p["dw"], old)
+    os.rename(tmp, p["dw"])
+    shutil.rmtree(old, ignore_errors=True)
+    # the swap happened behind Spark's back — drop the cached file
+    # listing so same-session readers see the new files
+    spark.catalog.refreshByPath(p["dw"])
+    return {"dw_rows": n}
+
+
+def cmd_archive(spark: SparkSession, args) -> dict:
+    from pyspark.sql.utils import AnalysisException
+
+    from sftp_data_ingestion_spark.operators.archive import move_to_archive
+
+    p = _paths(args.warehouse)
+    try:
+        spark.read.parquet(p["bronze"])
+    except AnalysisException:
+        return {"moved": 0, "reason": "no bronze data"}
+    return move_to_archive(
+        spark,
+        staging_path=p["bronze"],
+        hist_path=p["hist"],
+        batch_id=args.batch_id or str(uuid.uuid4()),
+        lock_dir=args.warehouse,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sftp_data_ingestion_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, *, source=False, landing=False, warehouse=False):
+        if source:
+            p.add_argument("--source", required=True, help="remote dir (SFTP stand-in)")
+        if landing:
+            p.add_argument("--landing", required=True, help="landing (novos) dir")
+        if warehouse:
+            p.add_argument("--warehouse", required=True, help="warehouse root dir")
+
+    common(sub.add_parser("ingest"), source=True, landing=True)
+    common(sub.add_parser("load"), landing=True, warehouse=True)
+    common(sub.add_parser("upsert"), warehouse=True)
+    pa = sub.add_parser("archive")
+    common(pa, warehouse=True)
+    pa.add_argument("--batch-id", default=None)
+    pr = sub.add_parser("run-all")
+    common(pr, source=True, landing=True, warehouse=True)
+    pr.add_argument("--batch-id", default=None)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"pipeline-{args.cmd}")
+    if args.cmd == "ingest":
+        out = {"ingest": cmd_ingest(spark, args)}
+    elif args.cmd == "load":
+        out = {"load": cmd_load(spark, args)}
+    elif args.cmd == "upsert":
+        out = {"upsert": cmd_upsert(spark, args)}
+    elif args.cmd == "archive":
+        out = {"archive": cmd_archive(spark, args)}
+    else:  # run-all: the four stages in cron order, one process
+        out = {
+            "ingest": cmd_ingest(spark, args),
+            "load": cmd_load(spark, args),
+            "upsert": cmd_upsert(spark, args),
+            "archive": cmd_archive(spark, args),
+        }
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13,3 +13,14 @@ from sftp_data_ingestion_spark.operators.pipeline import (  # noqa: F401
     run_upsert_pipeline,
     staging_to_delta,
 )
+from sftp_data_ingestion_spark.operators.backfill import (  # noqa: F401
+    demote_typed_to_staging,
+)
+from sftp_data_ingestion_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join_overlap,
+)
+from sftp_data_ingestion_spark.operators.skew import (  # noqa: F401
+    salted_count_sum,
+    salted_join_hot_keys,
+)

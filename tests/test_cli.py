@@ -1,0 +1,90 @@
+"""Golden end-to-end test (SURVEY §5.2(3)): the four-stage pipeline
+through the CLI — ingest -> load -> upsert -> archive — on dirty
+reference-shaped CSVs, plus full-idempotency on rerun."""
+
+import datetime as dt
+from decimal import Decimal
+
+from sftp_data_ingestion_spark.cli import main
+
+HDR = ("ID;Data Inserção;Pedido;Data Nfe;Valor Nfe;Peso;Qtd. Volumes;UF;"
+       "Chave NFe;Data Última Ocr.;Status Prazo")
+K1, K2 = "1" * 44, "2" * 44
+
+
+def _setup_remote(tmp_path):
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "pedidos_1.csv").write_text(
+        f"{HDR}\n"
+        f"1;02/01/2024 10:00:00;P-1;25/12/2024;1.234,56;12,345;3 un; sp ;{K1};05/01/2024 08:00:00;NO PRAZO\n"
+        f"2;02/01/2024 10:00:00;P-2;26/12/2024;999,99;1,5;1;RJ;{K2};06/01/2024 09:30:00;ATRASADO\n"
+        f"3;02/01/2024 10:00:00;P-3;;;;;XX-BAD;BADKEY;;\n",
+        encoding="utf-8",
+    )
+    (remote / "pedidos_2.csv").write_text(
+        f"{HDR}\n"
+        f"9;03/01/2024 11:00:00;P-1-upd;25/12/2024;1.234,56;12,345;3;SP;{K1};07/01/2024 10:00:00;ENTREGUE\n",
+        encoding="utf-8",
+    )
+    return remote
+
+
+def test_four_stage_golden_run(spark, tmp_path):
+    remote = _setup_remote(tmp_path)
+    argv = [
+        "run-all",
+        "--source", str(remote),
+        "--landing", str(tmp_path / "novos"),
+        "--warehouse", str(tmp_path / "wh"),
+    ]
+    assert main(argv) == 0
+
+    dw = spark.read.parquet(str(tmp_path / "wh" / "dw"))
+    rows = {r["chave_nfe"]: r.asDict() for r in dw.collect()}
+    assert set(rows) == {K1, K2}  # BADKEY row excluded from DW
+
+    r1 = rows[K1]
+    assert r1["pedido"] == "P-1-upd"          # newer occurrence won
+    assert r1["status_prazo"] == "ENTREGUE"
+    assert r1["valor_nfe"] == Decimal("1234.56")   # pt-BR decimal
+    assert r1["peso"] == Decimal("12.345")
+    assert r1["qtd_volumes"] == 3                  # "3 un" -> 3
+    assert r1["uf"] == "SP"
+    assert r1["data_nfe"] == dt.date(2024, 12, 25)
+    assert r1["data_ultima_ocr"] == dt.datetime(2024, 1, 7, 10, 0)
+    assert rows[K2]["uf"] == "RJ"
+
+    hist = spark.read.parquet(str(tmp_path / "wh" / "hist"))
+    assert hist.count() == 4                  # ALL rows archived (P4:
+    assert spark.read.parquet(               # bad keys reach hist)
+        str(tmp_path / "wh" / "bronze")).count() == 0
+
+    # full-pipeline idempotency: rerun with no new remote files
+    # (materialize BEFORE the rerun — the upsert swap replaces the
+    # files the old DataFrame references)
+    before = sorted(map(str, dw.collect()))
+    assert main(argv) == 0
+    dw2 = spark.read.parquet(str(tmp_path / "wh" / "dw"))
+    assert sorted(map(str, dw2.collect())) == before
+    assert spark.read.parquet(str(tmp_path / "wh" / "hist")).count() == 4
+
+
+def test_stage_commands_individually(spark, tmp_path):
+    remote = _setup_remote(tmp_path)
+    landing = str(tmp_path / "novos")
+    wh = str(tmp_path / "wh")
+    assert main(["ingest", "--source", str(remote), "--landing", landing]) == 0
+    assert main(["load", "--landing", landing, "--warehouse", wh]) == 0
+    assert main(["upsert", "--warehouse", wh]) == 0
+    assert main(["archive", "--warehouse", wh, "--batch-id", "T1"]) == 0
+    assert spark.read.parquet(f"{wh}/dw").count() == 2
+    hist = spark.read.parquet(f"{wh}/hist")
+    assert hist.where("batch_id = 'T1'").count() == 4
+    # archive retry with the same batch id: idempotent
+    assert main(["archive", "--warehouse", wh, "--batch-id", "T1"]) == 0
+    assert spark.read.parquet(f"{wh}/hist").count() == 4
+
+
+def test_upsert_without_bronze_is_noop(tmp_path):
+    assert main(["upsert", "--warehouse", str(tmp_path / "empty_wh")]) == 0

@@ -46,6 +46,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _pair_sim(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """Pair cosine with PRE-computed per-side norms. Bit-identical to
+    :func:`cosine` (same ``dot / (n_a * n_b)`` arithmetic, and a
+    vector's norm is a deterministic fold), but the norms are computed
+    once per input row below the join instead of once per PAIR above
+    it — 3 HOF dot-products per pair drop to 1. At 100 TB the pair
+    count dwarfs the row count, so this is the dominant ANN cost."""
+    return dot(qv, cv) / (qn * cn)
+
+
+def _norm_side(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str, out_norm: str
+) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id), v.alias(out_vec), norm(v).alias(out_norm)
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -57,19 +76,17 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, sim) with rank <= k, sim rounded
     to 6 dp AFTER ranking (ranking uses full precision)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn")
+    c = _norm_side(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim_full"),
+            _pair_sim(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim_full"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -142,28 +159,32 @@ def srp_topk(
     1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
     output shape as :func:`cosine_topk`."""
 
-    def side(df, out_id, vec_alias, table_idx):
+    def side(df, out_id, vec_alias, norm_alias, table_idx):
+        v = as_double(F.col(vec_col))
         return df.select(
             F.col(id_col).alias(out_id),
-            as_double(F.col(vec_col)).alias(vec_alias),
+            v.alias(vec_alias),
+            norm(v).alias(norm_alias),
             srp_signature(
                 F.col(vec_col), n_planes, seed + 7919 * table_idx
             ).alias("bucket"),
             F.lit(table_idx).alias("table_idx"),
         )
 
-    q = side(queries, "query_id", "qv", 0)
-    c = side(corpus, "neighbor_id", "cv", 0)
+    q = side(queries, "query_id", "qv", "qn", 0)
+    c = side(corpus, "neighbor_id", "cv", "cn", 0)
     for t in range(1, n_tables):
-        q = q.unionAll(side(queries, "query_id", "qv", t))
-        c = c.unionAll(side(corpus, "neighbor_id", "cv", t))
+        q = q.unionAll(side(queries, "query_id", "qv", "qn", t))
+        c = c.unionAll(side(corpus, "neighbor_id", "cv", "cn", t))
     scored = (
         q.join(c, ["bucket", "table_idx"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim_full"),
+            _pair_sim(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim_full"),
         )
         .distinct()  # pairs meeting in several tables dedup here
     )
@@ -250,19 +271,24 @@ def ivf_topk(
     each query scores only its ``nprobe`` probed cells. Candidate cost
     ~ nprobe/k_cells of the corpus — the inverted-file scale path
     (recall tunable via nprobe)."""
+    qv = as_double(F.col(vec_col))
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         centroids, vec_col, nprobe,
-    ).select("query_id", as_double(F.col(vec_col)).alias("qv"), "cell")
+    ).select("query_id", qv.alias("qv"), norm(qv).alias("qn"), "cell")
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         centroids, vec_col, nprobe=1,
-    ).select("neighbor_id", as_double(F.col(vec_col)).alias("cv"), "cell")
+    ).select("neighbor_id", qv.alias("cv"), norm(qv).alias("cn"), "cell")
     scored = (
         q.join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim_full")
+            "query_id",
+            "neighbor_id",
+            _pair_sim(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("sim_full"),
         )
         .distinct()  # a pair can meet in several probed cells
     )
@@ -286,9 +312,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets (the
     embedding-space analogue of MinHash near-dup)."""
+    v = as_double(F.col(vec_col))
     sig = df.select(
         F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
+        v.alias("v"),
+        norm(v).alias("n"),
         srp_signature(F.col(vec_col), n_planes, seed).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -301,7 +329,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            F.round(
+                _pair_sim(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )

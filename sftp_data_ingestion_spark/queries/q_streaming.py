@@ -1,0 +1,149 @@
+"""Streaming-engine queries for the driver contract.
+
+Each query drives a genuine Structured Streaming micro-batch execution
+(file source -> stateful operator -> memory sink, drained with
+``processAllAvailable``) and returns the sink table, so the driver's
+CORRECTNESS gate grades the *streaming* engine — watermarked windowed
+aggregation, session windows, streaming dedup, and the custom
+GroupState operator — not a batch re-expression. Oracles are the
+equivalent batch SQL: with the full fixture drained, the streaming
+result must converge to the batch answer (complete/update output
+modes; nothing is dropped because the data is a single micro-batch).
+
+Reference parity: the reference's "streaming" is a 2-hourly cron
+micro-batch (``/root/reference/README.md:107-110``); these queries are
+the Structured Streaming form of the same incremental operators
+(SURVEY §2.11 streaming row).
+
+Scale notes: the file source checkpoint bounds re-listing to new
+files; watermarks bound window/dedup state; ``applyInPandasWithState``
+keeps one row per key. On a cluster the same code runs with a RocksDB
+state store and kafka/file sources — nothing here is local-mode-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sftp_data_ingestion_spark import streaming as st
+from sftp_data_ingestion_spark.queries.registry import query
+
+_run_seq = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The file source requires a directory; the fixture is a single
+    parquet file, so it is symlinked into a scratch dir (zero-copy).
+    ``ts`` is parquet TIMESTAMP(NANOS) read as a nanos long
+    (``nanosAsLong``) and truncated to micros, matching the batch
+    ``registry.table`` behavior so oracles compare timestamps directly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    link_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(src, os.path.join(link_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(link_dir)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run the stream to completion into a uniquely-named memory sink."""
+    uniq = f"{name}_{next(_run_seq)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
+    return st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
+
+
+@query(
+    "st_windowed_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def st_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation, streaming engine.
+    Complete output mode: the sink holds every window, so the drained
+    result equals the batch GROUP BY — hash-checked against it."""
+    stream = st.windowed_event_counts(_events_stream(spark, sf_dir))
+    return _drain(stream, "st_win", "complete")
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS session_value
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def st_sessionize(spark, sf_dir):
+    """Gap-based session windows on the streaming engine, checked
+    against the gaps-and-islands batch SQL. Complete mode emits
+    in-flight sessions without waiting for watermark expiry."""
+    stream = st.sessionized_activity(
+        _events_stream(spark, sf_dir), gap="30 minutes"
+    )
+    return _drain(stream, "st_sess", "complete")
+
+
+@query(
+    "st_latest_per_user",
+    oracle="""
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def st_latest_per_user(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState GroupState):
+    running latest-per-key — the streaming W1/U1. Update mode with the
+    fixture drained in one micro-batch yields exactly one row per user,
+    hash-checked against the batch ranking-window SQL."""
+    stream = st.latest_event_per_user_stream(_events_stream(spark, sf_dir))
+    return _drain(stream, "st_latest", "update")
+
+
+@query(
+    "st_stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def st_stream_dedup_keys(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): which of
+    the duplicate rows survives is arrival-order-dependent, so the
+    deterministic projection — the surviving key set — is what's
+    hash-checked (one row per distinct key by construction)."""
+    stream = st.stream_dedup(
+        _events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    return _drain(stream, "st_dedup", "append").select("user_id", "event_type")

@@ -191,3 +191,18 @@ def test_sample_frames_expansion(spark, media):
     n_vids = vids.count()
     assert out.count() >= n_vids  # >= one frame per video
     assert out.where(F.col("frame_idx") == 0).count() == n_vids
+
+
+# ---- streaming queries through the driver contract ---------------------------
+
+def test_streaming_queries_registered_with_oracles(spark, sf_small):
+    from sftp_data_ingestion_spark.queries import ORACLES, QUERIES
+
+    names = ["st_windowed_counts", "st_sessionize", "st_latest_per_user",
+             "st_stream_dedup_keys"]
+    for name in names:
+        assert name in QUERIES and name in ORACLES, name
+    out = QUERIES["st_latest_per_user"](spark, sf_small)
+    n = out.count()
+    assert n > 0
+    assert out.select("user_id").distinct().count() == n  # one row per key

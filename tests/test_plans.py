@@ -40,6 +40,10 @@ def test_flagship_single_shuffle_and_pushdown(spark):
     assert "WindowGroupLimit" in p  # map-side top-1 before the shuffle
     # the NULL-key gate reaches the scan side as a pushed filter
     assert "PushedFilters" in p
+    # P4 is pushed through Window+Union into both scan branches: no
+    # all-NULL-key window partition (skew) and no shuffle of dropped rows
+    opt = optimized(df)
+    assert opt.count("Filter CASE WHEN") == 2
 
 
 def test_q1_aggregate_pushdown_and_partial_agg(spark):
@@ -138,9 +142,11 @@ def test_no_collect_in_operator_modules():
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1] / "sftp_data_ingestion_spark"
-    # legitimate driver-side collects: io/stage file bookkeeping and
-    # IVF coarse-centroid training (k vectors to the driver by design)
-    allowed = {"stage.py", "sources.py", "similarity.py"}
+    # legitimate driver-side collects: io/stage file bookkeeping, IVF
+    # coarse-centroid training (k vectors to the driver by design), and
+    # the partitioned upsert's touched-bucket list (<= num_buckets ids)
+    allowed = {"stage.py", "sources.py", "similarity.py",
+               "upsert_partitioned.py"}
     offenders = []
     for f in root.rglob("*.py"):
         if f.name in allowed:

@@ -117,6 +117,19 @@ FROM dw o FULL JOIN delta n ON o.k = n.k
 """,
 )
 def u1_upsert_newer_wins(spark, sf_dir):
+    dw, delta = _u1_inputs(spark, sf_dir)
+    return upsert_newer_wins(
+        dw,
+        delta,
+        key="k",
+        newer_col="ocr",
+        newer_wins_cols=("ocr", "status"),
+        greatest_cols=("ins",),
+    )
+
+
+def _u1_inputs(spark, sf_dir):
+    """DataFrame twins of _DW_SQL/_DELTA_SQL (shared by both U1 paths)."""
     o = table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     dw = o.where(key % 2 == 0).select(
@@ -139,14 +152,54 @@ def u1_upsert_newer_wins(spark, sf_dir):
         F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ins"),
         F.col("o_totalprice").cast("decimal(15,2)").cast("string").alias("val"),
     )
-    return upsert_newer_wins(
-        dw,
+    return dw, delta
+
+
+@query(
+    "u1_upsert_partitioned",
+    oracle=f"""
+WITH dw AS ({_DW_SQL}), delta AS ({_DELTA_SQL})
+SELECT
+  COALESCE(o.k, n.k) AS k,
+  CASE WHEN o.k IS NULL THEN n.ocr WHEN n.k IS NULL THEN o.ocr
+       WHEN n.ocr > o.ocr THEN n.ocr ELSE o.ocr END AS ocr,
+  CASE WHEN o.k IS NULL THEN n.status WHEN n.k IS NULL THEN o.status
+       WHEN n.ocr > o.ocr THEN n.status ELSE o.status END AS status,
+  CASE WHEN o.k IS NULL THEN n.ins WHEN n.k IS NULL THEN o.ins
+       ELSE greatest(o.ins, n.ins) END AS ins,
+  CASE WHEN o.k IS NULL THEN n.val WHEN n.k IS NULL THEN o.val
+       ELSE COALESCE(n.val, o.val) END AS val
+FROM dw o FULL JOIN delta n ON o.k = n.k
+""",
+)
+def u1_upsert_partitioned(spark, sf_dir):
+    """The partition-pruned physical path for the SAME logical merge as
+    u1_upsert_newer_wins (identical oracle): materialize the DW in the
+    hash-bucket layout, merge the delta touching only its buckets, read
+    the table back. Exercises write -> prune -> merge -> swap for real
+    under the correctness gate."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.operators.upsert_partitioned import (
+        read_dw,
+        upsert_partitioned,
+        write_dw_partitioned,
+    )
+
+    dw, delta = _u1_inputs(spark, sf_dir)
+    dw_path = tempfile.mkdtemp(prefix="u1_part_") + "/dw"
+    write_dw_partitioned(dw, dw_path, key="k", num_buckets=16)
+    upsert_partitioned(
+        spark,
+        dw_path,
         delta,
         key="k",
         newer_col="ocr",
         newer_wins_cols=("ocr", "status"),
         greatest_cols=("ins",),
+        num_buckets=16,
     )
+    return read_dw(spark, dw_path)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,8 @@ def cmd_upsert(spark: SparkSession, args) -> dict:
         staging = spark.read.parquet(p["bronze"])
     except AnalysisException:
         return {"upserted": 0, "reason": "no bronze data"}
+    if getattr(args, "buckets", None):
+        return _upsert_bucketed(spark, p, staging, args.buckets)
     try:
         dw = spark.read.parquet(p["dw"])
     except AnalysisException:
@@ -96,6 +98,43 @@ def cmd_upsert(spark: SparkSession, args) -> dict:
     # listing so same-session readers see the new files
     spark.catalog.refreshByPath(p["dw"])
     return {"dw_rows": n}
+
+
+def _upsert_bucketed(spark: SparkSession, p: dict, staging, buckets: int) -> dict:
+    """--buckets N: the partition-pruned scale path. First run lays the
+    DW out hash-bucketed; later runs rewrite only the buckets the batch
+    touches (O(affected buckets), not O(DW))."""
+    from sftp_data_ingestion_spark.operators.pipeline import staging_to_delta
+    from sftp_data_ingestion_spark.operators.upsert_partitioned import (
+        BUCKET_COL,
+        upsert_partitioned,
+        write_dw_partitioned,
+    )
+    from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS
+
+    delta = staging_to_delta(staging)
+    if not os.path.exists(p["dw"]):
+        write_dw_partitioned(
+            delta, p["dw"], key="chave_nfe", num_buckets=buckets
+        )
+        return {"dw_rows": spark.read.parquet(p["dw"]).count(),
+                "bootstrap": True, "buckets": buckets}
+    if not any(
+        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(p["dw"])
+    ):
+        return {"error": f"{p['dw']} is not a bucketed layout; "
+                         "run without --buckets or migrate first"}
+    metrics = upsert_partitioned(
+        spark,
+        p["dw"],
+        delta,
+        key="chave_nfe",
+        newer_col="data_ultima_ocr",
+        newer_wins_cols=NEWER_WINS_COLS,
+        greatest_cols=("data_insercao",),
+        num_buckets=buckets,
+    )
+    return {"buckets": buckets, **metrics}
 
 
 def cmd_archive(spark: SparkSession, args) -> dict:
@@ -131,7 +170,13 @@ def main(argv: list[str] | None = None) -> int:
 
     common(sub.add_parser("ingest"), source=True, landing=True)
     common(sub.add_parser("load"), landing=True, warehouse=True)
-    common(sub.add_parser("upsert"), warehouse=True)
+    pu = sub.add_parser("upsert")
+    common(pu, warehouse=True)
+    pu.add_argument(
+        "--buckets", type=int, default=None,
+        help="use the hash-bucketed DW layout with N buckets "
+             "(partition-pruned merges)",
+    )
     pa = sub.add_parser("archive")
     common(pa, warehouse=True)
     pa.add_argument("--batch-id", default=None)

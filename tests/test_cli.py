@@ -88,3 +88,25 @@ def test_stage_commands_individually(spark, tmp_path):
 
 def test_upsert_without_bronze_is_noop(tmp_path):
     assert main(["upsert", "--warehouse", str(tmp_path / "empty_wh")]) == 0
+
+
+def test_upsert_bucketed_path(spark, tmp_path):
+    import os
+
+    remote = _setup_remote(tmp_path)
+    landing = str(tmp_path / "novos")
+    wh = str(tmp_path / "wh")
+    assert main(["ingest", "--source", str(remote), "--landing", landing]) == 0
+    assert main(["load", "--landing", landing, "--warehouse", wh]) == 0
+    # bootstrap lays out the bucketed DW
+    assert main(["upsert", "--warehouse", wh, "--buckets", "8"]) == 0
+    dw_dir = f"{wh}/dw"
+    assert any(e.startswith("dw_bucket=") for e in os.listdir(dw_dir))
+    dw = spark.read.parquet(dw_dir)
+    assert dw.drop("dw_bucket").count() == 2      # same DW as plain path
+    # second run merges through the pruned path and stays idempotent
+    assert main(["upsert", "--warehouse", wh, "--buckets", "8"]) == 0
+    spark.catalog.refreshByPath(dw_dir)
+    dw2 = {r["chave_nfe"]: r["pedido"]
+           for r in spark.read.parquet(dw_dir).collect()}
+    assert dw2[K1] == "P-1-upd" and len(dw2) == 2

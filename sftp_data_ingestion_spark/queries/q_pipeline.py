@@ -443,3 +443,100 @@ def pedidos_pipeline_flagship(spark, sf_dir):
         staging,
         default_insercao=F.lit("2020-01-01 00:00:00").cast("timestamp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S6a-d — robust CSV round-trip under the oracle
+# ---------------------------------------------------------------------------
+
+_S6_HDR = ("ID;Data Inserção;Pedido;Data Nfe;Valor Nfe;Peso;Qtd. Volumes;"
+           "UF;Chave NFe;Data Última Ocr.;Status Prazo")
+
+
+@query(
+    "s6_robust_csv_roundtrip",
+    oracle="""
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       '02/01/2024 10:00:00' AS data_insercao,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'P;' || CAST(o_orderkey AS VARCHAR)
+            ELSE 'P-' || CAST(o_orderkey AS VARCHAR) END AS pedido,
+       strftime(o_orderdate, '%d/%m/%Y') AS data_nfe,
+       replace(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+               '.', ',') AS valor_nfe,
+       '1,5' AS peso,
+       CAST(o_orderkey % 10 AS VARCHAR) || ' vol' AS qtd_volumes,
+       'SP' AS uf,
+       lpad(CAST(o_orderkey AS VARCHAR), 44, '0') AS chave_nfe,
+       strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS data_ultima_ocr,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority || ';EXTRA'
+            ELSE o_orderpriority END AS status_prazo
+FROM orders
+""",
+)
+def s6_robust_csv_roundtrip(spark, sf_dir):
+    """S6a-d + S7 + P1/P2 under the hash oracle: derive a dirty CSV
+    from ``orders`` — quoted fields containing the separator
+    (key%13), ragged rows with an unquoted separator in the last field
+    (key%7 -> repair folds the overflow back, reference 02:150-156),
+    empty lines and all-blank ``;;;`` rows — write it, then round-trip
+    through the real plan_file -> read_csv_robust path (driver-side
+    sniff + distributed parse). The oracle states what the repaired,
+    conformed frame must contain; every quirk the reader handles is a
+    hash mismatch if mishandled."""
+    import os
+    import tempfile
+
+    from sftp_data_ingestion_spark.io.csv_robust import (
+        plan_file,
+        read_csv_robust,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    ks = key.cast("string")
+    price = F.replace(
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        F.lit("."), F.lit(","),
+    )
+    pedido = F.when(
+        key % 13 == 0, F.concat(F.lit('"P;'), ks, F.lit('"'))
+    ).otherwise(F.concat(F.lit("P-"), ks))
+    status = F.when(
+        key % 7 == 0, F.concat(F.col("o_orderpriority"), F.lit(";EXTRA"))
+    ).otherwise(F.col("o_orderpriority"))
+    data = o.select(
+        key.alias("ord"),
+        F.concat_ws(
+            ";",
+            ks, F.lit("02/01/2024 10:00:00"), pedido,
+            F.date_format("o_orderdate", "dd/MM/yyyy"), price, F.lit("1,5"),
+            F.concat((key % 10).cast("string"), F.lit(" vol")), F.lit("SP"),
+            F.lpad(ks, 44, "0"),
+            F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"),
+            status,
+        ).alias("line"),
+    )
+    hdr = spark.range(1).select(
+        F.lit(-1).cast("long").alias("ord"), F.lit(_S6_HDR).alias("line")
+    )
+    noise = spark.range(4).select(
+        (F.lit(2**62) + F.col("id")).alias("ord"),
+        F.when(F.col("id") % 2 == 0, F.lit(""))
+        .otherwise(F.lit(";;;;;;;;;;")).alias("line"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="s6_csv_") + "/data"
+    (
+        hdr.unionAll(data).unionAll(noise)
+        .repartition(1)
+        .sortWithinPartitions("ord")
+        .select("line")
+        .write.mode("overwrite").text(out_dir)
+    )
+    part = next(
+        f for f in sorted(os.listdir(out_dir)) if f.startswith("part-")
+    )
+    conformed = read_csv_robust(spark, plan_file(os.path.join(out_dir, part)))
+    return conformed.select(
+        "id", "data_insercao", "pedido", "data_nfe", "valor_nfe", "peso",
+        "qtd_volumes", "uf", "chave_nfe", "data_ultima_ocr", "status_prazo",
+    )

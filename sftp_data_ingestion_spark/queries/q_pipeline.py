@@ -517,7 +517,9 @@ def s6_robust_csv_roundtrip(spark, sf_dir):
         ).alias("line"),
     )
     hdr = spark.range(1).select(
-        F.lit(-1).cast("long").alias("ord"), F.lit(_S6_HDR).alias("line")
+        F.lit(-1).cast("long").alias("ord"),
+        # U+FEFF prefix: the file round-trips as utf-8-sig (S6d strip)
+        F.lit("﻿" + _S6_HDR).alias("line"),
     )
     noise = spark.range(4).select(
         (F.lit(2**62) + F.col("id")).alias("ord"),

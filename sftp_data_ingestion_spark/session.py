@@ -66,6 +66,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- pandas/Arrow interchange for the few vectorized UDF ops ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- HotSpot never JIT-compiles methods > 8000 bytecode
+        #    (DontCompileHugeMethods), so a whole-stage method between
+        #    8000 and Spark's 65535 default runs INTERPRETED. Capping at
+        #    the JIT limit makes wide projections (the 41-expression
+        #    cleaning cascade) fall back to per-expression codegen,
+        #    which JIT-compiles: measured 2.0x on clean_staging at
+        #    sf0.1 (6.9s -> 3.4s). ----------------------------------
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # -- local-mode memory headroom (single JVM, 32 threads) -------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")

@@ -177,7 +177,15 @@ def minhash_signatures(
     at sf0.1; the gap widens with document length). Map-side combine
     reduces the shuffle to <=64 longs per doc per partition, and a
     giant document becomes many exploded rows instead of one
-    monster-row fold — the 100 TB skew story."""
+    monster-row fold — the 100 TB skew story.
+
+    The input is fanned out on ``id_col`` first (no-op at scale): a
+    few-split scan would otherwise explode and hash every shingle on
+    one core, and hash-partitioning by id lets the signature groupBy
+    reuse the same exchange."""
+    from sftp_data_ingestion_spark.rebalance import fan_out
+
+    df = fan_out(df, id_col)
     perms = _mh_coeffs(num_hashes)
     exploded = df.select(
         F.col(id_col),

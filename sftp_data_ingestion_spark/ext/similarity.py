@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sftp_data_ingestion_spark.rebalance import fan_out
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -77,7 +79,10 @@ def cosine_topk(
     Output: (query_id, neighbor_id, sim) with rank <= k, sim rounded
     to 6 dp AFTER ranking (ranking uses full precision)."""
     q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn")
-    c = _norm_side(corpus, id_col, vec_col, "neighbor_id", "cv", "cn")
+    # fan_out: the broadcast-NL join evaluates every pair score in the
+    # corpus scan stage; a one-split corpus would serialize it (no-op
+    # at scale, where the scan has >= one split per core)
+    c = _norm_side(fan_out(corpus), id_col, vec_col, "neighbor_id", "cv", "cn")
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -171,6 +176,7 @@ def srp_topk(
             F.lit(table_idx).alias("table_idx"),
         )
 
+    corpus = fan_out(corpus)  # SRP signatures + pair scores parallelize
     q = side(queries, "query_id", "qv", "qn", 0)
     c = side(corpus, "neighbor_id", "cv", "cn", 0)
     for t in range(1, n_tables):
@@ -277,7 +283,7 @@ def ivf_topk(
         centroids, vec_col, nprobe,
     ).select("query_id", qv.alias("qv"), norm(qv).alias("qn"), "cell")
     c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
         centroids, vec_col, nprobe=1,
     ).select("neighbor_id", qv.alias("cv"), norm(qv).alias("cn"), "cell")
     scored = (
@@ -313,7 +319,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP buckets (the
     embedding-space analogue of MinHash near-dup)."""
     v = as_double(F.col(vec_col))
-    sig = df.select(
+    sig = fan_out(df).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         norm(v).alias("n"),

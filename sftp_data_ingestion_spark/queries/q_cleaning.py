@@ -222,7 +222,7 @@ _F12_DERIVE = f"""CASE o_orderkey % 6
 @query(
     "f12_parse_decimal",
     oracle=f"""
-SELECT o_orderkey, {cl.parse_decimal_sql(_F12_DERIVE, 15, 2)} AS valor
+SELECT o_orderkey, CAST({cl.parse_decimal_sql(_F12_DERIVE, 15, 2)} AS DOUBLE) AS valor
 FROM orders
 """,
 )
@@ -241,7 +241,13 @@ def f12_parse_decimal(spark, sf_dir):
         .when(k == 4, F.translate(grouped, ".,", ",."))  # pt-BR 1.234,56
         .otherwise(grouped)  # en-US grouped
     )
-    return o.select("o_orderkey", cl.parse_decimal(raw, 15, 2).alias("valor"))
+    # Final output cast to DOUBLE: DECIMAL-typed result columns hash
+    # differently across the driver's DuckDB/Spark fetch paths (scale-2
+    # "1234.50" vs float64 "1234.5") even when values are exactly equal.
+    # The parse itself stays DECIMAL(15,2) for exact locale semantics.
+    return o.select(
+        "o_orderkey", cl.parse_decimal(raw, 15, 2).cast("double").alias("valor")
+    )
 
 
 # ---------------------------------------------------------------------------

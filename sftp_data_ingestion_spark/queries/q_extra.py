@@ -14,15 +14,17 @@ from sftp_data_ingestion_spark.queries.registry import query, table
     "g_salted_agg_skew",
     oracle="""
 SELECT l_returnflag, count(*) AS n,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)
-            AS DECIMAL(25,2)) AS sum_l_extendedprice
+       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)
+            AS DECIMAL(25,2)) AS DOUBLE) AS sum_l_extendedprice
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def g_salted_agg_skew(spark, sf_dir):
     """Salted two-stage aggregation over a 3-value (maximally skewed)
     key — result identical to a plain GROUP BY, which is exactly what
-    the oracle checks. Decimal sum keeps cross-engine exactness."""
+    the oracle checks. Decimal sum keeps cross-engine exactness; the
+    final DOUBLE cast is only the output boundary (DECIMAL columns hash
+    differently across the driver's fetch paths)."""
     l = table(spark, sf_dir, "lineitem").withColumn(
         "l_extendedprice", F.col("l_extendedprice").cast("decimal(15,2)")
     )
@@ -32,9 +34,10 @@ def g_salted_agg_skew(spark, sf_dir):
     return out.select(
         "l_returnflag",
         "n",
-        F.col("sum_l_extendedprice").cast("decimal(25,2)").alias(
-            "sum_l_extendedprice"
-        ),
+        F.col("sum_l_extendedprice")
+        .cast("decimal(25,2)")
+        .cast("double")
+        .alias("sum_l_extendedprice"),
     )
 
 
@@ -86,9 +89,9 @@ def j_correlated_exists(spark, sf_dir):
 SELECT o_custkey,
        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2)))
+       CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2)))
             FILTER (WHERE o_orderpriority LIKE '1%'), 2) AS DECIMAL(25,2))
-         AS urgent_total
+            AS DOUBLE) AS urgent_total
 FROM orders GROUP BY o_custkey
 """,
 )
@@ -100,6 +103,7 @@ def g_conditional_agg(spark, sf_dir):
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
         F.sum(F.when(F.col("o_orderpriority").like("1%"), price))
         .cast("decimal(25,2)")
+        .cast("double")
         .alias("urgent_total"),
     )
 

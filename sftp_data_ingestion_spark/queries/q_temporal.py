@@ -160,14 +160,14 @@ def p_pivot_status_by_priority(spark, sf_dir):
     "w_running_frames",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS DECIMAL(18,2)) AS running_total,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+         AS DECIMAL(18,2)) AS DOUBLE) AS running_total,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-         AS DECIMAL(18,2)) AS moving_sum3,
+         AS DECIMAL(18,2)) AS DOUBLE) AS moving_sum3,
        rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
                     o_orderkey) AS price_rank
 FROM orders
@@ -177,7 +177,9 @@ def w_running_frames(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # DECIMAL inside the frames: float prefix sums land on round-
-    # boundary ULP disagreements between engines; decimal sums are exact
+    # boundary ULP disagreements between engines; decimal sums are exact.
+    # DOUBLE only at the output boundary (DECIMAL columns hash
+    # differently across the driver's fetch paths).
     price = F.col("o_totalprice").cast("decimal(15,2)")
     return o.select(
         "o_orderkey",
@@ -185,10 +187,12 @@ def w_running_frames(spark, sf_dir):
         F.sum(price)
         .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("running_total"),
         F.sum(price)
         .over(wo.rowsBetween(-2, Window.currentRow))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("moving_sum3"),
         F.rank()
         .over(

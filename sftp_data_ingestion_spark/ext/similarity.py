@@ -241,10 +241,9 @@ def train_centroids_sample(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Deterministic coarse "training": take k spread-out sample
-    vectors as centroids (id striding — a stand-in for k-means that
-    keeps runs reproducible; at 100 TB run a few Lloyd iterations on a
-    sample with the same assign/avg operators)."""
+    """Coarse seeding: take k spread-out sample vectors as the initial
+    centroids (id striding keeps runs reproducible). Refine with
+    :func:`train_centroids_kmeans`."""
     import math
 
     n = df.count()
@@ -262,6 +261,51 @@ def train_centroids_sample(
         nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
         out.append([x / nrm for x in vec])
     return out
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    k: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Mini k-means coarse quantizer: stride-sample seeding + a few
+    Lloyd iterations built from the SAME distributed operators the
+    search path uses — ``ivf_assign`` (literal centroids, JVM-side, no
+    join) then per-(cell, dim) mean via posexplode + groupBy-avg. Each
+    iteration is one pass over the data; only k x dim floats ever
+    reach the driver. An empty cell keeps its previous centroid.
+
+    At 100 TB: run the iterations on a bounded sample (the assign/avg
+    operators are scan-shaped, so a ``df.sample`` feeds in directly)."""
+    import math
+
+    cents = train_centroids_sample(df, k, vec_col, id_col)
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            df.select(id_col, vec_col), cents, vec_col, nprobe=1
+        )
+        v = as_double(F.col(vec_col))
+        rows = (
+            assigned.select("cell", F.posexplode(v).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("pairs")
+            )
+            .select("cell", F.transform("pairs", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = {r["cell"]: r["mean"] for r in rows}
+        nxt = []
+        for i in range(len(cents)):
+            vec = list(new.get(i, cents[i]))
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            nxt.append([x / nrm for x in vec])
+        cents = nxt
+    return cents
 
 
 def ivf_topk(
@@ -315,21 +359,34 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets (the
-    embedding-space analogue of MinHash near-dup)."""
+    embedding-space analogue of MinHash near-dup). ``n_tables``
+    independent hash tables (different seeds) union their candidates:
+    per-pair recall 1-(1-p^n_planes)^T for per-plane collision prob p
+    — the dial between cost and recall. Candidates are exact-rescored,
+    so precision is always exact."""
     v = as_double(F.col(vec_col))
-    sig = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        norm(v).alias("n"),
-        srp_signature(F.col(vec_col), n_planes, seed).alias("bucket"),
-    )
+    base = fan_out(df)
+    sig = None
+    for t in range(n_tables):
+        part = base.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            norm(v).alias("n"),
+            srp_signature(F.col(vec_col), n_planes, seed + 7919 * t).alias(
+                "bucket"
+            ),
+            F.lit(t).alias("table_idx"),
+        )
+        sig = part if sig is None else sig.unionAll(part)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -341,4 +398,5 @@ def embedding_near_dup_pairs(
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
+        .distinct()  # pairs meeting in several tables dedup here
     )

@@ -92,11 +92,43 @@ def quality_score(text: Column) -> Column:
 
 
 def fingerprint(text: Column, normalize: bool = True) -> Column:
-    """Deterministic 64-bit document fingerprint (rolling-hash stand-in):
-    xxhash64 over the normalized text. Not SQL-portable (engine-specific
-    hash) — oracle checks for it are rows-only."""
+    """Fast 64-bit document fingerprint: xxhash64 over the normalized
+    text (the scale path — one JVM hash per row). Engine-specific; for
+    the cross-engine-gradeable variant see :func:`rolling_fingerprint`."""
     t = F.lower(F.trim(text)) if normalize else text
     return F.xxhash64(t)
+
+
+_FP_P = 2147483647  # 2^31 - 1 (Mersenne prime modulus)
+_FP_B = 131  # polynomial base
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Engine-portable polynomial rolling hash over the characters of
+    the normalized text: ``h = (h*131 + codepoint) mod (2^31-1)`` —
+    the classic Rabin-Karp fold, expressible identically in any SQL
+    dialect (see :func:`rolling_fingerprint_sql`), unlike xxhash64.
+    Intermediates stay < 2^39, so the fold is ANSI-overflow-safe."""
+    t = F.lower(F.trim(text))
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(
+            acc * _FP_B + F.coalesce(F.ascii(c), F.lit(0)), F.lit(_FP_P)
+        ),
+    )
+
+
+def rolling_fingerprint_sql(e: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint` (same fold, same
+    constants; ``list_prepend(0, ...)`` seeds the reduce)."""
+    t = f"lower(trim({e}))"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(length({t})), i -> "
+        f"CAST(unicode({t}[i+1]) AS BIGINT))), "
+        f"(a, b) -> (a * {_FP_B} + b) % {_FP_P})"
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

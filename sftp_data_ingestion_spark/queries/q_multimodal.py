@@ -45,15 +45,73 @@ def m_content_sha_dedup(spark, sf_dir):
     )
 
 
-@query("m_extract_features")  # rows-only: Python-side feature kernel
+# The fake decode kernel is deterministic sha256 arithmetic
+# (ext/multimodal.py:_fake_features: bytes -> sha256(payload || be32
+# counter) stream -> dim floats), so DuckDB can replay it: counter
+# bytes via chr(0)/chr(1) (payload = utf-8 text; the fixture is pure
+# ASCII so byte ops == char ops), each float = big-endian u32 at hex
+# offset (i%8)*8 scaled to [-1, 1) and cast FLOAT.
+_FEATURE_SQL = """list_transform(range(16), i ->
+  CAST(CAST(CAST(concat('0x', substr(
+    sha256(text || chr(0) || chr(0) || chr(0)
+                || CASE WHEN i < 8 THEN chr(0) ELSE chr(1) END),
+    (i % 8) * 8 + 1, 8)) AS UBIGINT) AS DOUBLE) / 2147483648 - 1.0
+  AS FLOAT))"""
+
+
+@query(
+    "m_extract_features",
+    oracle=f"""
+SELECT doc_id AS media_id, sha256(text) AS content_sha,
+       {_FEATURE_SQL} AS features
+FROM documents
+""",
+)
 def m_extract_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode+featurize, graded end-to-end:
+    the fake kernel is deterministic, so the oracle replays the exact
+    byte arithmetic in SQL. The real-decoder slot (PIL/libav) stays
+    env-gated in ext/multimodal.py."""
     docs = table(spark, sf_dir, "documents")
     media = mm.synthesize_media_table(docs)
     return mm.extract_features(media, dim=16)
 
 
-@query("m_sample_frames")  # rows-only: Python-side frame kernel
+@query(
+    "m_sample_frames",
+    oracle="""
+SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
+       CAST(length(substr(text, CAST(k*step + 1 AS INTEGER),
+                          CAST(step AS INTEGER))) AS INTEGER) AS frame_len,
+       sha256(substr(text, CAST(k*step + 1 AS INTEGER),
+                     CAST(step AS INTEGER))) AS frame_sha
+FROM (
+  SELECT media_id, text, step, unnest(range(n_frames)) AS k
+  FROM (
+    SELECT doc_id AS media_id, text,
+           greatest(length(text) // 600, 1) AS n_frames,
+           greatest(length(text) // greatest(length(text) // 600, 1), 1)
+             AS step
+    FROM documents WHERE doc_id % 3 = 2
+  )
+)
+""",
+)
 def m_sample_frames(spark, sf_dir):
+    """mapInPandas frame-sampling expansion (one row -> n_frames
+    rows), graded by projecting each binary frame to (length, sha256):
+    the oracle replays the slicing arithmetic — duration_ms =
+    100*len(text), n_frames = max(dur // 60000, 1), step =
+    max(len // n_frames, 1), frame k = payload[k*step:(k+1)*step] —
+    on the utf-8 text (pure-ASCII fixture: byte slices == char
+    slices). Binary payloads stay out of the graded projection only
+    because cross-engine BLOB fetch normalization is unspecified."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
     media = mm.synthesize_media_table(docs)
-    return mm.sample_frames(media, every_n=60)
+    frames = mm.sample_frames(media, every_n=60)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").cast("int").alias("frame_len"),
+        F.sha2("frame_payload", 256).alias("frame_sha"),
+    )

@@ -82,13 +82,49 @@ def g_distinct_and_counts(spark, sf_dir):
     )
 
 
-@query("g_approx_aggregates")  # rows-only: approx results are engine-specific
+@query(
+    "g_approx_aggregates",
+    oracle="""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_users_ok,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS p50_ok,
+       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS p95_ok
+FROM events
+""",
+)
 def g_approx_aggregates(spark, sf_dir):
+    """Approximate aggregates graded by bounded error: the sketch
+    results (HLL++, KLL) are engine-specific, so the query emits the
+    exact values plus booleans asserting the approximation landed
+    within tolerance — rel. 5% for the distinct count, between the
+    p45/p55 (p93/p97) exact quantiles for the percentile sketches.
+    The oracle computes the exact values and TRUE."""
     e = table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.95).alias("p95_value"),
+    agg = e.agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("ap50"),
+        F.percentile_approx("value", 0.95).alias("ap95"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.93)").alias("p93"),
+        F.expr("percentile(value, 0.97)").alias("p97"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("approx_users_ok"),
+        F.round("p50", 6).alias("p50_exact"),
+        F.col("ap50").between(F.col("p45"), F.col("p55")).alias("p50_ok"),
+        F.round("p95", 6).alias("p95_exact"),
+        F.col("ap95").between(F.col("p93"), F.col("p97")).alias("p95_ok"),
     )
 
 

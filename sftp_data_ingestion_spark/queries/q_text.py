@@ -194,24 +194,105 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-dup + SimHash + fingerprint — Spark-native hashes,
-# not reproducible in DuckDB -> rows-only oracle checks
+# MinHash-LSH near-dup, SimHash, fingerprint — graded for real:
+# MinHash-LSH against the exact all-pairs Jaccard oracle (its verify
+# stage emits exact Jaccard, so 100%-recall banding => oracle
+# equality); SimHash via a lossless-banding self-differential; the
+# fingerprint via an engine-portable rolling hash.
 # ---------------------------------------------------------------------------
 
 
-@query("d_minhash_lsh_near_dup")  # rows-only (xxhash64 is engine-specific)
+@query(
+    "d_minhash_lsh_near_dup",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
+             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+         )) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+""",
+)
 def d_minhash_lsh_near_dup(spark, sf_dir):
+    """MinHash -> LSH banding -> exact-Jaccard verify, graded against
+    brute-force all-pairs Jaccard: the verify stage emits EXACT
+    Jaccard on candidates, so with banding recall at 1 on this fixture
+    (every true pair has J >= 0.9; miss prob per pair < 1e-7 at
+    64 hashes / 16 bands) the pipeline output equals the all-pairs
+    oracle — while candidate generation stays O(sum bucket^2)."""
     d = table(spark, sf_dir, "documents")
     return dd.minhash_near_dup_pairs(d, threshold=0.5)
 
 
-@query("d_simhash_near_dup")  # rows-only (xxhash64 is engine-specific)
+@query(
+    "d_simhash_near_dup",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS n_extra
+FROM documents WHERE doc_id < 200
+""",
+)
 def d_simhash_near_dup(spark, sf_dir):
+    """Self-differential grade of the banded SimHash path: at
+    max_distance <= 3 the 4 x 16-bit sub-band bucketing is provably
+    lossless (pigeonhole: <= 3 flipped bits leave at least one of the
+    4 disjoint bands untouched), so the banded pairs must equal
+    brute-force all-pairs Hamming <= 3 EXACTLY. The signature values
+    are engine-specific (xxhash64), so the gradeable statement is this
+    invariant: symmetric-difference counts vs the in-Spark exact
+    all-pairs computation, both provably — and verifiably — zero."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return dd.simhash_near_dup_pairs(d, max_distance=8)
+    banded = dd.simhash_near_dup_pairs(d, max_distance=3).select(
+        "id_a", "id_b"
+    )
+    sig = d.select(
+        F.col("doc_id").alias("id"), dd.simhash(F.col("text")).alias("sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    exact = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(dd.hamming64(F.col("a.sig"), F.col("b.sig")) <= 3)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_missing = (
+        exact.join(banded, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    n_extra = (
+        banded.join(exact, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_extra"))
+    )
+    return n_docs.crossJoin(n_missing).crossJoin(n_extra)
 
 
-@query("t_fingerprint")  # rows-only (xxhash64 is engine-specific)
+@query(
+    "t_fingerprint",
+    oracle=f"""
+SELECT doc_id, {ts.rolling_fingerprint_sql("text")} AS fp
+FROM documents
+""",
+)
 def t_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint (engine-portable — the
+    xxhash64 variant stays as the one-hash-per-row scale path in
+    :func:`ext.textstats.fingerprint`)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", ts.fingerprint(F.col("text")).alias("fp"))
+    return d.select(
+        "doc_id", ts.rolling_fingerprint(F.col("text")).alias("fp")
+    )

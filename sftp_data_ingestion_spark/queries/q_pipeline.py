@@ -370,12 +370,21 @@ WHERE rn = 1 AND chave_nfe IS NOT NULL
 def _flagship_staging(spark, sf_dir):
     """Spark twin of the _STG_V1/_STG_V2 derivation (spark.sql over the
     registered orders view would also work; DataFrame API keeps it
-    typed and lets Catalyst fold the literals)."""
+    typed and lets Catalyst fold the literals).
+
+    The two staging variants differ in exactly two columns
+    (data_ultima_ocr shifted a day, status_prazo prefixed), so instead
+    of two full scan+derive branches union'd (2x scan, 2x the
+    41-expression derivation), the common columns are derived ONCE and
+    a 2-element variant array is exploded; only the two variant
+    columns are computed per exploded row. The Generate node keeps the
+    pre-explode projection from collapsing into the post-explode one,
+    so the common derivation genuinely runs once per input row."""
     o = table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
     price2 = F.col("o_totalprice").cast("decimal(15,2)").cast("string")
 
-    def derive(ocr_shift_days: int, status_prefix: str):
+    def common_cols():
         cols = {
             "id": key.cast("string"),
             "data_insercao": F.lit("2024-01-05T08:30:00"),
@@ -402,14 +411,11 @@ def _flagship_staging(spark, sf_dir):
             "transportador": F.lit(""),
             "lead_time": F.lit(""),
             "data_prev_entrega": F.date_format("o_orderdate", "yyyy-MM-dd"),
-            "status_prazo": F.concat(F.lit(status_prefix), F.col("o_orderpriority")),
+            "status_prazo": None,  # variant-dependent, added post-explode
             "id_ult_ocr": F.lit(""),
             "ultima_ocorrencia": F.lit(""),
             "chave_ult_ocr": F.lit(""),
-            "data_ultima_ocr": F.date_format(
-                F.col("o_orderdate") + F.expr(f"INTERVAL {ocr_shift_days} DAY"),
-                "dd/MM/yyyy HH:mm:ss",
-            ),
+            "data_ultima_ocr": None,  # variant-dependent, added post-explode
             "agrupador": F.lit(""),
             "endereco": F.lit(""),
             "numero": F.lit(""),
@@ -434,18 +440,42 @@ def _flagship_staging(spark, sf_dir):
                 F.lit("arquivo_"), (key % 7).cast("string"), F.lit(".csv")
             ),
         }
-        return o.select([cols[c].alias(c) for c in STG_COLUMNS])
+        return cols
 
     from sftp_data_ingestion_spark.rebalance import fan_out
 
-    # fan_out above the union: the 41-expression cleaning cascade
-    # downstream is pure CPU, and a few-split orders scan would run it
-    # on 1-2 cores (no-op at scale, where splits >= cores). Placed
-    # after the branches so the P4 NULL-key filter still pushes through
-    # the single exchange into both scan branches, and only one
-    # rebalance exchange exists instead of one per branch. Measured at
-    # sf0.1 on local[32]: flagship 7.1s -> 4.4s (bench methodology).
-    return fan_out(derive(0, "").unionAll(derive(1, "v2-")))
+    # fan_out on the RAW scan, below the derivation: the 41-expression
+    # derive + variant explode + downstream cleaning cascade are pure
+    # CPU, and a few-split orders scan would run them on 1-2 cores
+    # (no-op at scale, where splits >= cores). Rebalancing before the
+    # derive also makes the exchange carry the narrow raw orders
+    # columns instead of 41 derived strings.
+    cols = common_cols()
+    base = fan_out(o).select(
+        [cols[c].alias(c) for c in STG_COLUMNS if cols[c] is not None]
+        + [
+            F.col("o_orderdate").alias("_od"),
+            F.col("o_orderpriority").alias("_pri"),
+        ]
+    )
+    exploded = base.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("_v")
+    )
+    variant = {
+        "status_prazo": F.concat(
+            F.when(F.col("_v") == 1, F.lit("v2-")).otherwise(F.lit("")),
+            F.col("_pri"),
+        ),
+        "data_ultima_ocr": F.date_format(
+            F.date_add(F.col("_od"), F.col("_v")), "dd/MM/yyyy HH:mm:ss"
+        ),
+    }
+    return exploded.select(
+        [
+            (variant[c] if c in variant else F.col(c)).alias(c)
+            for c in STG_COLUMNS
+        ]
+    )
 
 
 @query("pedidos_pipeline_flagship", oracle=_flagship_oracle())

@@ -43,10 +43,13 @@ def test_flagship_single_shuffle_and_pushdown(spark):
     assert "WindowGroupLimit" in p  # map-side top-1 before the shuffle
     # the NULL-key gate reaches the scan side as a pushed filter
     assert "PushedFilters" in p
-    # P4 is pushed through Window+Union into both scan branches: no
-    # all-NULL-key window partition (skew) and no shuffle of dropped rows
+    # the two staging variants come from ONE scan + variant-array
+    # explode (not two scan+derive branches union'd)
+    assert p.count("FileScan") == 1
+    # P4 is pushed through Window+Generate into the single scan branch:
+    # no all-NULL-key window partition (skew), no shuffle of dropped rows
     opt = optimized(df)
-    assert opt.count("Filter CASE WHEN") == 2
+    assert opt.count("Filter CASE WHEN") == 1
 
 
 def test_q1_aggregate_pushdown_and_partial_agg(spark):

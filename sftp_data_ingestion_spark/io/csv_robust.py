@@ -69,11 +69,22 @@ def decode_head(path: str, n_bytes: int = _HEAD_BYTES) -> str:
         # would mangle "Inserção" -> header gate could still pass, but
         # parity of header TEXT matters for DE_PARA)
         return raw[len(codecs.BOM_UTF8):].decode("utf-8", errors="replace")
-    try:
-        raw.decode("utf-8")
+    if _utf8_valid(raw, truncated=len(raw) == n_bytes):
         return raw.decode("utf-8", errors="replace")
+    return raw.decode("cp1252", errors="replace")
+
+
+def _utf8_valid(raw: bytes, truncated: bool) -> bool:
+    """UTF-8 validity probe that tolerates a multibyte sequence cut by
+    the fixed-size prefix read: with ``truncated`` the incremental
+    decoder buffers an incomplete trailing sequence instead of raising,
+    so a valid UTF-8 file larger than the probe window is not
+    misclassified as cp1252 (whole-body mojibake)."""
+    try:
+        codecs.getincrementaldecoder("utf-8")().decode(raw, final=not truncated)
+        return True
     except UnicodeDecodeError:
-        return raw.decode("cp1252", errors="replace")
+        return False
 
 
 def sniff_separator(head: str) -> str:
@@ -151,11 +162,7 @@ def _is_utf8ish(path: str) -> bool:
         raw = f.read(_HEAD_BYTES)
     if raw.startswith(codecs.BOM_UTF8):
         return True
-    try:
-        raw.decode("utf-8")
-        return True
-    except UnicodeDecodeError:
-        return False
+    return _utf8_valid(raw, truncated=len(raw) == _HEAD_BYTES)
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,26 @@ def move_to_archive(
         # retry with the SAME batch_id must not duplicate it. (The
         # full transactional story is Delta's — SURVEY §2.10 — this
         # gate gives exactly-once per batch_id on plain parquet.)
+        # batch_id MUST be unique per batch: the gate only clears
+        # staging when its row count matches what hist already holds
+        # under this batch_id (the crash-retry signature). A reused
+        # batch_id over DIFFERENT staging data raises instead of
+        # silently discarding the new rows.
         if batch_id is not None and _batch_already_archived(spark, hist_path, bid):
+            n_staging = staging.count()
+            if n_staging == 0:
+                return {"moved": 0, "batch_id_rows": 0}
+            n_hist = (
+                spark.read.parquet(hist_path)
+                .where(F.col("batch_id") == bid)
+                .count()
+            )
+            if n_staging != n_hist:
+                raise ValueError(
+                    f"batch_id {bid!r} already archived with {n_hist} rows "
+                    f"but staging holds {n_staging} different rows; "
+                    "batch_id must be unique per batch"
+                )
             empty = spark.createDataFrame([], staging.schema)
             empty.write.mode("overwrite").parquet(staging_path)
             return {"moved": 0, "batch_id_rows": 0}

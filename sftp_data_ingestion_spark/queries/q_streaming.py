@@ -87,6 +87,9 @@ def st_windowed_counts(spark, sf_dir):
     oracle="""
 WITH marked AS (
   SELECT user_id, ts, value,
+         -- strictly > : session_window merges while ts <= prev_end
+         -- (verified empirically: an exact-30-min gap MERGES;
+         -- gap + 1s splits), matching this gaps-and-islands rule
          CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
   FROM events

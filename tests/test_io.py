@@ -76,6 +76,30 @@ def test_read_utf8_sig_bom(spark, tmp_path):
     rows = read_csv_robust(spark, plan).collect()
     assert len(rows) == 1 and rows[0]["id"] == "7"
 
+def test_utf8_multibyte_straddles_probe_boundary(spark, tmp_path):
+    """ADVICE fix: a valid UTF-8 file whose 256KB sniff prefix ends
+    mid-multibyte-sequence must still classify as utf-8 (previously the
+    truncated sequence raised UnicodeDecodeError and the whole body was
+    read as cp1252 -> mojibake)."""
+    from sftp_data_ingestion_spark.io.csv_robust import _HEAD_BYTES, _is_utf8ish
+
+    header_line = f"{HDR}\n"
+    # pad a quoted pedido cell so byte _HEAD_BYTES-1 is the FIRST byte
+    # of a 2-byte sequence ("é" = 0xC3 0xA9) and the second falls
+    # outside the probe window
+    prefix = f'1;;"'.encode()
+    pad = b"a" * (_HEAD_BYTES - len(header_line.encode()) - len(prefix) - 1)
+    body = prefix + pad + "éfim".encode() + b'";;;;;;;;SP\n'
+    p = str(tmp_path / "big_utf8.csv")
+    with open(p, "wb") as f:
+        f.write(header_line.encode() + body)
+    assert _is_utf8ish(p)
+    plan = plan_file(p)
+    assert plan.valid and plan.encoding == "utf-8"
+    rows = read_csv_robust(spark, plan).collect()
+    assert rows[0]["pedido"].endswith("éfim")  # no mojibake
+
+
 def test_blank_rows_dropped(spark, tmp_path):
     p = _write(tmp_path / "b.csv",
                f"{HDR}\n\n   \n1;;a;;;;;;;;SP\n;;;;;;;;;;\n2;;b;;;;;;;;RJ\n")

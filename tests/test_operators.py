@@ -355,3 +355,20 @@ def test_archive_rerun_same_batch_id_is_idempotent(spark, tmp_path):
     res3 = move_to_archive(spark, staging, hist, batch_id="B2")
     assert res3["moved"] == 1
     assert spark.read.parquet(hist).count() == 3
+
+
+def test_archive_batch_id_reuse_with_new_data_raises(spark, tmp_path):
+    """ADVICE fix: a reused batch_id over DIFFERENT staging data must
+    raise, not silently discard the new rows (the gate only clears
+    staging when its row count matches the already-archived batch)."""
+    staging = str(tmp_path / "staging")
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame([("a",), ("b",)], "v string").write.parquet(staging)
+    assert move_to_archive(spark, staging, hist, batch_id="B1")["moved"] == 2
+    # caller mistakenly reuses B1 for a NEW (different-size) batch
+    spark.createDataFrame([("c",)], "v string").write.mode(
+        "overwrite").parquet(staging)
+    with pytest.raises(ValueError, match="unique per batch"):
+        move_to_archive(spark, staging, hist, batch_id="B1")
+    assert spark.read.parquet(staging).count() == 1  # rows preserved
+    assert spark.read.parquet(hist).count() == 2     # hist untouched

@@ -81,3 +81,41 @@ def test_range_join_overlap_boundaries(spark):
     ], "pid long, ts timestamp")
     out = range_join_overlap(ivals, pts, "s", "e", "ts", bucket="1 hour")
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """Boundary semantics pinned empirically (ADVICE r2 suspected a
+    divergence here; probing shows there is none): session_window
+    merges while ts <= prev_end, so an EXACT 30-min gap stays in the
+    same session and a 30-min+1s gap splits — exactly what the
+    gaps-and-islands oracle's strictly-greater comparison computes."""
+    import duckdb
+
+    from sftp_data_ingestion_spark.queries.registry import ORACLES
+
+    rows = [
+        ("u1", TS(2024, 1, 1, 10, 0)),
+        ("u1", TS(2024, 1, 1, 10, 30)),      # exact gap -> merges
+        ("u2", TS(2024, 1, 1, 10, 0)),
+        ("u2", TS(2024, 1, 1, 10, 30, 1)),   # gap + 1s -> splits
+    ]
+    df = _df(spark, rows, "user_id string, ts timestamp")
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    counts = sorted((r["user_id"], r["count"]) for r in got)
+    assert counts == [("u1", 2), ("u2", 1), ("u2", 1)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(user_id VARCHAR, ts TIMESTAMP);"
+        "INSERT INTO events VALUES"
+        "('u1', TIMESTAMP '2024-01-01 10:00:00'),"
+        "('u1', TIMESTAMP '2024-01-01 10:30:00'),"
+        "('u2', TIMESTAMP '2024-01-01 10:00:00'),"
+        "('u2', TIMESTAMP '2024-01-01 10:30:01')"
+    )
+    oracle = con.execute(ORACLES["s_sessionize_batch"]).fetchall()
+    assert sorted((r[0], r[3]) for r in oracle) == counts  # engines agree

@@ -172,8 +172,9 @@ def _is_utf8ish(path: str) -> bool:
 
 def _unquote(cell: Column) -> Column:
     """csv-reader unquoting: strip one outer quote pair, un-double
-    inner quotes."""
-    quoted = cell.rlike('^".*"$')
+    inner quotes ((?s): a quoted cell may contain embedded newlines
+    from a joined multi-line record)."""
+    quoted = cell.rlike('(?s)^".*"$')
     inner = F.regexp_replace(
         F.substring(cell, 2, F.length(cell) - 2), '""', '"'
     )
@@ -214,6 +215,64 @@ def read_lines(
             F.translate("value", _CP1252_FROM, _CP1252_TO).alias("value")
         )
     return df
+
+
+def _has_multiline_quoted_fields(lines: DataFrame) -> bool:
+    """Cheap detector for quoted fields containing newlines: a record
+    that spans physical lines necessarily leaves a line with an ODD
+    number of quote chars (doubled "" escapes count 2 and keep parity
+    even). One column-pruned pass with an early-exit limit."""
+    n_quotes = F.length("value") - F.length(
+        F.replace(F.col("value"), F.lit('"'), F.lit(""))
+    )
+    return not lines.where(n_quotes % 2 == 1).isEmpty()
+
+
+def read_records_multiline(
+    spark: SparkSession, paths: list[str], encoding: str
+) -> DataFrame:
+    """Record-joining read for files with quoted multi-line fields —
+    the reference's csv.reader accepts a quoted field containing a
+    newline (/root/reference/python/02_load_stage_pedidos.py:146-149),
+    which a line-based distributed parse splits into broken rows.
+
+    ``binaryFile`` yields one row per file; record reconstruction is a
+    LINEAR quote-parity fold over physical lines in ``mapInPandas`` —
+    the one place this module leaves Column expressions, because a
+    quote-balance record split is inherently sequential per file (a
+    regex-lookahead split would be quadratic in file size). Only files
+    whose batch tripped :func:`_has_multiline_quoted_fields` pay this
+    path. Parallelism is per-file; memory is bounded by the largest
+    file (the reference holds whole files in memory too). Output is
+    the same ``value`` line-frame shape, with embedded newlines kept
+    inside records, so :func:`parse_lines` applies unchanged.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                codec = "utf-8" if encoding == "utf-8" else "cp1252"
+                text = bytes(content).decode(codec, errors="replace")
+                # (utf-8-sig BOM survives as U+FEFF, matching the csv
+                # line reader; the header drop strips it)
+                records: list[str] = []
+                buf: list[str] = []
+                parity = 0
+                for line in text.split("\n"):
+                    line = line.rstrip("\r")
+                    buf.append(line)
+                    parity = (parity + line.count('"')) % 2
+                    if parity == 0:
+                        records.append("\n".join(buf))
+                        buf = []
+                if buf:  # unterminated quote at EOF: emit as-is
+                    records.append("\n".join(buf))
+                yield pd.DataFrame({"value": records})
+
+    df = spark.read.format("binaryFile").load(paths).select("content")
+    return df.mapInPandas(gen, "value string")
 
 
 def parse_lines(
@@ -271,7 +330,11 @@ def read_csv_robust(
     with lineage (P1/P2/S11)."""
     plans = [plan] if isinstance(plan, FilePlan) else plan
     p0 = plans[0]
-    lines = read_lines(spark, [p.path for p in plans], p0.encoding)
+    paths = [p.path for p in plans]
+    lines = read_lines(spark, paths, p0.encoding)
+    if _has_multiline_quoted_fields(lines):
+        # rare dirty batch: re-read with csv.reader record semantics
+        lines = read_records_multiline(spark, paths, p0.encoding)
     raw = parse_lines(lines, p0.sep, p0.header, p0.header_line)
     from sftp_data_ingestion_spark.operators.conform import with_lineage
 

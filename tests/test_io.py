@@ -132,6 +132,43 @@ def test_ragged_short_padded(spark, tmp_path):
     assert rows[0]["data_insercao"] == "x"
     assert rows[0]["uf"] == ""  # padded
 
+# ---- multi-line quoted fields (reference csv.reader parity) ----------------
+
+def test_multiline_quoted_field_roundtrips(spark, tmp_path):
+    """Reference parity (02_load_stage_pedidos.py:146-149): a quoted
+    field containing a newline is ONE logical record, not two broken
+    rows."""
+    p = _write(tmp_path / "ml.csv",
+               f'{HDR}\n1;;"linha um\nlinha dois";;;;;;;;SP\n2;;b;;;;;;;;RJ\n')
+    rows = _collect(spark, p)
+    assert len(rows) == 2
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["1"]["pedido"] == "linha um\nlinha dois"
+    assert by_id["1"]["uf"] == "SP"
+    assert by_id["2"]["pedido"] == "b"
+
+
+def test_multiline_quoted_field_cp1252(spark, tmp_path):
+    text = f'{HDR}\n1;;"endereço:\nrua çê";;;;;;;;RJ\n'
+    p = str(tmp_path / "mlcp.csv")
+    with open(p, "w", encoding="cp1252", newline="") as f:
+        f.write(text)
+    rows = _collect(spark, p)
+    assert len(rows) == 1
+    assert rows[0]["pedido"] == "endereço:\nrua çê"
+
+
+def test_multiline_with_doubled_quotes_and_ragged(spark, tmp_path):
+    """Doubled "" escapes keep quote parity even (no false record
+    join); ragged repair still applies to joined records."""
+    p = _write(tmp_path / "mix.csv",
+               f'{HDR}\n1;;"say ""hi""\nbye";;;;;;;;SP;EXTRA\n')
+    rows = _collect(spark, p)
+    assert len(rows) == 1
+    assert rows[0]["pedido"] == 'say "hi"\nbye'
+    assert rows[0]["uf"] == "SP;EXTRA"  # overflow folded into last col
+
+
 # ---- S7 gate + quarantine classes ------------------------------------------
 
 def test_alien_header_rejected(tmp_path):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import posixpath
 import time
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -168,24 +169,58 @@ class LocalDirSource:
 
 
 class SFTPSource:
-    """paramiko-backed source (S1/S2). The container has no paramiko
-    and no network; construction fails fast with the documented
-    dependency instead of at first use."""
+    """paramiko-backed source (S1/S2) mirroring the reference's stage 1
+    behavior (/root/reference/python/01_ingest_sftp_pedidos.py:41-88):
+    one Transport + SFTPClient per source, directory listing filtered
+    to ``*.CSV`` with remote sizes (feeding S2's size-verified fetch),
+    ``get()`` per download.
+
+    The container has no paramiko and no network, so construction
+    fails fast with the documented dependency; the class logic is
+    exercised in tests through an injected fake paramiko module
+    (``tests/test_io.py``), and the real wire path stays
+    environment-blocked (see README)."""
 
     def __init__(self, host: str, port: int, username: str, password: str,
                  remote_dir: str):
         try:
-            import paramiko  # noqa: F401
-        except ImportError as exc:  # pragma: no cover — env-dependent
+            import paramiko
+        except ImportError as exc:
             raise NotImplementedError(
                 "SFTPSource requires paramiko (pip install paramiko); "
                 "protocol mirrors /root/reference/python/"
                 "01_ingest_sftp_pedidos.py:41-60"
             ) from exc
-        raise NotImplementedError(
-            "network acquisition is stubbed in this environment; use "
-            "LocalDirSource or any object with list_files()/fetch()"
-        )
+        self._transport = paramiko.Transport((host, port))
+        self._transport.connect(username=username, password=password)
+        self._sftp = paramiko.SFTPClient.from_transport(self._transport)
+        self.remote_dir = remote_dir
+
+    def list_files(self) -> list[RemoteFile]:
+        """S1: remote dir listing, ``.CSV`` only (case-insensitive,
+        reference 01:46-49), with sizes for the verified fetch; sorted
+        for S5 deterministic processing order."""
+        out = [
+            RemoteFile(attr.filename, attr.st_size)
+            for attr in self._sftp.listdir_attr(self.remote_dir)
+            if attr.filename.upper().endswith(".CSV")
+        ]
+        return sorted(out, key=lambda f: f.name)
+
+    def fetch(self, name: str, dest: str) -> None:
+        self._sftp.get(posixpath.join(self.remote_dir, name), dest)
+
+    def close(self) -> None:
+        try:
+            self._sftp.close()
+        finally:
+            self._transport.close()
+
+    def __enter__(self) -> "SFTPSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 class RetryingFetcher:

@@ -281,3 +281,103 @@ def test_load_stage_end_to_end(spark, tmp_path):
     res2 = load_stage(spark, **args)
     assert res2["files_processed"] == 0
     assert spark.read.parquet(args["bronze_path"]).count() == 2
+
+
+# ---- SFTPSource via injected fake paramiko ----------------------------------
+
+def _fake_paramiko(remote_root):
+    """Minimal paramiko double: Transport + SFTPClient over a local
+    dir, recording lifecycle calls — lets the REAL SFTPSource logic
+    (listing filter/sort, path join, fetch, close ordering) run
+    without the library or a network."""
+    import shutil
+    import types
+
+    calls = []
+
+    class FakeTransport:
+        def __init__(self, addr):
+            calls.append(("transport", addr))
+
+        def connect(self, username, password):
+            calls.append(("connect", username, password))
+
+        def close(self):
+            calls.append(("transport_close",))
+
+    class FakeSFTPClient:
+        def listdir_attr(self, remote_dir):
+            calls.append(("listdir", remote_dir))
+            out = []
+            for name in os.listdir(remote_root):
+                a = types.SimpleNamespace(
+                    filename=name,
+                    st_size=os.path.getsize(os.path.join(remote_root, name)),
+                )
+                out.append(a)
+            return out
+
+        def get(self, remote_path, dest):
+            calls.append(("get", remote_path))
+            shutil.copy2(
+                os.path.join(remote_root, os.path.basename(remote_path)), dest
+            )
+
+        def close(self):
+            calls.append(("sftp_close",))
+
+    mod = types.ModuleType("paramiko")
+    mod.Transport = FakeTransport
+    mod.SFTPClient = types.SimpleNamespace(
+        from_transport=lambda t: FakeSFTPClient()
+    )
+    return mod, calls
+
+
+def test_sftp_source_end_to_end(tmp_path, monkeypatch):
+    """SFTPSource (S1) through RetryingFetcher (S2) over the fake
+    paramiko: CSV-only case-insensitive listing, sorted order,
+    remote-dir path join, verified download, close() teardown."""
+    import sys
+
+    from sftp_data_ingestion_spark.io.sources import SFTPSource
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "b.CSV").write_text("x;y\n1;2\n")
+    (remote / "a.csv").write_text("x;y\n3;4\n")
+    (remote / "skip.txt").write_text("not csv")
+    fake, calls = _fake_paramiko(str(remote))
+    monkeypatch.setitem(sys.modules, "paramiko", fake)
+
+    with SFTPSource("host", 22, "user", "pw", "/upload") as src:
+        files = src.list_files()
+        assert [f.name for f in files] == ["a.csv", "b.CSV"]  # sorted, CSV only
+        assert files[0].size == len("x;y\n3;4\n")
+        fetcher = RetryingFetcher(src, sleep_fn=lambda s: None)
+        stats = fetcher.ingest(str(tmp_path / "novos"))
+    assert stats == {"fetched": 2, "skipped": 0, "failed": 0}
+    assert (tmp_path / "novos" / "a.csv").read_text() == "x;y\n3;4\n"
+    # remote paths joined against remote_dir
+    assert ("get", "/upload/a.csv") in calls
+    # teardown closed the channel then the transport
+    assert calls[-2:] == [("sftp_close",), ("transport_close",)]
+
+
+def test_sftp_source_without_paramiko_raises(monkeypatch):
+    import builtins
+    import sys
+
+    from sftp_data_ingestion_spark.io.sources import SFTPSource
+
+    monkeypatch.delitem(sys.modules, "paramiko", raising=False)
+    real_import = builtins.__import__
+
+    def no_paramiko(name, *a, **k):
+        if name == "paramiko":
+            raise ImportError("no module")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_paramiko)
+    with pytest.raises(NotImplementedError, match="paramiko"):
+        SFTPSource("h", 22, "u", "p", "/d")

@@ -62,3 +62,25 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, sim.ivf_topk(q, emb, cents1, k=3).collect()))
     b = sorted(map(tuple, sim.ivf_topk(q, emb, cents2, k=3).collect()))
     assert a == b
+
+
+def test_kmeans_centroids_recall_at_low_nprobe(spark, emb, exact_top5):
+    """Lloyd refinement must not degrade — and should typically improve
+    — low-nprobe recall vs the raw stride seed (centroid quality only
+    matters when nprobe << n_cells; the all-cells path is exact under
+    any centroids)."""
+    queries = emb.where(F.col("vec_id") < 60)
+    seed = sim.train_centroids_sample(emb, k=8)
+    trained = sim.train_centroids_kmeans(emb, k=8, n_iters=2)
+    r_seed = _recall(sim.ivf_topk(queries, emb, seed, k=5, nprobe=2), exact_top5)
+    r_kmeans = _recall(
+        sim.ivf_topk(queries, emb, trained, k=5, nprobe=2), exact_top5
+    )
+    assert r_kmeans >= r_seed
+    assert r_kmeans > 0.4
+
+
+def test_kmeans_deterministic(spark, emb):
+    a = sim.train_centroids_kmeans(emb, k=8, n_iters=2)
+    b = sim.train_centroids_kmeans(emb, k=8, n_iters=2)
+    assert a == b

@@ -393,3 +393,93 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return cands.where(F.col("distance") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> transitive components -> survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: every vertex
+    starts labeled with its own id; each iteration every vertex takes
+    the min of its label and its neighbors' labels, until a fixpoint.
+    Returns ``(id, component)`` where component = min id reachable.
+
+    Scale shape: one Pregel-style superstep per iteration — an
+    edges-to-labels equi-join + groupBy-min, both shuffling on vertex
+    id so AQE can reuse/coalesce the exchanges. Iteration count is the
+    graph diameter, and near-dup graphs are dense little cliques
+    (diameter 2-3), not long chains. Each superstep ends in
+    ``localCheckpoint`` — without it the iterated join lineage grows
+    exponentially and planning time dominates (the standard Spark
+    iterative-algorithm pattern). Convergence is checked with one
+    count per iteration (bounded by ``max_iters``).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nmin"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Corpus-level near-dup clustering: MinHash-LSH pairs -> exact
+    Jaccard verify -> transitive closure. Emits one row per document:
+    ``(doc_id, cluster_id, is_survivor)`` with cluster_id = min doc_id
+    of the component (singletons are their own cluster) — the actual
+    keep/drop decision a training-data pipeline needs, where pair
+    lists alone are not actionable (near-dup similarity is not
+    transitive, but the DROP decision must be)."""
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, threshold=threshold, **minhash_kwargs
+    ).select(F.col("id_a"), F.col("id_b"))
+    comp = connected_components(
+        df.select(id_col), pairs, id_col=id_col
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )

@@ -239,6 +239,53 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
 
 
 @query(
+    "d_neardup_clusters",
+    oracle=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
+             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+         )) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       (min(r) = id) AS is_survivor
+FROM reach GROUP BY id
+""",
+)
+def d_neardup_clusters(spark, sf_dir):
+    """Corpus-level near-dup clustering: MinHash-LSH pairs -> exact
+    Jaccard verify -> min-label-propagation connected components
+    (Pregel-style supersteps with localCheckpoint lineage truncation).
+    Graded against a DuckDB recursive-CTE transitive closure over the
+    all-pairs Jaccard graph — the keep/drop decision a training-data
+    pipeline actually applies (pair lists alone are not actionable;
+    the DROP set must be transitive even though similarity is not)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.neardup_clusters(d, threshold=0.5)
+
+
+@query(
     "d_simhash_near_dup",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,49 @@
+"""Connected-components / near-dup clustering tests: transitive
+closure correctness on shapes LSH pairs produce (cliques, chains,
+singletons) — the keep/drop layer above pair detection."""
+
+import pyspark.sql.functions as F
+
+from sftp_data_ingestion_spark.ext import dedup as dd
+
+
+def _cc(spark, n_vertices, edges):
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dd.connected_components(v, e).collect()
+    return {r["id"]: r["component"] for r in out}
+
+
+def test_cc_chain_converges_to_min(spark):
+    # worst case for label propagation: a path graph, min at one end
+    got = _cc(spark, 5, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_cc_two_components_and_singleton(spark):
+    got = _cc(spark, 6, [(0, 1), (3, 4), (4, 5)])
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
+
+
+def test_cc_clique_one_step(spark):
+    got = _cc(spark, 3, [(0, 1), (0, 2), (1, 2)])
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_neardup_clusters_marks_survivors(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely different text with no shared shingles here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dd.neardup_clusters(df, threshold=0.5).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)   # exact dup of 0
+    assert out[2] == (0, False)   # near dup (one token differs)
+    assert out[3] == (3, True)    # unrelated -> own singleton cluster
+    assert len(out) == 4          # every doc got a verdict

@@ -156,6 +156,45 @@ def cmd_archive(spark: SparkSession, args) -> dict:
     )
 
 
+def cmd_curate(spark: SparkSession, args) -> dict:
+    """Training-data curation over a documents parquet table: quality
+    gate -> MinHash-LSH near-dup clustering -> survivors written as
+    parquet, with corpus accounting (docs kept / dropped, token
+    totals) for downstream budget planning."""
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.ext import dedup as dd
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    docs = spark.read.parquet(args.documents)
+    n_total = docs.count()
+    t = F.col(args.text_col)
+    scored = docs.withColumn("quality", ts.quality_score(t))
+    kept = scored.where(F.col("quality") >= args.min_quality)
+    clusters = dd.neardup_clusters(
+        kept, id_col=args.id_col, text_col=args.text_col,
+        threshold=args.jaccard,
+    )
+    survivors = kept.join(
+        clusters.where(F.col("is_survivor")).select(args.id_col),
+        args.id_col,
+    ).withColumn("n_tokens", ts.token_count(t))
+    survivors.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tok"),
+    ).collect()[0]
+    return {
+        "docs_in": n_total,
+        "dropped_low_quality": n_total - kept.count(),
+        "dropped_near_dup": kept.count() - int(stats["n"]),
+        "docs_out": int(stats["n"]),
+        "total_tokens": int(stats["tok"] or 0),
+        "output": args.output,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sftp_data_ingestion_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -183,6 +222,16 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("run-all")
     common(pr, source=True, landing=True, warehouse=True)
     pr.add_argument("--batch-id", default=None)
+    pc = sub.add_parser("curate")
+    pc.add_argument("--documents", required=True,
+                    help="input documents parquet path")
+    pc.add_argument("--output", required=True,
+                    help="curated parquet output path")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--min-quality", type=float, default=0.6)
+    pc.add_argument("--jaccard", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"pipeline-{args.cmd}")
@@ -194,6 +243,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"upsert": cmd_upsert(spark, args)}
     elif args.cmd == "archive":
         out = {"archive": cmd_archive(spark, args)}
+    elif args.cmd == "curate":
+        out = {"curate": cmd_curate(spark, args)}
     else:  # run-all: the four stages in cron order, one process
         out = {
             "ingest": cmd_ingest(spark, args),

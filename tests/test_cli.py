@@ -110,3 +110,23 @@ def test_upsert_bucketed_path(spark, tmp_path):
     dw2 = {r["chave_nfe"]: r["pedido"]
            for r in spark.read.parquet(dw_dir).collect()}
     assert dw2[K1] == "P-1-upd" and len(dw2) == 2
+
+
+def test_curate_command(spark, tmp_path, capsys):
+    import json
+
+    out_dir = str(tmp_path / "curated")
+    assert main([
+        "curate",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["curate"]
+    assert stats["docs_in"] > 0
+    assert stats["docs_out"] > 0
+    assert stats["docs_in"] == (stats["docs_out"] + stats["dropped_low_quality"]
+                                + stats["dropped_near_dup"])
+    curated = spark.read.parquet(out_dir)
+    assert curated.count() == stats["docs_out"]
+    assert {"quality", "n_tokens"} <= set(curated.columns)
+    assert stats["total_tokens"] > 0

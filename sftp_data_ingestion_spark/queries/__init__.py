@@ -24,5 +24,6 @@ from sftp_data_ingestion_spark.queries import q_text  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_similarity  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_multimodal  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_temporal  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_sampling  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_extra  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_streaming  # noqa: F401,E402

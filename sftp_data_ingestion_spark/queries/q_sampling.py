@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset-split queries — the reproducible-
+subset operations a training-data pipeline needs (train/val/test
+splits, weighted source mixing). No reference equivalent (extension
+surface, SURVEY.md §2.11 north star).
+
+Scale design: every split decision is a pure-Column integer-mod hash
+of the row key — no sampling state, no shuffle, no rand() (which would
+be unreproducible across retries and engines). Knuth's multiplicative
+hash `(id * 2654435761) % 10000` spreads sequential ids uniformly, is
+bit-identical in Spark and DuckDB (all intermediates < 2^53), and
+makes every row's split assignment a deterministic function of its
+key — re-running a failed partition cannot change the split, and the
+same row lands in the same split on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+_KNUTH = 2654435761
+_BUCKETS = 10000
+
+
+def split_bucket(key):
+    """Deterministic [0, 10000) bucket for a BIGINT key column."""
+    return F.pmod(key * F.lit(_KNUTH), F.lit(_BUCKETS))
+
+
+_BUCKET_SQL = f"((doc_id * {_KNUTH}) % {_BUCKETS})"
+
+
+@query(
+    "x_train_val_test_split",
+    oracle=f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens
+FROM (
+  SELECT text,
+         CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+              WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def x_train_val_test_split(spark, sf_dir):
+    """90/5/5 train/val/test split by deterministic key hash, with
+    per-split token accounting. One narrow projection + one groupBy —
+    the split itself adds zero shuffles to any downstream consumer
+    that filters on the split column."""
+    d = table(spark, sf_dir, "documents")
+    b = split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 9000, F.lit("train"))
+        .when(b < 9500, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "x_weighted_source_mix",
+    oracle=f"""
+WITH rates AS (
+  SELECT * FROM (VALUES ('src0', 2500), ('src1', 10000), ('src2', 5000))
+    t(source, keep_per_10k)
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_BUCKET_SQL} < r.keep_per_10k
+GROUP BY d.source
+""",
+)
+def x_weighted_source_mix(spark, sf_dir):
+    """Weighted dataset mixing: per-source keep rates (src0 25%,
+    src1 100%, src2 50%; unlisted sources drop out in the inner
+    join) applied with the same deterministic key hash — the
+    up/down-sampling step that sets a training mixture. The rates
+    table broadcasts; the filter is a pure per-row predicate, so the
+    mix costs one broadcast join and no extra shuffle before the
+    accounting groupBy."""
+    d = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("src0", 2500), ("src1", 10000), ("src2", 5000)],
+        "source string, keep_per_10k int",
+    )
+    b = split_bucket(F.col("doc_id"))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(b < F.col("keep_per_10k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

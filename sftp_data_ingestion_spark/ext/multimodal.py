@@ -185,3 +185,47 @@ def synthesize_media_table(docs: DataFrame) -> DataFrame:
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, decode: str = "fake"
+) -> DataFrame:
+    """Image resize as a mapInPandas stage: payload in, fixed-dims
+    payload out (the normalize-before-embed step of a multimodal
+    pipeline). The fake kernel truncates the payload to width*height
+    bytes (a 1-byte/px grayscale stand-in — deterministic and
+    arithmetic-checkable); ``decode="real"`` is the PIL/torchvision
+    kernel slot, absent in this container. Output partition sizing
+    note: resized payloads are bounded at width*height bytes, so the
+    stage caps per-row memory no matter how large the inputs were."""
+    if decode == "real":  # pragma: no cover — env-dependent
+        raise NotImplementedError(
+            "real image resize needs PIL/torchvision, absent in this "
+            "container; plumbing is identical for decode='fake'"
+        )
+    n_out = width * height
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [(p or b"")[:n_out] for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(fn, RESIZE_SCHEMA)

@@ -115,3 +115,34 @@ def m_sample_frames(spark, sf_dir):
         F.length("frame_payload").cast("int").alias("frame_len"),
         F.sha2("frame_payload", 256).alias("frame_sha"),
     )
+
+
+@query(
+    "m_resize_images",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(least(4096, length(text)) AS INTEGER) AS n_bytes_out,
+       CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+       sha256(substr(text, 1, 4096)) AS payload_sha
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def m_resize_images(spark, sf_dir):
+    """mapInPandas image resize (normalize-before-embed), graded by
+    projecting the resized binary to (length, sha256): the fake kernel
+    truncates the payload to width*height bytes, so the oracle replays
+    the arithmetic on the utf-8 text (pure-ASCII fixture: byte slices
+    == char slices). Only image-typed rows pass the metadata filter —
+    payload bytes of other modalities are never touched."""
+    docs = table(spark, sf_dir, "documents")
+    media = mm.synthesize_media_table(docs).where(
+        F.col("meta.media_type") == "image"
+    )
+    resized = mm.resize_media(media, width=64, height=64)
+    return resized.select(
+        "media_id",
+        F.length("payload").cast("int").alias("n_bytes_out"),
+        "width",
+        "height",
+        F.sha2("payload", 256).alias("payload_sha"),
+    )

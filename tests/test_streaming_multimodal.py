@@ -183,6 +183,21 @@ def test_real_decode_raises(media):
         mm.extract_features(media, decode="real")
     with pytest.raises(NotImplementedError):
         mm.sample_frames(media, decode="real")
+    with pytest.raises(NotImplementedError):
+        mm.resize_media(media, decode="real")
+
+
+def test_resize_media_bounds_payload(spark, media):
+    imgs = media.where(F.col("meta.media_type") == "image")
+    out = mm.resize_media(imgs, width=8, height=8).collect()
+    assert len(out) == imgs.count()
+    assert all(len(r["payload"] or b"") <= 64 for r in out)
+    assert all((r["width"], r["height"]) == (8, 8) for r in out)
+    # truncation is a prefix: resized payload == head of the original
+    orig = {r["media_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    assert all(
+        bytes(r["payload"]) == orig[r["media_id"]][:64] for r in out
+    )
 
 
 def test_sample_frames_expansion(spark, media):

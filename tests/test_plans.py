@@ -149,10 +149,11 @@ def test_no_collect_in_operator_modules():
 
     root = pathlib.Path(__file__).resolve().parents[1] / "sftp_data_ingestion_spark"
     # legitimate driver-side collects: io/stage file bookkeeping, IVF
-    # coarse-centroid training (k vectors to the driver by design), and
-    # the partitioned upsert's touched-bucket list (<= num_buckets ids)
+    # coarse-centroid training (k vectors to the driver by design),
+    # the partitioned upsert's touched-bucket list (<= num_buckets
+    # ids), and the CLI's 1-row stats aggregates for its JSON report
     allowed = {"stage.py", "sources.py", "similarity.py",
-               "upsert_partitioned.py"}
+               "upsert_partitioned.py", "cli.py"}
     offenders = []
     for f in root.rglob("*.py"):
         if f.name in allowed:
@@ -217,3 +218,20 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_sampling_split_single_shuffle_and_pruned_scan(spark):
+    """Deterministic split: the hash-bucket CASE is a narrow projection
+    (no shuffle before the accounting groupBy) and the scan reads only
+    the two referenced columns."""
+    df = q.QUERIES["x_train_val_test_split"](spark, SF)
+    p = plan(df)
+    assert n_exchanges(p) == 1          # only the groupBy
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_weighted_mix_broadcasts_rates(spark):
+    df = q.QUERIES["x_weighted_source_mix"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p     # rates table never shuffles docs
+    assert n_exchanges(p) == 1          # only the accounting groupBy

@@ -170,6 +170,30 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 """
 
 
+def _planted_corpus(spark, sf_dir):
+    """Spark twin of _PLANT_SQL: embeddings plus a deterministic
+    integer-mod perturbed copy of every vector (sim ~0.993, re-keyed
+    +100000)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            ((F.col("vec_id") * 131 + j) * F.lit(2654435761)) % 1000003
+        ).cast("double")
+        / 1000003
+        - 0.5,
+    )
+    # perturb BEFORE re-keying: Spark 4 lateral column aliases would
+    # resolve the noise lambda's vec_id against the shifted output
+    # alias if both lived in one select (observed: constant mod-shift
+    # on every element)
+    perturbed = e.select(
+        "vec_id", F.zip_with(v, w, lambda x, n: x + 0.05 * n).alias("embedding")
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return e.select("vec_id", v.alias("embedding")).unionAll(perturbed)
+
+
 @query(
     "v_embedding_near_dup",
     oracle=f"""
@@ -192,24 +216,52 @@ def v_embedding_near_dup(spark, sf_dir):
     threshold 0.9 — (n_planes=8, n_tables=8) has empirically-verified
     100% recall here — and the exact-rescore keeps precision exact,
     so the output equals the all-pairs oracle."""
-    e = table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    w = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: (
-            ((F.col("vec_id") * 131 + j) * F.lit(2654435761)) % 1000003
-        ).cast("double")
-        / 1000003
-        - 0.5,
-    )
-    # perturb BEFORE re-keying: Spark 4 lateral column aliases would
-    # resolve the noise lambda's vec_id against the shifted output
-    # alias if both lived in one select (observed: constant mod-shift
-    # on every element)
-    perturbed = e.select(
-        "vec_id", F.zip_with(v, w, lambda x, n: x + 0.05 * n).alias("embedding")
-    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    planted = e.select("vec_id", v.alias("embedding")).unionAll(perturbed)
     return sim.embedding_near_dup_pairs(
+        _planted_corpus(spark, sf_dir), threshold=0.9, n_planes=8, n_tables=8
+    )
+
+
+@query(
+    "v_embedding_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE u AS ({_PLANT_SQL}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM u
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS vec_id, min(r) AS cluster_id,
+       (min(r) = id) AS is_survivor
+FROM reach GROUP BY id
+""",
+)
+def v_embedding_neardup_clusters(spark, sf_dir):
+    """Embedding-side corpus dedup: SRP near-dup pairs -> connected
+    components -> survivors, on the planted-duplicate corpus — the
+    same pairs->clusters->keep/drop layer as d_neardup_clusters, over
+    the vector modality. Graded against a DuckDB recursive-CTE
+    closure of the all-pairs cosine graph."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+
+    planted = _planted_corpus(spark, sf_dir)
+    pairs = sim.embedding_near_dup_pairs(
         planted, threshold=0.9, n_planes=8, n_tables=8
+    ).select("id_a", "id_b")
+    comp = dd.connected_components(
+        planted.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
     )

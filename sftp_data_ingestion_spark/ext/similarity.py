@@ -330,8 +330,14 @@ def ivf_topk(
         fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
         centroids, vec_col, nprobe=1,
     ).select("neighbor_id", qv.alias("cv"), norm(qv).alias("cn"), "cell")
+    # Broadcast the probe side: an ANN lookup's query set (x nprobe
+    # replication) is the small side by construction, while a shuffle
+    # join on `cell` would funnel the whole corpus through k_cells
+    # reducer keys — a built-in skew bottleneck at any scale. With the
+    # broadcast, the corpus never moves: each task scores its local
+    # corpus slice against the probe table.
     scored = (
-        q.join(c, "cell")
+        c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -340,7 +346,9 @@ def ivf_topk(
                 F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
             ).alias("sim_full"),
         )
-        .distinct()  # a pair can meet in several probed cells
+        # no distinct: the corpus is assigned to exactly ONE cell
+        # (nprobe=1 above), so a (query, neighbor) pair meets in at
+        # most one probed cell even when the query probes several
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("neighbor_id").asc()

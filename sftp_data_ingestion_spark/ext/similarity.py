@@ -164,26 +164,37 @@ def srp_topk(
     1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
     output shape as :func:`cosine_topk`."""
 
-    def side(df, out_id, vec_alias, norm_alias, table_idx):
+    def side(df, out_id, vec_alias, norm_alias):
+        # all n_tables signatures in ONE projection + inline-explode:
+        # one scan of the input (not a table-per-branch union, which
+        # costs T redundant scans and T x the scheduler's task count)
         v = as_double(F.col(vec_col))
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"),
+                    srp_signature(
+                        F.col(vec_col), n_planes, seed + 7919 * t
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
         return df.select(
             F.col(id_col).alias(out_id),
             v.alias(vec_alias),
             norm(v).alias(norm_alias),
-            srp_signature(
-                F.col(vec_col), n_planes, seed + 7919 * table_idx
-            ).alias("bucket"),
-            F.lit(table_idx).alias("table_idx"),
+            F.inline(tables),
         )
 
     corpus = fan_out(corpus)  # SRP signatures + pair scores parallelize
-    q = side(queries, "query_id", "qv", "qn", 0)
-    c = side(corpus, "neighbor_id", "cv", "cn", 0)
-    for t in range(1, n_tables):
-        q = q.unionAll(side(queries, "query_id", "qv", "qn", t))
-        c = c.unionAll(side(corpus, "neighbor_id", "cv", "cn", t))
+    q = side(queries, "query_id", "qv", "qn")
+    c = side(corpus, "neighbor_id", "cv", "cn")
+    # Broadcast the probe side (queries x n_tables — small by
+    # construction for an ANN lookup): the corpus never shuffles, and
+    # bucket-key skew cannot funnel it through few reducers.
     scored = (
-        q.join(c, ["bucket", "table_idx"])
+        c.join(F.broadcast(q), ["bucket", "table_idx"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -192,8 +203,11 @@ def srp_topk(
                 F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
             ).alias("sim_full"),
         )
-        .distinct()  # pairs meeting in several tables dedup here
     )
+    if n_tables > 1:
+        # pairs meeting in several tables dedup here (key-only compare;
+        # sim_full is identical across tables for the same pair)
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("neighbor_id").asc()
     )
@@ -376,19 +390,25 @@ def embedding_near_dup_pairs(
     — the dial between cost and recall. Candidates are exact-rescored,
     so precision is always exact."""
     v = as_double(F.col(vec_col))
-    base = fan_out(df)
-    sig = None
-    for t in range(n_tables):
-        part = base.select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            norm(v).alias("n"),
-            srp_signature(F.col(vec_col), n_planes, seed + 7919 * t).alias(
-                "bucket"
-            ),
-            F.lit(t).alias("table_idx"),
-        )
-        sig = part if sig is None else sig.unionAll(part)
+    # all n_tables signatures in one projection + inline-explode (one
+    # scan, not a table-per-branch union costing T redundant scans)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                srp_signature(F.col(vec_col), n_planes, seed + 7919 * t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sig = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        norm(v).alias("n"),
+        F.inline(tables),
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -406,5 +426,6 @@ def embedding_near_dup_pairs(
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .distinct()  # pairs meeting in several tables dedup here
+        # pairs meeting in several tables dedup here (key-only compare)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -83,20 +83,12 @@ def cmd_upsert(spark: SparkSession, args) -> dict:
     except AnalysisException:
         dw = clean_staging(staging).limit(0)
 
+    from sftp_data_ingestion_spark.io.sinks import atomic_swap_parquet
+
     new_dw = run_upsert_pipeline(dw, staging)
     # crash-safe rewrite: full result to a temp dir, then swap (the
     # Delta MERGE equivalent on plain parquet)
-    tmp = p["dw"] + ".tmp"
-    new_dw.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = p["dw"] + ".old"
-    if os.path.exists(p["dw"]):
-        os.rename(p["dw"], old)
-    os.rename(tmp, p["dw"])
-    shutil.rmtree(old, ignore_errors=True)
-    # the swap happened behind Spark's back — drop the cached file
-    # listing so same-session readers see the new files
-    spark.catalog.refreshByPath(p["dw"])
+    n = atomic_swap_parquet(new_dw, p["dw"])
     return {"dw_rows": n}
 
 

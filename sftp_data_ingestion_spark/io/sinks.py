@@ -46,3 +46,26 @@ def safe_copy(src: str, dst_dir: str, now: datetime | None = None) -> str:
 def route_file(path: str, ok: bool, lidos_dir: str, erros_dir: str) -> str:
     """S9 outcome routing; returns the destination path."""
     return safe_copy(path, lidos_dir if ok else erros_dir)
+
+
+def atomic_swap_parquet(df: DataFrame, path: str) -> int:
+    """Crash-safe full-table rewrite on plain parquet: write the new
+    result to ``<path>.tmp``, rename the old dir aside, swap the temp
+    in, drop the old — the Delta-MERGE-commit equivalent when the
+    store is a directory. Readers see either the old or the new table,
+    never a partial write. Returns the new row count (one read of the
+    freshly-written files, which doubles as a write verification).
+    Same-session readers must ``spark.catalog.refreshByPath`` (done
+    here) because the swap happens behind Spark's file-listing cache.
+    """
+    spark = df.sparkSession
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return n

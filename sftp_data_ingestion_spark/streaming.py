@@ -186,3 +186,57 @@ def run_to_memory(
     q.stop()
     spark = stream.sparkSession
     return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# continuous incremental pipeline: landing stream -> foreachBatch merge
+# ---------------------------------------------------------------------------
+
+
+def stream_upsert_to_dw(
+    spark: SparkSession,
+    landing_dir: str,
+    dw_path: str,
+    checkpoint_dir: str,
+    sep: str = ";",
+    max_files_per_trigger: int = 100,
+):
+    """The reference's whole cron pipeline as ONE continuous
+    incremental query: the file-source landing stream (checkpoint =
+    processed-file ledger, S3/S10 native) feeds ``foreachBatch``,
+    which runs the SAME batch merge operators (P3 clean -> U3 dedup ->
+    U1 newer-wins) against the typed DW and swaps it atomically.
+
+    ``foreachBatch`` is the documented idiom for sinks Spark lacks —
+    here MERGE on plain parquet. Semantics: a crashed batch re-runs
+    from the checkpoint, and the merge is idempotent (newer-wins by
+    occurrence timestamp), so replays converge — effectively
+    exactly-once end-to-end. On Delta the body becomes a single
+    ``MERGE INTO`` and the swap disappears.
+
+    Returns the started StreamingQuery; callers stop() it (or use
+    ``processAllAvailable`` to drain in tests).
+    """
+    from pyspark.errors import AnalysisException
+
+    from sftp_data_ingestion_spark.io.sinks import atomic_swap_parquet
+    from sftp_data_ingestion_spark.operators.clean import clean_staging
+    from sftp_data_ingestion_spark.operators.pipeline import (
+        run_upsert_pipeline,
+    )
+
+    stream = stream_landing_csv(spark, landing_dir, sep, max_files_per_trigger)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            dw = s.read.parquet(dw_path)
+        except AnalysisException:  # first batch: empty typed DW
+            dw = clean_staging(batch_df).limit(0)
+        atomic_swap_parquet(run_upsert_pipeline(dw, batch_df), dw_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -221,3 +221,68 @@ def test_streaming_queries_registered_with_oracles(spark, sf_small):
     n = out.count()
     assert n > 0
     assert out.select("user_id").distinct().count() == n  # one row per key
+
+
+# ---- continuous incremental pipeline (foreachBatch merge) --------------------
+
+def test_stream_upsert_to_dw_incremental(spark, tmp_path):
+    """The cron pipeline as one continuous query: file checkpoint
+    tracks processed files (no reprocessing), each micro-batch merges
+    through the batch operators, newer-wins holds ACROSS batches."""
+    from sftp_data_ingestion_spark.schemas import STG_COLUMNS
+    from sftp_data_ingestion_spark.streaming import stream_upsert_to_dw
+
+    landing = tmp_path / "novos"
+    landing.mkdir()
+    dw = str(tmp_path / "dw")
+    ckpt = str(tmp_path / "ckpt")
+    hdr = ";".join(STG_COLUMNS)
+    k1, k2 = "1" * 44, "2" * 44
+
+    def row(key, pedido, ocr, status=""):
+        cells = {c: "" for c in STG_COLUMNS}
+        cells.update({
+            "id": "1", "chave_nfe": key, "pedido": pedido,
+            "data_insercao": "2024-01-05T08:30:00",
+            "data_ultima_ocr": ocr, "uf": "SP", "status_prazo": status,
+        })
+        return ";".join(cells[c] for c in STG_COLUMNS)
+
+    (landing / "f1.csv").write_text(
+        f"{hdr}\n{row(k1, 'P-old', '05/01/2024 08:00:00')}\n"
+        f"{row(k2, 'P-two', '05/01/2024 09:00:00')}\n"
+    )
+    q = stream_upsert_to_dw(spark, str(landing), dw, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["chave_nfe"]: r["pedido"]
+           for r in spark.read.parquet(dw).collect()}
+    assert got == {k1: "P-old", k2: "P-two"}
+
+    # second file arrives: restart from the SAME checkpoint — only the
+    # new file processes, and its newer occurrence wins over the DW row
+    (landing / "f2.csv").write_text(
+        f"{hdr}\n{row(k1, 'P-new', '07/01/2024 10:00:00', 'ENTREGUE')}\n"
+    )
+    q2 = stream_upsert_to_dw(spark, str(landing), dw, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    spark.catalog.refreshByPath(dw)
+    got2 = {r["chave_nfe"]: r["pedido"]
+            for r in spark.read.parquet(dw).collect()}
+    assert got2 == {k1: "P-new", k2: "P-two"}  # merged, not replaced
+    # an OLDER occurrence arriving later must NOT regress the
+    # newer-gated occurrence columns (status_prazo, data_ultima_ocr);
+    # fill-the-blanks columns like pedido DO take any non-NULL
+    # (reference ON CONFLICT semantics, 03_upsert_dw_pedidos.py)
+    (landing / "f3.csv").write_text(
+        f"{hdr}\n{row(k1, 'P-late', '01/01/2024 00:00:00', 'STALE')}\n"
+    )
+    q3 = stream_upsert_to_dw(spark, str(landing), dw, ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    spark.catalog.refreshByPath(dw)
+    r1 = {r["chave_nfe"]: r for r in spark.read.parquet(dw).collect()}[k1]
+    assert r1["status_prazo"] == "ENTREGUE"          # newer-gated kept
+    assert str(r1["data_ultima_ocr"]).startswith("2024-01-07")
+    assert r1["pedido"] == "P-late"                  # coalesce column

@@ -235,3 +235,16 @@ def test_weighted_mix_broadcasts_rates(spark):
     p = plan(df)
     assert "BroadcastHashJoin" in p     # rates table never shuffles docs
     assert n_exchanges(p) == 1          # only the accounting groupBy
+
+
+def test_ann_joins_broadcast_probe_side(spark):
+    """IVF and SRP must broadcast the (small) probe table: a shuffle
+    join on cell/bucket keys would funnel the whole corpus through
+    k_cells (or 2^n_planes) reducer keys — a built-in skew bottleneck
+    no cluster size fixes."""
+    for name in ("v_ivf_ann_topk", "v_srp_ann_topk"):
+        df = q.QUERIES[name](spark, SF)
+        p = plan(df)
+        assert "BroadcastHashJoin" in p, name
+        assert "Exchange hashpartitioning(cell" not in p, name
+        assert "Exchange hashpartitioning(bucket" not in p, name

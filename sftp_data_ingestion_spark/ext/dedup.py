@@ -266,7 +266,16 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact token-shingle Jaccard on candidate pairs (the verify stage
-    after LSH). Join cost is |pairs|, not |docs|^2."""
+    after LSH). Join cost is |pairs|, not |docs|^2.
+
+    Deliberately NOT prefiltered to candidate-pair ids: deriving that
+    id set for a broadcast semi-join re-executes the entire LSH
+    candidate-generation subtree a second time (Spark reuses no
+    common subexpression across the broadcast and join sides without
+    materialization) — measured 2.7s -> 4.7s at sf0.1. Re-shingling
+    the corpus once more is the cheaper side of that trade at every
+    scale; pipelines that already persist the candidate pairs can
+    pass a materialized ``pairs`` and add the prefilter themselves."""
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),

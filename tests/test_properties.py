@@ -193,3 +193,67 @@ def test_uf_matches_model(spark, values):
 def test_digits_to_int_matches_model(spark, values):
     got = _run_column(spark, values, cl.digits_to_int, "int")
     assert got == [model_digits_to_int(v) for v in values]
+
+
+# ---------------------------------------------------------------------------
+# connected components vs pure-Python union-find (random graphs)
+# ---------------------------------------------------------------------------
+
+
+def model_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: union-find, component label = min member id."""
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        roots.setdefault(r, min(roots.get(r, r), r))
+        comp[v] = find(v)
+    # normalize label to min member id per component
+    mins: dict[int, int] = {}
+    for v in range(n):
+        r = comp[v]
+        mins[r] = min(mins.get(r, v), v)
+    return {v: mins[comp[v]] for v in range(n)}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=14).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(0, n - 1), st.integers(0, n - 1)
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=20,
+            ),
+        )
+    )
+)
+def test_connected_components_matches_union_find(spark, n_edges):
+    from sftp_data_ingestion_spark.ext.dedup import connected_components
+
+    n, edges = n_edges
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        e = e.limit(0)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(v, e).collect()
+    }
+    assert got == model_components(n, edges)

@@ -257,3 +257,31 @@ def test_connected_components_matches_union_find(spark, n_edges):
         for r in connected_components(v, e).collect()
     }
     assert got == model_components(n, edges)
+
+
+# ---------------------------------------------------------------------------
+# rolling fingerprint vs pure-Python Rabin-Karp fold
+# ---------------------------------------------------------------------------
+
+
+def model_rolling_fp(s: str) -> int:
+    # strip(" "): Spark/DuckDB trim() removes only 0x20, while Python
+    # str.strip() also removes \x1c-\x1f etc. — model the engines
+    h = 0
+    for ch in s.strip(" ").lower():
+        h = (h * 131 + (ord(ch) if ord(ch) < 128 else 0)) % 2147483647
+    return h
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=40),
+                min_size=1, max_size=24))
+def test_rolling_fingerprint_matches_model(spark, texts):
+    from sftp_data_ingestion_spark.ext.textstats import rolling_fingerprint
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got = {r["i"]: r["fp"] for r in df.select(
+        "i", rolling_fingerprint(F.col("t")).alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == model_rolling_fp(t), repr(t)

@@ -197,3 +197,35 @@ def f7_date_parts(spark, sf_dir):
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).alias("days_since_95"),
     )
+
+
+@query(
+    "j_salted_join_hot_key",
+    oracle="""
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders
+FROM (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+              ELSE o_custkey % 25 + 1 END AS hot_key
+  FROM orders
+) f JOIN nation ON nation.n_nationkey = f.hot_key
+GROUP BY n_name
+""",
+)
+def j_salted_join_hot_key(spark, sf_dir):
+    """Salted broadcast join on a DELIBERATELY skewed fact key (a
+    third of all orders map to key 1 — a single reducer's worth under
+    a plain shuffle join): fact side salts, dim replicates across
+    salts inside the broadcast, and the hot key's rows spread over
+    num_salts tasks. Result must equal the plain join, which is
+    exactly what the oracle computes."""
+    from sftp_data_ingestion_spark.operators.skew import salted_join_hot_keys
+
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey") % 25 + 1)
+        .cast("long")
+        .alias("n_nationkey")
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join_hot_keys(o, n, key="n_nationkey")
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_orders"))

@@ -248,3 +248,12 @@ def test_ann_joins_broadcast_probe_side(spark):
         assert "BroadcastHashJoin" in p, name
         assert "Exchange hashpartitioning(cell" not in p, name
         assert "Exchange hashpartitioning(bucket" not in p, name
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    """Salted hot-key join: the replicated dim stays a broadcast (no
+    shuffle of the salted fact side for the join itself)."""
+    df = q.QUERIES["j_salted_join_hot_key"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "__salt" in p

@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import SparkSession
@@ -71,6 +70,8 @@ def cmd_upsert(spark: SparkSession, args) -> dict:
         run_upsert_pipeline,
     )
 
+    from sftp_data_ingestion_spark.io.sinks import recover_interrupted_swap
+
     p = _paths(args.warehouse)
     try:
         staging = spark.read.parquet(p["bronze"])
@@ -78,6 +79,9 @@ def cmd_upsert(spark: SparkSession, args) -> dict:
         return {"upserted": 0, "reason": "no bronze data"}
     if getattr(args, "buckets", None):
         return _upsert_bucketed(spark, p, staging, args.buckets)
+    # a crash inside a previous swap leaves dw missing + dw.old intact;
+    # repair BEFORE the read below treats "missing" as "first run"
+    recover_interrupted_swap(p["dw"])
     try:
         dw = spark.read.parquet(p["dw"])
     except AnalysisException:
@@ -163,6 +167,7 @@ def cmd_curate(spark: SparkSession, args) -> dict:
     t = F.col(args.text_col)
     scored = docs.withColumn("quality", ts.quality_score(t))
     kept = scored.where(F.col("quality") >= args.min_quality)
+    n_kept = kept.count()  # once: each count re-runs the scan + score
     clusters = dd.neardup_clusters(
         kept, id_col=args.id_col, text_col=args.text_col,
         threshold=args.jaccard,
@@ -179,8 +184,8 @@ def cmd_curate(spark: SparkSession, args) -> dict:
     ).collect()[0]
     return {
         "docs_in": n_total,
-        "dropped_low_quality": n_total - kept.count(),
-        "dropped_near_dup": kept.count() - int(stats["n"]),
+        "dropped_low_quality": n_total - n_kept,
+        "dropped_near_dup": n_kept - int(stats["n"]),
         "docs_out": int(stats["n"]),
         "total_tokens": int(stats["tok"] or 0),
         "output": args.output,

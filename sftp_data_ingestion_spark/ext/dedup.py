@@ -438,6 +438,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -463,7 +464,18 @@ def connected_components(
         )
         labels = updated
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning here would hand back WRONG components (labels mid-
+        # propagation); the caller must raise max_iters (needed
+        # iterations = component diameter — long chains, not the dense
+        # little cliques near-dup graphs produce)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; raise max_iters (diameter of the largest "
+            "component exceeds it)"
+        )
     return labels
 
 

@@ -228,8 +228,36 @@ def _has_multiline_quoted_fields(lines: DataFrame) -> bool:
     return not lines.where(n_quotes % 2 == 1).isEmpty()
 
 
+def _scan_quote_state(
+    line: str, sep: str, in_quote: bool, at_field_start: bool
+) -> tuple[bool, bool]:
+    """Advance csv.reader's quoting state across one physical line:
+    a quote OPENS a field only at field start (a stray mid-field quote
+    is a literal char, exactly as the non-strict reader treats it);
+    inside a quoted field ``""`` is an escaped quote that stays
+    in-field. The end-of-line state decides whether the record
+    continues onto the next physical line."""
+    i, n = 0, len(line)
+    while i < n:
+        ch = line[i]
+        if in_quote:
+            if ch == '"':
+                if i + 1 < n and line[i + 1] == '"':
+                    i += 2  # escaped "" stays inside the field
+                    continue
+                in_quote = False
+                at_field_start = False
+        elif ch == '"' and at_field_start:
+            in_quote = True
+            at_field_start = False
+        else:
+            at_field_start = ch == sep
+        i += 1
+    return in_quote, at_field_start
+
+
 def read_records_multiline(
-    spark: SparkSession, paths: list[str], encoding: str
+    spark: SparkSession, paths: list[str], encoding: str, sep: str = ";"
 ) -> DataFrame:
     """Record-joining read for files with quoted multi-line fields —
     the reference's csv.reader accepts a quoted field containing a
@@ -237,14 +265,19 @@ def read_records_multiline(
     which a line-based distributed parse splits into broken rows.
 
     ``binaryFile`` yields one row per file; record reconstruction is a
-    LINEAR quote-parity fold over physical lines in ``mapInPandas`` —
-    the one place this module leaves Column expressions, because a
-    quote-balance record split is inherently sequential per file (a
-    regex-lookahead split would be quadratic in file size). Only files
-    whose batch tripped :func:`_has_multiline_quoted_fields` pay this
-    path. Parallelism is per-file; memory is bounded by the largest
-    file (the reference holds whole files in memory too). Output is
-    the same ``value`` line-frame shape, with embedded newlines kept
+    LINEAR scan with csv.reader's quoting state machine (see
+    :func:`_scan_quote_state`) over physical lines in ``mapInPandas``
+    — the one place this module leaves Column expressions, because a
+    quote-balanced record split is inherently sequential per file (a
+    regex-lookahead split would be quadratic in file size). Replaying
+    the reader's actual rules (not mere quote parity) means a stray
+    unpaired quote inside an unquoted field never merges neighboring
+    records — so a false-positive trigger from the cheap detector
+    costs only the slower path, never correctness. Only files whose
+    batch tripped :func:`_has_multiline_quoted_fields` pay this path.
+    Parallelism is per-file; memory is bounded by the largest file
+    (the reference holds whole files in memory too). Output is the
+    same ``value`` line-frame shape, with embedded newlines kept
     inside records, so :func:`parse_lines` applies unchanged.
     """
 
@@ -259,14 +292,18 @@ def read_records_multiline(
                 # line reader; the header drop strips it)
                 records: list[str] = []
                 buf: list[str] = []
-                parity = 0
+                in_quote = False
+                at_field_start = True
                 for line in text.split("\n"):
                     line = line.rstrip("\r")
                     buf.append(line)
-                    parity = (parity + line.count('"')) % 2
-                    if parity == 0:
+                    in_quote, at_field_start = _scan_quote_state(
+                        line, sep, in_quote, at_field_start
+                    )
+                    if not in_quote:
                         records.append("\n".join(buf))
                         buf = []
+                        at_field_start = True
                 if buf:  # unterminated quote at EOF: emit as-is
                     records.append("\n".join(buf))
                 yield pd.DataFrame({"value": records})
@@ -282,7 +319,18 @@ def parse_lines(
     quote-aware split, unquote, ragged repair, project to raw headers."""
     n = len(header)
     split_re = re.escape(sep) + _QUOTE_AWARE
-    cells = F.split(F.col("value"), split_re)
+    # stray-quote fallback: the balanced-quote lookahead refuses to
+    # split any separator ahead of an unpaired quote, collapsing the
+    # whole prefix into one cell. csv.reader treats a mid-field quote
+    # as a literal char and splits every separator — so for the (rare)
+    # odd-quote record, split plain. Joined multi-line records always
+    # have balanced quotes, so they never take this branch.
+    n_quotes = F.length("value") - F.length(
+        F.replace(F.col("value"), F.lit('"'), F.lit(""))
+    )
+    cells = F.when(
+        n_quotes % 2 == 1, F.split(F.col("value"), re.escape(sep))
+    ).otherwise(F.split(F.col("value"), split_re))
     # ragged repair on parsed cells (02:150-156): overflow cells are
     # UNQUOTED first, then re-joined with the separator — matching the
     # reference, which joins csv-parsed cells
@@ -334,7 +382,7 @@ def read_csv_robust(
     lines = read_lines(spark, paths, p0.encoding)
     if _has_multiline_quoted_fields(lines):
         # rare dirty batch: re-read with csv.reader record semantics
-        lines = read_records_multiline(spark, paths, p0.encoding)
+        lines = read_records_multiline(spark, paths, p0.encoding, p0.sep)
     raw = parse_lines(lines, p0.sep, p0.header, p0.header_line)
     from sftp_data_ingestion_spark.operators.conform import with_lineage
 

@@ -48,21 +48,45 @@ def route_file(path: str, ok: bool, lidos_dir: str, erros_dir: str) -> str:
     return safe_copy(path, lidos_dir if ok else erros_dir)
 
 
+def recover_interrupted_swap(path: str) -> bool:
+    """Repair the one non-atomic window of :func:`atomic_swap_parquet`:
+    a crash between the two renames leaves ``<path>.old`` holding the
+    only copy while ``path`` is missing. MUST be called before reading
+    ``path`` by any caller that treats a missing table as "first run"
+    — otherwise that caller silently rebuilds from scratch and the
+    table history is lost. Returns True when a recovery happened."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def atomic_swap_parquet(df: DataFrame, path: str) -> int:
-    """Crash-safe full-table rewrite on plain parquet: write the new
+    """Near-atomic full-table rewrite on plain parquet: write the new
     result to ``<path>.tmp``, rename the old dir aside, swap the temp
     in, drop the old — the Delta-MERGE-commit equivalent when the
-    store is a directory. Readers see either the old or the new table,
-    never a partial write. Returns the new row count (one read of the
+    store is a directory. Returns the new row count (one read of the
     freshly-written files, which doubles as a write verification).
-    Same-session readers must ``spark.catalog.refreshByPath`` (done
-    here) because the swap happens behind Spark's file-listing cache.
+
+    The swap is two renames, so there IS a crash window between them
+    where ``path`` is absent and ``<path>.old`` holds the data;
+    :func:`recover_interrupted_swap` repairs it and must run before
+    any "missing table == first run" read (both CLI upsert and the
+    streaming merge do). Stale ``.tmp``/``.old`` leftovers from a
+    crashed earlier run are cleared up front so a retry never fails
+    the rename into a non-empty directory. Same-session readers must
+    ``spark.catalog.refreshByPath`` (done here) because the swap
+    happens behind Spark's file-listing cache.
     """
     spark = df.sparkSession
+    recover_interrupted_swap(path)
     tmp = path + ".tmp"
+    old = path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = path + ".old"
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)

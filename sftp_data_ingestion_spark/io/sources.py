@@ -192,8 +192,15 @@ class SFTPSource:
                 "01_ingest_sftp_pedidos.py:41-60"
             ) from exc
         self._transport = paramiko.Transport((host, port))
-        self._transport.connect(username=username, password=password)
-        self._sftp = paramiko.SFTPClient.from_transport(self._transport)
+        try:
+            self._transport.connect(username=username, password=password)
+            self._sftp = paramiko.SFTPClient.from_transport(self._transport)
+        except Exception:
+            # auth/negotiation failure: close the socket + transport
+            # thread Transport() already started, or retrying callers
+            # leak one connection per attempt
+            self._transport.close()
+            raise
         self.remote_dir = remote_dir
 
     def list_files(self) -> list[RemoteFile]:

@@ -39,6 +39,23 @@ def _batch_already_archived(
     )
 
 
+def _content_fingerprint(df) -> tuple[int, int]:
+    """(row count, order-insensitive content hash): sum of per-row
+    xxhash64 over the JSON of the full row — one scan, no shuffle,
+    collision odds negligible for the retry-vs-reuse distinction."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # DECIMAL(38,0) sum: a long sum of 64-bit hashes overflows
+        # under ANSI; xor would cancel duplicate rows pairwise
+        F.sum(
+            F.xxhash64(F.to_json(F.struct(*sorted(df.columns)))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), int(row["fp"] or 0)
+
+
 def move_to_archive(
     spark: SparkSession,
     staging_path: str,
@@ -79,23 +96,26 @@ def move_to_archive(
         # full transactional story is Delta's — SURVEY §2.10 — this
         # gate gives exactly-once per batch_id on plain parquet.)
         # batch_id MUST be unique per batch: the gate only clears
-        # staging when its row count matches what hist already holds
-        # under this batch_id (the crash-retry signature). A reused
-        # batch_id over DIFFERENT staging data raises instead of
-        # silently discarding the new rows.
+        # staging when its CONTENT fingerprint (count + order-
+        # insensitive row-hash sum, so an equal-sized different batch
+        # cannot slip through) matches what hist already holds under
+        # this batch_id — the crash-retry signature. A reused batch_id
+        # over different staging data raises instead of silently
+        # discarding the new rows.
         if batch_id is not None and _batch_already_archived(spark, hist_path, bid):
-            n_staging = staging.count()
-            if n_staging == 0:
+            stg_n, stg_fp = _content_fingerprint(staging)
+            if stg_n == 0:
                 return {"moved": 0, "batch_id_rows": 0}
-            n_hist = (
+            hist_batch = (
                 spark.read.parquet(hist_path)
                 .where(F.col("batch_id") == bid)
-                .count()
+                .select(staging.columns)
             )
-            if n_staging != n_hist:
+            hist_n, hist_fp = _content_fingerprint(hist_batch)
+            if (stg_n, stg_fp) != (hist_n, hist_fp):
                 raise ValueError(
-                    f"batch_id {bid!r} already archived with {n_hist} rows "
-                    f"but staging holds {n_staging} different rows; "
+                    f"batch_id {bid!r} already archived ({hist_n} rows) "
+                    f"but staging holds different content ({stg_n} rows); "
                     "batch_id must be unique per batch"
                 )
             empty = spark.createDataFrame([], staging.schema)

@@ -144,9 +144,12 @@ def d_exact_dedup_survivors(spark, sf_dir):
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
-             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
-         )) AS sh
+           -- whole-text fallback for docs shorter than the shingle
+           -- width, matching ext/dedup.shingles()
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM documents WHERE doc_id < 150)
 ), sizes AS (
@@ -207,9 +210,12 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
-             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
-         )) AS sh
+           -- whole-text fallback for docs shorter than the shingle
+           -- width, matching ext/dedup.shingles()
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM documents)
 ), sizes AS (
@@ -243,9 +249,12 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
     oracle=r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
-             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
-         )) AS sh
+           -- whole-text fallback for docs shorter than the shingle
+           -- width, matching ext/dedup.shingles()
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM documents)
 ), sizes AS (
@@ -373,9 +382,12 @@ WITH RECURSIVE scored AS (
   SELECT * FROM scored WHERE quality >= 0.6
 ), toks AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(greatest(length(string_split(s, ' ')) - 2, 0)),
-             i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
-         )) AS sh
+           -- whole-text fallback for docs shorter than the shingle
+           -- width, matching ext/dedup.shingles()
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
   FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
         FROM kept)
 ), sizes AS (

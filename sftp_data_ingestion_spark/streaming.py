@@ -219,7 +219,10 @@ def stream_upsert_to_dw(
     """
     from pyspark.errors import AnalysisException
 
-    from sftp_data_ingestion_spark.io.sinks import atomic_swap_parquet
+    from sftp_data_ingestion_spark.io.sinks import (
+        atomic_swap_parquet,
+        recover_interrupted_swap,
+    )
     from sftp_data_ingestion_spark.operators.clean import clean_staging
     from sftp_data_ingestion_spark.operators.pipeline import (
         run_upsert_pipeline,
@@ -229,6 +232,9 @@ def stream_upsert_to_dw(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        # a crash inside the previous batch's swap leaves dw missing +
+        # dw.old intact; repair BEFORE treating "missing" as batch #1
+        recover_interrupted_swap(dw_path)
         try:
             dw = s.read.parquet(dw_path)
         except AnalysisException:  # first batch: empty typed DW

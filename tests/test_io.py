@@ -381,3 +381,29 @@ def test_sftp_source_without_paramiko_raises(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_paramiko)
     with pytest.raises(NotImplementedError, match="paramiko"):
         SFTPSource("h", 22, "u", "p", "/d")
+
+
+def test_stray_quote_line_does_not_merge_or_collapse(spark, tmp_path):
+    """A lone unpaired quote inside an unquoted field is a literal
+    char (csv.reader non-strict): the record joiner must NOT merge the
+    line with its neighbor, and the cell split must still split every
+    separator instead of collapsing the prefix into one cell."""
+    p = _write(tmp_path / "stray.csv",
+               f'{HDR}\n1;;ab"cd;;;;;;;;SP\n2;;normal;;;;;;;;RJ\n')
+    rows = _collect(spark, p)
+    assert len(rows) == 2
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["1"]["pedido"] == 'ab"cd'
+    assert by_id["1"]["uf"] == "SP"
+    assert by_id["2"]["pedido"] == "normal"
+
+
+def test_doubled_quote_then_newline_stays_in_field(spark, tmp_path):
+    """'""' inside a quoted field is an escaped quote — the field (and
+    its embedded newline AFTER the escape) stays open until the real
+    closing quote."""
+    p = _write(tmp_path / "esc.csv",
+               f'{HDR}\n1;;"say ""hi""\nnext line";;;;;;;;SP\n')
+    rows = _collect(spark, p)
+    assert len(rows) == 1
+    assert rows[0]["pedido"] == 'say "hi"\nnext line'

@@ -359,8 +359,9 @@ def test_archive_rerun_same_batch_id_is_idempotent(spark, tmp_path):
 
 def test_archive_batch_id_reuse_with_new_data_raises(spark, tmp_path):
     """ADVICE fix: a reused batch_id over DIFFERENT staging data must
-    raise, not silently discard the new rows (the gate only clears
-    staging when its row count matches the already-archived batch)."""
+    raise, not silently discard the new rows — the gate compares a
+    CONTENT fingerprint, so even an equal-sized different batch is
+    caught."""
     staging = str(tmp_path / "staging")
     hist = str(tmp_path / "hist")
     spark.createDataFrame([("a",), ("b",)], "v string").write.parquet(staging)
@@ -372,3 +373,40 @@ def test_archive_batch_id_reuse_with_new_data_raises(spark, tmp_path):
         move_to_archive(spark, staging, hist, batch_id="B1")
     assert spark.read.parquet(staging).count() == 1  # rows preserved
     assert spark.read.parquet(hist).count() == 2     # hist untouched
+    # EQUAL-SIZED different content must also raise (count alone
+    # cannot distinguish reuse from crash-retry)
+    spark.createDataFrame([("x",), ("y",)], "v string").write.mode(
+        "overwrite").parquet(staging)
+    with pytest.raises(ValueError, match="unique per batch"):
+        move_to_archive(spark, staging, hist, batch_id="B1")
+    assert spark.read.parquet(staging).count() == 2
+    assert spark.read.parquet(hist).count() == 2
+
+
+def test_atomic_swap_crash_window_recovery(spark, tmp_path):
+    """A crash between the swap's two renames leaves only <path>.old;
+    recover_interrupted_swap must restore it BEFORE any caller treats
+    the missing table as 'first run' (silent full-history loss)."""
+    import os
+
+    from sftp_data_ingestion_spark.io.sinks import (
+        atomic_swap_parquet,
+        recover_interrupted_swap,
+    )
+
+    path = str(tmp_path / "dw")
+    spark.createDataFrame([("k1",), ("k2",)], "k string").write.parquet(path)
+    # simulate the crash window: table renamed aside, swap never landed
+    os.rename(path, path + ".old")
+    assert recover_interrupted_swap(path)
+    assert sorted(r["k"] for r in spark.read.parquet(path).collect()) == [
+        "k1", "k2"]
+    assert not os.path.exists(path + ".old")
+    # a stale .old from a COMPLETED swap never blocks the next one
+    spark.read.parquet(path).write.parquet(path + ".old")
+    n = atomic_swap_parquet(
+        spark.createDataFrame([("k3",)], "k string"), path
+    )
+    assert n == 1
+    assert [r["k"] for r in spark.read.parquet(path).collect()] == ["k3"]
+    assert not os.path.exists(path + ".old")

@@ -83,8 +83,15 @@ def cosine_topk(
     # corpus scan stage; a one-split corpus would serialize it (no-op
     # at scale, where the scan has >= one split per core)
     c = _norm_side(fan_out(corpus), id_col, vec_col, "neighbor_id", "cv", "cn")
+    # Broadcast the QUERY side explicitly: without the hint Spark picks
+    # the build side from size estimates that don't see the vec_id
+    # filter's selectivity, and building the CORPUS side streams the
+    # one-split query scan — every pair score then serializes on one
+    # core and the corpus fan_out is wasted on the broadcast side
+    # (measured 2.3s -> 16s at sf0.1). A point-lookup query set is the
+    # small side by construction at every scale.
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -26,4 +26,5 @@ from sftp_data_ingestion_spark.queries import q_multimodal  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_temporal  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_sampling  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_extra  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_profile  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_streaming  # noqa: F401,E402

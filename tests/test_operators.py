@@ -410,3 +410,31 @@ def test_atomic_swap_crash_window_recovery(spark, tmp_path):
     assert n == 1
     assert [r["k"] for r in spark.read.parquet(path).collect()] == ["k3"]
     assert not os.path.exists(path + ".old")
+
+
+def test_profile_columns_nulls_and_native_ordering(spark):
+    from sftp_data_ingestion_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (100, "a"), (None, "a")],
+        "n bigint, s string",
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df, ["n", "s"]).collect()}
+    n, s = rows["n"], rows["s"]
+    assert n["n_rows"] == 4 and n["n_nulls"] == 1 and n["n_distinct"] == 3
+    # min/max computed on the native type THEN rendered: lexicographic
+    # ordering would give min "10" / max "9"
+    assert (n["min_str"], n["max_str"]) == ("9", "100")
+    assert s["n_nulls"] == 1 and s["n_distinct"] == 2
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+
+
+def test_profile_columns_approx_mode_single_row_per_col(spark):
+    from sftp_data_ingestion_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(100)], "n bigint, s string")
+    out = profile_columns(df, ["n", "s"], exact_distinct=False).collect()
+    assert len(out) == 2
+    by = {r["column_name"]: r for r in out}
+    # HLL estimate is exact at these cardinalities
+    assert by["s"]["n_distinct"] == 7 and by["n"]["n_rows"] == 100

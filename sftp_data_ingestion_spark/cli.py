@@ -192,6 +192,22 @@ def cmd_curate(spark: SparkSession, args) -> dict:
     }
 
 
+def cmd_compact(spark: SparkSession, args) -> dict:
+    """Maintenance: bin-pack the append-grown tables (bronze, hist)
+    into ~target-sized files — scan cost tracks file COUNT at scale,
+    and per-batch appends grow it linearly (io/compact.py)."""
+    from sftp_data_ingestion_spark.io.compact import compact_parquet_dir
+
+    p = _paths(args.warehouse)
+    out = {}
+    for name in ("bronze", "hist"):
+        if os.path.exists(p[name]):
+            out[name] = compact_parquet_dir(
+                spark, p[name], target_file_bytes=args.target_file_mb << 20
+            )
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sftp_data_ingestion_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -219,6 +235,10 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("run-all")
     common(pr, source=True, landing=True, warehouse=True)
     pr.add_argument("--batch-id", default=None)
+    pm = sub.add_parser("compact")
+    common(pm, warehouse=True)
+    pm.add_argument("--target-file-mb", type=int, default=128,
+                    help="target output file size in MiB")
     pc = sub.add_parser("curate")
     pc.add_argument("--documents", required=True,
                     help="input documents parquet path")
@@ -240,6 +260,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"upsert": cmd_upsert(spark, args)}
     elif args.cmd == "archive":
         out = {"archive": cmd_archive(spark, args)}
+    elif args.cmd == "compact":
+        out = {"compact": cmd_compact(spark, args)}
     elif args.cmd == "curate":
         out = {"curate": cmd_curate(spark, args)}
     else:  # run-all: the four stages in cron order, one process

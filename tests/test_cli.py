@@ -130,3 +130,23 @@ def test_curate_command(spark, tmp_path, capsys):
     assert curated.count() == stats["docs_out"]
     assert {"quality", "n_tokens"} <= set(curated.columns)
     assert stats["total_tokens"] > 0
+
+
+def test_compact_command(spark, tmp_path, capsys):
+    import json
+
+    wh = str(tmp_path / "wh")
+    bronze = f"{wh}/bronze"
+    for b in range(6):
+        spark.createDataFrame(
+            [(b, f"r{b}")], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(bronze)
+    before = spark.read.parquet(bronze).sort("id").collect()
+
+    assert main(["compact", "--warehouse", wh]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["compact"]
+    assert stats["bronze"]["compacted"] and stats["bronze"]["files_after"] == 1
+    assert "hist" not in stats  # absent table skipped
+
+    spark.catalog.refreshByPath(bronze)
+    assert spark.read.parquet(bronze).sort("id").collect() == before

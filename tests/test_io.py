@@ -407,3 +407,35 @@ def test_doubled_quote_then_newline_stays_in_field(spark, tmp_path):
     rows = _collect(spark, p)
     assert len(rows) == 1
     assert rows[0]["pedido"] == 'say "hi"\nnext line'
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    from sftp_data_ingestion_spark.io.compact import compact_parquet_dir
+
+    path = str(tmp_path / "bronze")
+    # simulate many per-batch appends -> many small files
+    for b in range(8):
+        spark.createDataFrame(
+            [(b * 100 + i, f"v{b}_{i}") for i in range(50)], "id long, v string"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = spark.read.parquet(path).sort("id").collect()
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_before"] >= 8
+    assert stats["files_after"] == 1  # total bytes << target -> one file
+
+    after = spark.read.parquet(path).sort("id").collect()
+    assert after == before  # byte-for-byte same rows
+
+    # second pass is a no-op: the table is already healthy
+    again = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert not again["compacted"] and again["files_after"] == 1
+
+
+def test_compact_noop_below_min_files(spark, tmp_path):
+    from sftp_data_ingestion_spark.io.compact import compact_parquet_dir
+
+    path = str(tmp_path / "small")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    stats = compact_parquet_dir(spark, path, min_files=4)
+    assert not stats["compacted"]

@@ -54,6 +54,20 @@ def compact_parquet_dir(
     ``{files_before, files_after, bytes_total, compacted}``.
     """
     recover_interrupted_swap(path)
+    # a hive-partitioned layout (e.g. the bucketed DW's dw_bucket=N
+    # dirs) must keep its directory structure: a flat rewrite would
+    # fold the partition column into the data files and break every
+    # partition-pruned reader. Compact those per-partition instead.
+    parts = [
+        e
+        for e in os.listdir(path)
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ] if os.path.isdir(path) else []
+    if parts:
+        raise ValueError(
+            f"{path} is hive-partitioned ({parts[0]}, ...); compact each "
+            "partition directory individually to preserve the layout"
+        )
     files = _data_files(path)
     n_before = len(files)
     total = sum(s for _, s in files)

@@ -439,3 +439,16 @@ def test_compact_noop_below_min_files(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
     stats = compact_parquet_dir(spark, path, min_files=4)
     assert not stats["compacted"]
+
+
+def test_compact_refuses_hive_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from sftp_data_ingestion_spark.io.compact import compact_parquet_dir
+
+    path = str(tmp_path / "dw")
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id long, v string, dw_bucket int"
+    ).write.partitionBy("dw_bucket").parquet(path)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet_dir(spark, path, min_files=1)

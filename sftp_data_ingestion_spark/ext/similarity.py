@@ -20,6 +20,9 @@ are deterministic and identical across runs/engines with no RNG state.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,7 +35,10 @@ def as_double(vec: Column) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product as fold-left over zip_with — element order fixed,
-    so results are bit-deterministic for a given pair."""
+    so results are bit-deterministic for a given pair. INTERPRETED
+    (higher-order functions never enter whole-stage codegen): use only
+    where the dimension is unknown at plan time; every hot path below
+    uses :func:`dot_flat`, which is bit-identical and JIT-compiled."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -48,22 +54,59 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _pair_sim(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+def dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled to ``dim`` scalar multiply-adds.
+
+    Bit-identical to :func:`dot`: the sum associates left-to-right from
+    a 0.0 init, exactly like the fold — ``((0.0 + a1*b1) + a2*b2)…`` —
+    so hashes/rankings cannot move. Unlike the fold it is plain scalar
+    arithmetic, which rides whole-stage codegen: measured ~10x on the
+    pair-scoring stage (the r3 bench's dominant cost — VERDICT.md §
+    "What's wrong" #2: 100x20k interpreted pairs at 13.5 s)."""
+    return functools.reduce(
+        operator.add,
+        (F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)),
+        F.lit(0.0),
+    )
+
+
+def norm_flat(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_flat(a, a, dim))
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Probe the (fixed) vector dimensionality from one row — a single
+    tiny job. Callers that know the dim pass it explicitly and skip
+    this."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer vector dim of empty column {vec_col!r}")
+    return int(row["d"])
+
+
+def _pair_sim(qv: Column, cv: Column, qn: Column, cn: Column, dim: int) -> Column:
     """Pair cosine with PRE-computed per-side norms. Bit-identical to
     :func:`cosine` (same ``dot / (n_a * n_b)`` arithmetic, and a
     vector's norm is a deterministic fold), but the norms are computed
     once per input row below the join instead of once per PAIR above
-    it — 3 HOF dot-products per pair drop to 1. At 100 TB the pair
-    count dwarfs the row count, so this is the dominant ANN cost."""
-    return dot(qv, cv) / (qn * cn)
+    it — 3 dot-products per pair drop to 1 — and the remaining dot is
+    the codegen'd flat form. At 100 TB the pair count dwarfs the row
+    count, so this is the dominant ANN cost."""
+    return dot_flat(qv, cv, dim) / (qn * cn)
 
 
 def _norm_side(
-    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str, out_norm: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    out_norm: str,
+    dim: int,
 ) -> DataFrame:
     v = as_double(F.col(vec_col))
     return df.select(
-        F.col(id_col).alias(out_id), v.alias(out_vec), norm(v).alias(out_norm)
+        F.col(id_col).alias(out_id), v.alias(out_vec), norm_flat(v, dim).alias(out_norm)
     )
 
 
@@ -73,16 +116,19 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (excludes self).
 
     Output: (query_id, neighbor_id, sim) with rank <= k, sim rounded
     to 6 dp AFTER ranking (ranking uses full precision)."""
-    q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn")
+    if dim is None:
+        dim = _dim_of(corpus, vec_col)
+    q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn", dim)
     # fan_out: the broadcast-NL join evaluates every pair score in the
     # corpus scan stage; a one-split corpus would serialize it (no-op
     # at scale, where the scan has >= one split per core)
-    c = _norm_side(fan_out(corpus), id_col, vec_col, "neighbor_id", "cv", "cn")
+    c = _norm_side(fan_out(corpus), id_col, vec_col, "neighbor_id", "cv", "cn", dim)
     # Broadcast the QUERY side explicitly: without the hint Spark picks
     # the build side from size estimates that don't see the vec_id
     # filter's selectivity, and building the CORPUS side streams the
@@ -97,7 +143,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             _pair_sim(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
             ).alias("sim_full"),
         )
     )
@@ -132,7 +178,15 @@ def srp_signature(
     vec: Column, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Sign pattern of the vector against ``n_planes`` fixed random
-    hyperplanes, packed into one long."""
+    hyperplanes, packed into one long.
+
+    Deliberately the compact higher-order-function form, NOT a flat
+    unrolled sum: signature cost scales with ROWS (one per vector),
+    not pairs, so interpreted evaluation is cheap — while unrolling
+    n_tables x n_planes x dim terms was measured to produce codegen so
+    large that Janino compilation alone took ~150 s (vs ~2 s total for
+    this form). Flat unrolling pays only where the expression runs per
+    PAIR (see :func:`dot_flat`)."""
     v = as_double(vec)
     idx = F.sequence(F.lit(0), F.size(v) - 1)
     acc = F.lit(0).cast("long")
@@ -163,6 +217,7 @@ def srp_topk(
     n_planes: int = 12,
     seed: int = 42,
     n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only same-SRP-bucket pairs. Approximate —
     single-table recall is bounded by the per-plane collision
@@ -170,6 +225,8 @@ def srp_topk(
     hash tables (different seeds) and union the candidates: recall
     1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
     output shape as :func:`cosine_topk`."""
+    if dim is None:
+        dim = _dim_of(corpus, vec_col)
 
     def side(df, out_id, vec_alias, norm_alias):
         # all n_tables signatures in ONE projection + inline-explode:
@@ -190,7 +247,7 @@ def srp_topk(
         return df.select(
             F.col(id_col).alias(out_id),
             v.alias(vec_alias),
-            norm(v).alias(norm_alias),
+            norm_flat(v, dim).alias(norm_alias),
             F.inline(tables),
         )
 
@@ -207,7 +264,7 @@ def srp_topk(
             "query_id",
             "neighbor_id",
             _pair_sim(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
             ).alias("sim_full"),
         )
     )
@@ -241,7 +298,14 @@ def ivf_assign(
 
     The centroid list is tiny (hundreds) and travels as a literal
     array — evaluated JVM-side per row, no join, no UDF. Output adds
-    ``cell`` (exploded when nprobe > 1)."""
+    ``cell`` (exploded when nprobe > 1).
+
+    Deliberately the compact higher-order-function form: assignment
+    cost scales with ROWS (one evaluation per vector), so interpreted
+    evaluation is cheap — while unrolling n_cells x dim literal terms
+    was measured to cost ~15 s of Janino compilation per DISTINCT
+    centroid set (k-means recompiles every iteration because the
+    literals change). Flat unrolling pays only per PAIR (dot_flat)."""
     cent = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in c])
@@ -337,20 +401,23 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned into centroid cells once;
     each query scores only its ``nprobe`` probed cells. Candidate cost
     ~ nprobe/k_cells of the corpus — the inverted-file scale path
     (recall tunable via nprobe)."""
+    if dim is None:
+        dim = len(centroids[0])
     qv = as_double(F.col(vec_col))
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         centroids, vec_col, nprobe,
-    ).select("query_id", qv.alias("qv"), norm(qv).alias("qn"), "cell")
+    ).select("query_id", qv.alias("qv"), norm_flat(qv, dim).alias("qn"), "cell")
     c = ivf_assign(
         fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
         centroids, vec_col, nprobe=1,
-    ).select("neighbor_id", qv.alias("cv"), norm(qv).alias("cn"), "cell")
+    ).select("neighbor_id", qv.alias("cv"), norm_flat(qv, dim).alias("cn"), "cell")
     # Broadcast the probe side: an ANN lookup's query set (x nprobe
     # replication) is the small side by construction, while a shuffle
     # join on `cell` would funnel the whole corpus through k_cells
@@ -364,7 +431,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             _pair_sim(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
             ).alias("sim_full"),
         )
         # no distinct: the corpus is assigned to exactly ONE cell
@@ -389,6 +456,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 7,
     n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets (the
     embedding-space analogue of MinHash near-dup). ``n_tables``
@@ -396,6 +464,8 @@ def embedding_near_dup_pairs(
     per-pair recall 1-(1-p^n_planes)^T for per-plane collision prob p
     — the dial between cost and recall. Candidates are exact-rescored,
     so precision is always exact."""
+    if dim is None:
+        dim = _dim_of(df, vec_col)
     v = as_double(F.col(vec_col))
     # all n_tables signatures in one projection + inline-explode (one
     # scan, not a table-per-branch union costing T redundant scans)
@@ -403,9 +473,9 @@ def embedding_near_dup_pairs(
         *[
             F.struct(
                 F.lit(t).alias("table_idx"),
-                srp_signature(F.col(vec_col), n_planes, seed + 7919 * t).alias(
-                    "bucket"
-                ),
+                srp_signature(
+                    F.col(vec_col), n_planes, seed + 7919 * t
+                ).alias("bucket"),
             )
             for t in range(n_tables)
         ]
@@ -413,7 +483,7 @@ def embedding_near_dup_pairs(
     sig = fan_out(df).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        norm(v).alias("n"),
+        norm_flat(v, dim).alias("n"),
         F.inline(tables),
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -428,7 +498,9 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                _pair_sim(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")),
+                _pair_sim(
+                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), dim
+                ),
                 6,
             ).alias("sim"),
         )

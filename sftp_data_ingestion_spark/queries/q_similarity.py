@@ -34,7 +34,7 @@ SELECT query_id, neighbor_id, round(sim_full, 6) AS sim FROM (
 )
 def v_cosine_topk_bruteforce(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(e.where(F.col("vec_id") < 100), e, k=5)
+    return sim.cosine_topk(e.where(F.col("vec_id") < 100), e, k=5, dim=64)
 
 
 @query(
@@ -93,7 +93,7 @@ def v_srp_ann_topk(spark, sf_dir):
     statement."""
     e = table(spark, sf_dir, "embeddings")
     return sim.srp_topk(
-        e.where(F.col("vec_id") < 100), e, k=5, n_planes=2, n_tables=16
+        e.where(F.col("vec_id") < 100), e, k=5, n_planes=2, n_tables=16, dim=64
     )
 
 
@@ -140,7 +140,7 @@ def v_ivf_ann_recall(spark, sf_dir):
     approx = sim.ivf_topk(queries, e, cents, k=5, nprobe=8).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
-    exact = sim.cosine_topk(queries, e, k=5).select(
+    exact = sim.cosine_topk(queries, e, k=5, dim=64).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
     )
     hit = exact.join(
@@ -217,7 +217,8 @@ def v_embedding_near_dup(spark, sf_dir):
     100% recall here — and the exact-rescore keeps precision exact,
     so the output equals the all-pairs oracle."""
     return sim.embedding_near_dup_pairs(
-        _planted_corpus(spark, sf_dir), threshold=0.9, n_planes=8, n_tables=8
+        _planted_corpus(spark, sf_dir), threshold=0.9, n_planes=8, n_tables=8,
+        dim=64,
     )
 
 
@@ -255,7 +256,7 @@ def v_embedding_neardup_clusters(spark, sf_dir):
 
     planted = _planted_corpus(spark, sf_dir)
     pairs = sim.embedding_near_dup_pairs(
-        planted, threshold=0.9, n_planes=8, n_tables=8
+        planted, threshold=0.9, n_planes=8, n_tables=8, dim=64
     ).select("id_a", "id_b")
     comp = dd.connected_components(
         planted.select("vec_id"), pairs, id_col="vec_id"

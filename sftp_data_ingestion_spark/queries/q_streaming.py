@@ -56,7 +56,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return stream
+    # TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ, which
+    # watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); with
+    # the session tz pinned to UTC the cast is a wall-clock no-op, so
+    # drained results still hash-match the batch oracles.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:

@@ -1,0 +1,130 @@
+"""Real-decode multimodal kernels: stdlib BMP/WAV codecs and the
+``decode="real"`` mapInPandas stages (featurize + resize) end-to-end
+through Spark. Pillow coverage is import-gated (absent here)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sftp_data_ingestion_spark.ext import multimodal as mm
+
+
+def _checker_rgb(w, h):
+    """Deterministic checkerboard RGB bytes, top-down row-major."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 255 if (x + y) % 2 == 0 else 0
+            out += bytes((v, v // 2, 255 - v))
+    return bytes(out)
+
+
+def test_bmp_roundtrip():
+    rgb = _checker_rgb(5, 3)  # odd width exercises row padding
+    payload = mm.encode_bmp24(5, 3, rgb)
+    w, h, back = mm.decode_bmp24(payload)
+    assert (w, h) == (5, 3)
+    assert back == rgb
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        mm.decode_bmp24(b"not a bitmap")
+
+
+def test_wav_roundtrip_mono():
+    samples = [0, 1000, -1000, 32767, -32768, 12345]
+    payload = mm.encode_wav_pcm16(8000, samples)
+    fr, back = mm.decode_wav(payload)
+    assert fr == 8000
+    assert back == samples
+
+
+def test_nearest_resize_exact():
+    # 2x2 -> 1x1 nearest picks the top-left source pixel
+    rgb = bytes((10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    assert mm._nearest_resize(rgb, 2, 2, 1, 1) == bytes((10, 20, 30))
+    # identity resize is a no-op
+    assert mm._nearest_resize(rgb, 2, 2, 2, 2) == rgb
+
+
+def test_real_features_image_histogram():
+    # all-black 2x2 image: every luma lands in bin 0, mass 1.0
+    payload = mm.encode_bmp24(2, 2, bytes(12))
+    feats = mm._real_features(payload, "bmp", 4)
+    assert feats == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_real_features_wav_rms():
+    # constant amplitude -> every window RMS = 16384/32768 = 0.5
+    payload = mm.encode_wav_pcm16(8000, [16384] * 64)
+    feats = mm._real_features(payload, "wav", 4)
+    assert feats == pytest.approx([0.5] * 4)
+
+
+def test_real_features_unsupported_format():
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm._real_features(b"xxxx", "mp4", 4)
+
+
+def _media_df(spark):
+    rows = [
+        (1, mm.encode_bmp24(4, 4, _checker_rgb(4, 4)), "bmp", "image"),
+        (2, mm.encode_wav_pcm16(8000, list(range(-100, 100))), "wav", "audio"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("mt", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("mt").alias("media_type"),
+            F.col("fmt").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def test_extract_features_real_through_spark(spark):
+    out = mm.extract_features(_media_df(spark), dim=4, decode="real").collect()
+    by_id = {r["media_id"]: r["features"] for r in out}
+    assert len(by_id) == 2
+    assert pytest.approx(sum(by_id[1]), abs=1e-6) == 1.0  # histogram mass
+    assert all(0.0 <= v <= 1.0 for v in by_id[2])  # RMS normalized
+
+
+def test_resize_real_through_spark(spark):
+    src = _media_df(spark).where(F.col("media_id") == 1)
+    out = mm.resize_media(src, width=2, height=2, decode="real").collect()
+    assert len(out) == 1
+    w, h, rgb = mm.decode_bmp24(bytes(out[0]["payload"]))
+    assert (w, h) == (2, 2)
+    # nearest-neighbor of the 4x4 checkerboard at stride 2 keeps the
+    # (0,0) and (0,2) source pixels on the first row — both "white"
+    src_rgb = _checker_rgb(4, 4)
+    assert rgb[0:3] == src_rgb[0:3]
+
+
+def test_sample_frames_real_still_gated(spark):
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(_media_df(spark), decode="real")
+
+
+@pytest.mark.skipif(mm._pil_image() is None, reason="Pillow not installed")
+def test_pil_path_decodes_png():  # pragma: no cover — env-dependent
+    import io
+
+    img = mm._pil_image().new("RGB", (3, 2), (255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, rgb = mm._real_decode_image(buf.getvalue())
+    assert (w, h, rgb[:3]) == (3, 2, bytes((255, 0, 0)))

@@ -178,13 +178,16 @@ def test_extract_features_deterministic(spark, media):
     assert rows[0]["content_sha"] != rows[1]["content_sha"]
 
 
-def test_real_decode_raises(media):
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(media, decode="real")
+def test_real_decode_unsupported_formats_raise(media):
+    """decode='real' now genuinely decodes BMP/WAV (stdlib codecs;
+    tests/test_multimodal_real.py), so only formats with no available
+    codec raise — the synthesized media table's 'fake' format errors
+    inside the kernel (surfacing as Spark's wrapped PythonException),
+    and video frame decode (no stdlib codec) raises eagerly."""
+    with pytest.raises(Exception, match="codec"):
+        mm.extract_features(media, decode="real").collect()
     with pytest.raises(NotImplementedError):
         mm.sample_frames(media, decode="real")
-    with pytest.raises(NotImplementedError):
-        mm.resize_media(media, decode="real")
 
 
 def test_resize_media_bounds_payload(spark, media):

@@ -93,6 +93,29 @@ def test_asof_tolerance_no_nested_loop(spark):
     assert "CartesianProduct" not in p
 
 
+def test_asof_unbounded_is_join_free_union_sort(spark):
+    """asof WITHOUT tolerance must have bounded per-key work at any
+    scale: the union-sort form has NO join node at all — one union,
+    one window sorted per key — so there is no per-key candidate set
+    to blow up (r3's join+window form was the flagged scale risk)."""
+    from sftp_data_ingestion_spark.operators.temporal import asof_join
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, SF, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    df = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    p = plan(df)
+    assert "Join" not in p  # no join operator of ANY kind
+    assert "Union" in p and "Window" in p
+    # one shuffle for the per-key window; nothing else moves data
+    assert n_exchanges(p) == 1
+
+
 def test_range_join_is_equi_bucket_join(spark):
     df = q.QUERIES["a_range_join_signup_window"](spark, SF)
     p = plan(df)

@@ -64,10 +64,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
-    """Run the stream to completion into a uniquely-named memory sink."""
+    """Run the stream to completion into a uniquely-named memory sink.
+
+    Stateful streaming cost scales with the state-partition count (one
+    state store + one Python worker per shuffle partition per
+    micro-batch), not with the data at this fixture scale — so the
+    drain temporarily drops ``shuffle.partitions`` to 8. The stream's
+    plan captures the value at start; the session conf is restored for
+    the batch queries that follow. On a cluster the deployment sizes
+    this to its state volume instead."""
+    spark = stream.sparkSession
     uniq = f"{name}_{next(_run_seq)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
-    return st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        return st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
+    finally:
+        spark.conf.set(key, prev)
 
 
 @query(

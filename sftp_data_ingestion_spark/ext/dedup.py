@@ -336,6 +336,62 @@ def minhash_near_dup_pairs(
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 
+def chunk_boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """Sub-document (chunk-level) duplication stats — the line-dedup /
+    boilerplate-ratio operator of web-corpus pipelines (CCNet-style):
+    documents split into fixed ``chunk_tokens``-token windows; a chunk
+    appearing in >= 2 DISTINCT documents is boilerplate; emits per-doc
+    ``(n_chunks, n_boiler_chunks, boiler_ratio)`` for quality gating.
+
+    Scale shape: tokens explode once, chunks assemble with ONE shuffle
+    on (doc, chunk_id) (order restored from token positions, so the
+    build is deterministic under any partitioning), chunk frequencies
+    are a second uniform-key shuffle, and the flag joins back on the
+    chunk hash. No all-pairs stage anywhere — cost is linear in corpus
+    token count at any scale."""
+    ct = int(chunk_tokens)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    chunks = (
+        toks.groupBy(
+            id_col, F.floor(F.col("pos") / ct).cast("long").alias("chunk_id")
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk")
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_boiler_chunks"),
+            F.round(
+                F.count(F.when(F.col("n_docs") >= 2, 1)) / F.count(F.lit(1)),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -361,6 +361,41 @@ def t_fingerprint(spark, sf_dir):
 
 
 @query(
+    "d_chunk_boilerplate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(s, ' '), 1) - 1 AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), chunks AS (
+  SELECT doc_id, pos // 3 AS chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY 1, 2
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE f.n_docs >= 2) AS n_boiler_chunks,
+       round(count(*) FILTER (WHERE f.n_docs >= 2) * 1.0 / count(*), 6)
+         AS boiler_ratio
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY 1
+""",
+)
+def d_chunk_boilerplate(spark, sf_dir):
+    """Sub-document boilerplate detection: per-doc ratio of fixed
+    3-token chunks shared with at least one OTHER document — the
+    line-level dedup signal web-corpus pipelines gate on (distinct
+    from MinHash, which finds whole-document near-dup PAIRS; this
+    measures repeated-content fraction inside each doc)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.chunk_boilerplate_stats(d, chunk_tokens=3)
+
+
+@query(
     "curation_pipeline",
     oracle=r"""
 WITH RECURSIVE scored AS (

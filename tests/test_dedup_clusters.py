@@ -47,3 +47,25 @@ def test_neardup_clusters_marks_survivors(spark):
     assert out[2] == (0, False)   # near dup (one token differs)
     assert out[3] == (3, True)    # unrelated -> own singleton cluster
     assert len(out) == 4          # every doc got a verdict
+
+
+def test_chunk_boilerplate_stats(spark):
+    """Docs sharing a 3-token chunk get flagged; unique content does
+    not; ratio = flagged/total chunks."""
+    df = spark.createDataFrame(
+        [
+            # doc 1 and 2 share their first chunk exactly
+            (1, "the quick fox ran far away"),
+            (2, "the quick fox slept all day"),
+            (3, "completely different words here entirely now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.chunk_boilerplate_stats(df, chunk_tokens=3).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_boiler_chunks"] == 1
+    assert out[1]["boiler_ratio"] == 0.5
+    assert out[2]["n_boiler_chunks"] == 1
+    assert out[3]["n_boiler_chunks"] == 0 and out[3]["boiler_ratio"] == 0.0

@@ -93,6 +93,23 @@ def test_asof_tolerance_no_nested_loop(spark):
     assert "CartesianProduct" not in p
 
 
+def test_pair_scoring_has_no_interpreted_hof(spark):
+    """ANN pair scoring must stay flat scalar arithmetic (codegen),
+    never aggregate/zip_with higher-order functions — the r3 bench
+    regressed 6-18x when HOFs reached the per-pair stage. Signature /
+    assignment expressions (per-row) keep compact HOF form by design,
+    so only the post-join projection is asserted."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, SF, "embeddings")
+    df = sim.cosine_topk(e.where(F.col("vec_id") < 10), e, k=3, dim=64)
+    p = optimized(df)
+    # the optimized plan's scoring projection references element_at
+    # chains, not fold primitives
+    assert "zip_with" not in p and "aggregate(" not in p
+
+
 def test_asof_unbounded_is_join_free_union_sort(spark):
     """asof WITHOUT tolerance must have bounded per-key work at any
     scale: the union-sort form has NO join node at all — one union,

@@ -207,24 +207,21 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
+def _banded(
+    df: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` rows keyed by
-    ``(band_idx, hash(band slice))``, self-join per bucket -> candidate
-    pairs (a < b). Shuffle key is the band hash — uniform; bucket-local
-    join cost only. Requires a ``minhash`` column (see with_minhash)."""
+    """Explode a ``minhash`` signature frame into per-band rows keyed
+    by ``(band_idx, band_hash)`` — the LSH bucketing shape shared by
+    self-join and incremental (batch-vs-corpus) candidate generation.
+
+    Exchange barrier first: materialize the signature BEFORE the band
+    expressions reference it — otherwise CollapseProject inlines the
+    full minhash derivation into every band (bands x compute). At
+    scale this is the standard "shuffle signatures, not text" stage;
+    an ~0.5 KB array per row is negligible shuffle volume."""
     rows_per_band = num_hashes // bands
-    # Exchange barrier: materialize the signature BEFORE the 16 band
-    # expressions reference it — otherwise CollapseProject inlines the
-    # full minhash fold into every band (16x compute). At scale this is
-    # the standard "shuffle signatures, not text" stage; an ~0.5 KB
-    # array per row is negligible shuffle volume.
     sig = df.select(F.col(id_col).alias("id"), "minhash").repartition("id")
-    banded = sig.select(
+    return sig.select(
         F.col("id"),
         F.posexplode(
             F.array(
@@ -243,6 +240,19 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows keyed by
+    ``(band_idx, hash(band slice))``, self-join per bucket -> candidate
+    pairs (a < b). Shuffle key is the band hash — uniform; bucket-local
+    join cost only. Requires a ``minhash`` column (see with_minhash)."""
+    banded = _banded(df, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -334,6 +344,62 @@ def minhash_near_dup_pairs(
         )
         df = df.join(ids, id_col, "left_semi")
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicates of an INCOMING BATCH against an EXISTING corpus
+    — the incremental form every 100 TB ingestion pipeline actually
+    runs (dedup the new crawl against the index), where re-running the
+    corpus self-join per batch would be absurd.
+
+    Scale shape: the batch's banded signatures BROADCAST (a batch is
+    small by definition); the corpus side is scanned once, its bands
+    joined locally against the broadcast — the corpus never shuffles
+    and there is no corpus x corpus stage at all. In production the
+    corpus signature/band table is computed once and persisted, so the
+    per-batch cost is one corpus-band scan + |batch| signature builds;
+    here both sides derive from text for a self-contained operator.
+
+    Output: (id_batch, id_corpus, jaccard >= threshold) — exact
+    Jaccard on candidates, so precision is exact and recall is the
+    banding recall (1 - (1 - s^r)^b)."""
+    sb = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    sc = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    cands = (
+        _banded(sc, id_col, num_hashes, bands)
+        .withColumnRenamed("id", "id_corpus")
+        .join(
+            F.broadcast(
+                _banded(sb, id_col, num_hashes, bands).withColumnRenamed(
+                    "id", "id_batch"
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_batch", "id_corpus")
+        .distinct()
+    )
+    both = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    out = jaccard_verify(
+        cands.withColumnsRenamed({"id_batch": "id_a", "id_corpus": "id_b"}),
+        both,
+        id_col,
+        text_col,
+        shingle_n,
+        threshold,
+    )
+    return out.withColumnsRenamed({"id_a": "id_batch", "id_b": "id_corpus"})
 
 
 def chunk_boilerplate_stats(

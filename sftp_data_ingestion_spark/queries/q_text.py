@@ -361,6 +361,48 @@ def t_fingerprint(spark, sf_dir):
 
 
 @query(
+    "d_incremental_near_dup",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_batch, b.doc_id AS id_corpus, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT id_batch, id_corpus,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_batch
+JOIN sizes sb ON sb.doc_id = id_corpus
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+""",
+)
+def d_incremental_near_dup(spark, sf_dir):
+    """Incremental corpus dedup: near-duplicates of an incoming batch
+    (a deterministic 1-in-5 doc subset) against the existing corpus —
+    the batch's banded signatures broadcast, the corpus never
+    shuffles, no corpus x corpus stage. Graded against brute-force
+    batch x corpus Jaccard (banding recall is 1 on this fixture, so
+    the output equals the all-pairs oracle)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.incremental_near_dup_pairs(
+        d.where(F.col("doc_id") % 5 == 0),
+        d.where(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
+@query(
     "d_chunk_boilerplate",
     oracle=r"""
 WITH toks AS (

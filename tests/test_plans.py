@@ -93,6 +93,15 @@ def test_asof_tolerance_no_nested_loop(spark):
     assert "CartesianProduct" not in p
 
 
+def test_incremental_near_dup_broadcasts_batch(spark):
+    """Incremental dedup must join corpus bands against a BROADCAST of
+    the batch bands — a shuffle join on band keys would move the whole
+    corpus per incoming batch."""
+    df = q.QUERIES["d_incremental_near_dup"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+
+
 def test_pair_scoring_has_no_interpreted_hof(spark):
     """ANN pair scoring must stay flat scalar arithmetic (codegen),
     never aggregate/zip_with higher-order functions — the r3 bench

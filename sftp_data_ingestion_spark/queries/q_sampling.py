@@ -15,6 +15,7 @@ same row lands in the same split on any cluster size.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sftp_data_ingestion_spark.queries.registry import query, table
@@ -69,6 +70,38 @@ def x_train_val_test_split(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok").alias("n_tokens"),
         )
+    )
+
+
+@query(
+    "x_stratified_exact_quota",
+    oracle=f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+           PARTITION BY source ORDER BY {_BUCKET_SQL}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+)
+def x_stratified_exact_quota(spark, sf_dir):
+    """Stratified sampling with an EXACT per-stratum quota (exactly 10
+    docs per source), not a Bernoulli rate: rows rank by the same
+    deterministic key hash within each stratum and the first 10 win.
+    Reproducible on any cluster size, and the rank filter plans with
+    WindowGroupLimit, so each partition pre-trims to 10 before the
+    stratum shuffle — the per-group top-k scale shape, keyed by hash
+    instead of a measure."""
+    d = table(spark, sf_dir, "documents")
+    w = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            split_bucket(F.col("doc_id")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source", w.alias("rn"))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "source")
     )
 
 

@@ -69,3 +69,32 @@ def test_chunk_boilerplate_stats(spark):
     assert out[1]["boiler_ratio"] == 0.5
     assert out[2]["n_boiler_chunks"] == 1
     assert out[3]["n_boiler_chunks"] == 0 and out[3]["boiler_ratio"] == 0.0
+
+
+def test_incremental_near_dup_batch_vs_corpus_only(spark):
+    """Pairs pair a batch doc with a corpus doc — never batch x batch
+    or corpus x corpus — and exact Jaccard gates the result."""
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (101, "totally unrelated text goes right here"),
+            # near-dup of doc 100 INSIDE the batch: must NOT pair
+            (102, "alpha beta gamma delta epsilon eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # dup of 100
+            (2, "different corpus content entirely here now"),
+            (3, "alpha beta gamma delta epsilon theta"),  # near 100
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.incremental_near_dup_pairs(
+        batch, corpus, threshold=0.5, bands=32
+    ).collect()
+    pairs = {(r["id_batch"], r["id_corpus"]): r["jaccard"] for r in out}
+    assert (100, 1) in pairs and pairs[(100, 1)] == 1.0
+    assert all(b >= 100 and c < 100 for b, c in pairs)  # direction only
+    assert (101, 2) not in pairs  # unrelated stays unpaired

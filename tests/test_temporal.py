@@ -119,3 +119,62 @@ def test_sessionize_exact_gap_boundary(spark):
     )
     oracle = con.execute(ORACLES["s_sessionize_batch"]).fetchall()
     assert sorted((r[0], r[3]) for r in oracle) == counts  # engines agree
+
+
+# ---------------------------------------------------------------------------
+# property: union-sort asof == brute-force model on random data
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+_TS0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: int) -> dt.datetime:
+    return _TS0 + dt.timedelta(seconds=seconds)
+
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=12
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000), st.integers(-99, 99)),
+    min_size=0, max_size=12,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): deterministic pick
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=_left_rows, right=_right_rows, direction=st.sampled_from(
+    ["backward", "forward"]), tol=st.sampled_from([None, "10 minutes"]))
+def test_asof_matches_bruteforce_model(spark, left, right, direction, tol):
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(left)],
+        "lid int, k int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right],
+        "k int, ts timestamp, v int",
+    )
+    got = {
+        r["lid"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["k"], direction=direction, tolerance=tol
+        ).collect()
+    }
+    tol_s = 600 if tol else None
+    for i, (k, t) in enumerate(left):
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+            best = max(cands) if cands else None
+            if best is not None and tol_s is not None and best[0] < t - tol_s:
+                best = None
+        else:
+            cands = [(rt, v) for rk, rt, v in right if rk == k and rt >= t]
+            best = min(cands) if cands else None
+            if best is not None and tol_s is not None and best[0] > t + tol_s:
+                best = None
+        want = (_ts(best[0]), best[1]) if best else (None, None)
+        assert got[i] == want, (i, k, t, got[i], want)

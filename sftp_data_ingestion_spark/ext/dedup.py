@@ -418,8 +418,12 @@ def chunk_boilerplate_stats(
     on (doc, chunk_id) (order restored from token positions, so the
     build is deterministic under any partitioning), chunk frequencies
     are a second uniform-key shuffle, and the flag joins back on the
-    chunk hash. No all-pairs stage anywhere — cost is linear in corpus
-    token count at any scale."""
+    chunk value. No all-pairs stage anywhere — cost is linear in corpus
+    token count at any scale. The join-back key is inherently skewed
+    (boilerplate chunks are hot by definition), but each hot key joins
+    to exactly ONE small frequency row, so the blowup is bounded at 1x
+    and AQE's skew-join splitting handles residual partition imbalance
+    (enabled in the session factory)."""
     ct = int(chunk_tokens)
     toks = df.select(
         F.col(id_col),

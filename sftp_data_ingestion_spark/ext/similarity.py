@@ -159,12 +159,90 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_topk: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the
+    HIGH-DIMENSION engine. :func:`cosine_topk`'s flat codegen chain is
+    the right engine up to ~128 dims, but its expression size grows
+    linearly with dim (a 1536-dim chain hits the same Janino
+    compile-cost wall the unrolled SRP signatures did), while one
+    numpy matmul per Arrow batch is dimension-oblivious and BLAS-fast.
+
+    Scale shape: the query matrix collects to the driver (a point-
+    lookup query set is small by construction — same assumption the
+    broadcast in :func:`cosine_topk` makes) and ships in the UDF
+    closure; each corpus partition computes (batch x dim)·(dim x Q)
+    and emits only its LOCAL top-k rows per query (k·Q rows per batch,
+    ties broken by neighbor id so local and global criteria agree);
+    a final window takes the global top-k over those candidates. The
+    corpus never shuffles; the shuffled intermediate is k·Q rows per
+    partition, independent of corpus size.
+
+    Same output contract as :func:`cosine_topk` (sim rounded to 6 dp
+    after ranking). Scores come from BLAS reductions, so the least
+    significant float bits can differ from the fold/flat engines —
+    rankings agree except on exact ties, which both engines break by
+    neighbor id."""
+    import numpy as np
+
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        return cosine_topk(queries, corpus, k, id_col, vec_col, dim=1)
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm[q_norm == 0.0] = 1.0
+    per_batch = batch_topk or k
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.sqrt((c * c).sum(axis=1))
+            c_norm[c_norm == 0.0] = 1.0
+            sims = (c @ q_mat.T) / c_norm[:, None] / q_norm[None, :]
+            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # self
+            out_q, out_n, out_s = [], [], []
+            top = min(per_batch, sims.shape[0])
+            for j in range(q_mat.shape[0]):
+                col = sims[:, j]
+                # partial select then exact order by (-sim, neighbor_id)
+                cand = np.argpartition(-col, top - 1)[:top]
+                cand = cand[np.lexsort((ids[cand], -col[cand]))]
+                for i in cand:
+                    if col[i] == -np.inf:
+                        continue
+                    out_q.append(q_ids[j])
+                    out_n.append(ids[i])
+                    out_s.append(col[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim_full": out_s}
+            )
+
+    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        fn, "query_id long, neighbor_id long, sim_full double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_full", 6).alias("sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH (random hyperplane) bucketing — the 100 TB ANN path
 # ---------------------------------------------------------------------------
-
-_MIX_A = 0x9E3779B97F4A7C15
-
 
 def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):

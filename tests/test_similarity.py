@@ -84,3 +84,30 @@ def test_kmeans_deterministic(spark, emb):
     a = sim.train_centroids_kmeans(emb, k=8, n_iters=2)
     b = sim.train_centroids_kmeans(emb, k=8, n_iters=2)
     assert a == b
+
+
+def test_arrow_engine_matches_expression_engine(spark, emb):
+    """The Arrow/numpy matmul engine (high-dim path) must return the
+    same neighbors in the same order as the flat-codegen expression
+    engine, with sims equal to 6 dp."""
+    queries = emb.where(F.col("vec_id") < 40)
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in sim.cosine_topk_arrow(queries, emb, k=5).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in sim.cosine_topk(queries, emb, k=5, dim=64).collect()
+    )
+    assert [x[:2] for x in a] == [x[:2] for x in b]
+    assert all(abs(x[2] - y[2]) < 1e-6 for x, y in zip(a, b))
+
+
+def test_arrow_engine_batch_topk_still_exact(spark, emb):
+    """Local per-batch top-k pruning cannot lose a global winner when
+    batch_topk >= k (every global top-k row is in its batch's local
+    top-k)."""
+    queries = emb.where(F.col("vec_id") < 10)
+    small = sim.cosine_topk_arrow(queries, emb, k=3, batch_topk=3).collect()
+    wide = sim.cosine_topk_arrow(queries, emb, k=3, batch_topk=50).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, wide))

@@ -144,3 +144,61 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(t),
         }
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the corpus-level term
+    salience operator (keyword extraction / topic hinting in curation
+    pipelines).
+
+    IDF is the RATIONAL BM25 form ``(N - df + 0.5) / (df + 0.5)``, not
+    a logarithm: pure rational arithmetic is bit-identical between
+    Spark and any SQL oracle engine, while libm ``ln`` differs in the
+    last ulp across runtimes (monotone in df either way, so rankings
+    are the standard ones).
+
+    Scale shape: token explode -> one (doc, term) shuffle for TF ->
+    one uniform term-key shuffle for DF -> join back (hot terms join
+    to ONE df row each; AQE skew-split covers imbalance) -> per-doc
+    top-k window (WindowGroupLimit pre-trims partitions). Corpus size
+    N arrives via a broadcast scalar, not a driver constant, so the
+    whole plan stays one lazy composition."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

@@ -361,6 +361,41 @@ def t_fingerprint(spark, sf_dir):
 
 
 @query(
+    "t_tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       round(tf * (n_docs - df + 0.5) / (df + 0.5), 6) AS tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5) DESC,
+                    t.term ASC
+         ) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+) WHERE rank <= 3
+""",
+)
+def t_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms with a rational BM25-style IDF
+    (no logarithm — bit-identical across engines). Corpus-level term
+    salience: TF per (doc, term), document frequency per term, corpus
+    size via broadcast scalar, per-doc top-k window."""
+    d = table(spark, sf_dir, "documents")
+    return ts.tfidf_top_terms(d, k=3)
+
+
+@query(
     "d_incremental_near_dup",
     oracle=r"""
 WITH toks AS (

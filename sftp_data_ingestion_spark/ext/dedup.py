@@ -402,6 +402,59 @@ def incremental_near_dup_pairs(
     return out.withColumnsRenamed({"id_a": "id_batch", "id_b": "id_corpus"})
 
 
+def contamination_report(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: per training document, how many of
+    its distinct ``shingle_n``-gram shingles appear ANYWHERE in the
+    eval set — the n-gram-overlap contamination check every LLM
+    training pipeline runs before training (docs above a threshold
+    get dropped or audited). Emits only contaminated docs:
+    ``(doc_id, n_shingles, n_shared, contamination)``.
+
+    Scale shape: the eval side's distinct shingle set BROADCASTS (eval
+    benchmarks are tiny next to a training corpus, by construction);
+    the corpus explodes its shingles once and counts broadcast-hash
+    hits per doc — no shuffle of corpus text, no corpus x corpus or
+    corpus x eval join blowup (the join is a broadcast semi-probe)."""
+    ev = (
+        evalset.select(
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+        )
+        .distinct()
+    )
+    co = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    return (
+        co.join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            corpus.select(
+                F.col(id_col),
+                F.size(shingles(F.col(text_col), shingle_n)).alias(
+                    "n_shingles"
+                ),
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def chunk_boilerplate_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -438,6 +438,45 @@ def d_incremental_near_dup(spark, sf_dir):
 
 
 @query(
+    "d_decontaminate",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh
+  WHERE doc_id % 25 <> 0 GROUP BY 1
+), hits AS (
+  SELECT s.doc_id, count(*) AS n_shared
+  FROM sh s JOIN ev USING (sh)
+  WHERE s.doc_id % 25 <> 0 GROUP BY 1
+)
+SELECT h.doc_id, z.n_shingles, h.n_shared,
+       round(h.n_shared * 1.0 / z.n_shingles, 6) AS contamination
+FROM hits h JOIN sizes z USING (doc_id)
+""",
+)
+def d_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing 3-gram
+    shingles with a held-out eval subset (deterministic 1-in-25 docs).
+    The eval shingle set broadcasts; the corpus is probed once — the
+    n-gram-overlap contamination check run before every training
+    job."""
+    d = table(spark, sf_dir, "documents")
+    return dd.contamination_report(
+        d.where(F.col("doc_id") % 25 != 0),
+        d.where(F.col("doc_id") % 25 == 0),
+    )
+
+
+@query(
     "d_chunk_boilerplate",
     oracle=r"""
 WITH toks AS (

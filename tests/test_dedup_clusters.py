@@ -98,3 +98,23 @@ def test_incremental_near_dup_batch_vs_corpus_only(spark):
     assert (100, 1) in pairs and pairs[(100, 1)] == 1.0
     assert all(b >= 100 and c < 100 for b, c in pairs)  # direction only
     assert (101, 2) not in pairs  # unrelated stays unpaired
+
+
+def test_contamination_report(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares 'alpha beta gamma'
+            (2, "nothing in common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dd.contamination_report(
+        corpus, evalset).collect()}
+    # doc 1: shingles {abg, bgd}; shares exactly 'alpha beta gamma'
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_shared"] == 1
+    assert rows[1]["contamination"] == 0.5
+    # clean docs are absent from the report entirely
+    assert 2 not in rows

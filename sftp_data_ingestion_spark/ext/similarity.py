@@ -204,6 +204,8 @@ def cosine_topk_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty partition: nothing to score
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             c = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.sqrt((c * c).sum(axis=1))

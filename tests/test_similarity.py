@@ -111,3 +111,12 @@ def test_arrow_engine_batch_topk_still_exact(spark, emb):
     small = sim.cosine_topk_arrow(queries, emb, k=3, batch_topk=3).collect()
     wide = sim.cosine_topk_arrow(queries, emb, k=3, batch_topk=50).collect()
     assert sorted(map(tuple, small)) == sorted(map(tuple, wide))
+
+
+def test_arrow_engine_survives_empty_partitions(spark, emb):
+    """Over-partitioned corpus (more partitions than rows) must not
+    crash the numpy kernel on empty Arrow batches."""
+    tiny = emb.limit(6).repartition(16)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = sim.cosine_topk_arrow(queries, tiny, k=2).collect()
+    assert len(out) > 0

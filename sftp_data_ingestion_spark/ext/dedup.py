@@ -371,7 +371,12 @@ def incremental_near_dup_pairs(
 
     Output: (id_batch, id_corpus, jaccard >= threshold) — exact
     Jaccard on candidates, so precision is exact and recall is the
-    banding recall (1 - (1 - s^r)^b)."""
+    banding recall (1 - (1 - s^r)^b).
+
+    Ids shared between batch and corpus (a re-ingested document) are
+    handled: a doc never pairs with its own id, and the verify stage
+    uses the BATCH's text for a shared id (the incoming version is
+    the one being deduped)."""
     sb = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
     sc = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
     cands = (
@@ -385,11 +390,17 @@ def incremental_near_dup_pairs(
             ),
             ["band_idx", "band_hash"],
         )
+        .where(F.col("id_batch") != F.col("id_corpus"))
         .select("id_batch", "id_corpus")
         .distinct()
     )
+    # one text row per id (batch wins on collisions): without this,
+    # a shared id would fan the verify join out over both versions
+    # and emit contradictory jaccard rows for the same pair
     both = batch.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
+        corpus.select(id_col, text_col).join(
+            batch.select(id_col), id_col, "left_anti"
+        )
     )
     out = jaccard_verify(
         cands.withColumnsRenamed({"id_batch": "id_a", "id_corpus": "id_b"}),
@@ -427,22 +438,21 @@ def contamination_report(
         )
         .distinct()
     )
+    # ONE corpus scan: per-doc shingle count rides alongside the
+    # explode (shingling the whole corpus is the dominant cost at the
+    # operator's stated scale — doing it twice doubled the plan)
+    sh_arr = shingles(F.col(text_col), shingle_n)
     co = corpus.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.size(sh_arr).alias("n_shingles"),
+        F.explode(sh_arr).alias("sh"),
     )
     return (
         co.join(F.broadcast(ev), "sh", "left_semi")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(
-            corpus.select(
-                F.col(id_col),
-                F.size(shingles(F.col(text_col), shingle_n)).alias(
-                    "n_shingles"
-                ),
-            ),
-            id_col,
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_shared"),
         )
         .select(
             id_col,

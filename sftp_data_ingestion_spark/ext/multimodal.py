@@ -208,6 +208,8 @@ def _luma(rgb: bytes) -> list[int]:
 def _real_decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """BMP via the stdlib decoder; anything else via Pillow when
     importable. Returns (width, height, top-down RGB bytes)."""
+    if not payload:
+        raise ValueError("empty/NULL payload cannot be decoded")
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
     pil = _pil_image()
@@ -226,7 +228,10 @@ def _real_features(payload: bytes, fmt: str, dim: int) -> list[float]:
     """Decode + featurize: images -> dim-bin luma histogram (mass
     normalized to 1), audio -> per-window RMS normalized to [0, 1].
     Integer accumulation, floats only at the boundary — deterministic
-    across platforms."""
+    across platforms. NULL/empty payloads raise ValueError (a clear
+    kernel error, not a NoneType TypeError)."""
+    if not payload:
+        raise ValueError(f"empty/NULL payload for format {fmt!r}")
     if fmt in ("bmp", "png", "jpeg", "jpg"):
         _, _, rgb = _real_decode_image(payload)
         lum = _luma(rgb)

@@ -74,14 +74,18 @@ def norm_flat(a: Column, dim: int) -> Column:
     return F.sqrt(dot_flat(a, a, dim))
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
+def _dim_of(df: DataFrame, vec_col: str, *fallbacks: DataFrame) -> int:
     """Probe the (fixed) vector dimensionality from one row — a single
-    tiny job. Callers that know the dim pass it explicitly and skip
-    this."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
-    if row is None or row["d"] is None:
-        raise ValueError(f"cannot infer vector dim of empty column {vec_col!r}")
-    return int(row["d"])
+    tiny job at composition time. Callers that know the dim pass it
+    explicitly and stay fully lazy. An empty frame probes the
+    ``fallbacks`` (e.g. the query side), and when every side is empty
+    any dim yields the correct empty result, so 1 is returned rather
+    than raising — matching the old fold form's empty-safety."""
+    for frame in (df, *fallbacks):
+        row = frame.select(F.size(F.col(vec_col)).alias("d")).head()
+        if row is not None and row["d"] is not None:
+            return int(row["d"])
+    return 1
 
 
 def _pair_sim(qv: Column, cv: Column, qn: Column, cn: Column, dim: int) -> Column:
@@ -95,6 +99,23 @@ def _pair_sim(qv: Column, cv: Column, qn: Column, cn: Column, dim: int) -> Colum
     return dot_flat(qv, cv, dim) / (qn * cn)
 
 
+def _checked_norm(v: Column, dim: int) -> Column:
+    """Per-row norm with a runtime guard that the vector really has
+    ``dim`` components: ``dot_flat`` silently truncates to the first
+    ``dim`` elements, so a wrong caller-supplied dim would otherwise
+    produce wrong similarities with no error. The check runs once per
+    INPUT ROW (not per pair), so its cost is negligible next to
+    scoring, and it fails the job loudly on mismatch."""
+    ok = F.assert_true(
+        F.size(v) == dim,
+        F.concat(
+            F.lit(f"vector dim mismatch: expected {dim}, got "),
+            F.size(v).cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), norm_flat(v, dim)).otherwise(F.lit(None))
+
+
 def _norm_side(
     df: DataFrame,
     id_col: str,
@@ -106,7 +127,9 @@ def _norm_side(
 ) -> DataFrame:
     v = as_double(F.col(vec_col))
     return df.select(
-        F.col(id_col).alias(out_id), v.alias(out_vec), norm_flat(v, dim).alias(out_norm)
+        F.col(id_col).alias(out_id),
+        v.alias(out_vec),
+        _checked_norm(v, dim).alias(out_norm),
     )
 
 
@@ -123,7 +146,7 @@ def cosine_topk(
     Output: (query_id, neighbor_id, sim) with rank <= k, sim rounded
     to 6 dp AFTER ranking (ranking uses full precision)."""
     if dim is None:
-        dim = _dim_of(corpus, vec_col)
+        dim = _dim_of(corpus, vec_col, queries)
     q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn", dim)
     # fan_out: the broadcast-NL join evaluates every pair score in the
     # corpus scan stage; a one-split corpus would serialize it (no-op
@@ -185,7 +208,9 @@ def cosine_topk_arrow(
     partition, independent of corpus size.
 
     Same output contract as :func:`cosine_topk` (sim rounded to 6 dp
-    after ranking). Scores come from BLAS reductions, so the least
+    after ranking) for INTEGRAL id columns — the numpy kernel carries
+    ids as int64 (string ids raise up front; use the expression engine
+    for non-integral ids). Scores come from BLAS reductions, so the least
     significant float bits can differ from the fold/flat engines —
     rankings agree except on exact ties, which both engines break by
     neighbor id."""
@@ -306,7 +331,7 @@ def srp_topk(
     1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
     output shape as :func:`cosine_topk`."""
     if dim is None:
-        dim = _dim_of(corpus, vec_col)
+        dim = _dim_of(corpus, vec_col, queries)
 
     def side(df, out_id, vec_alias, norm_alias):
         # all n_tables signatures in ONE projection + inline-explode:
@@ -327,7 +352,7 @@ def srp_topk(
         return df.select(
             F.col(id_col).alias(out_id),
             v.alias(vec_alias),
-            norm_flat(v, dim).alias(norm_alias),
+            _checked_norm(v, dim).alias(norm_alias),
             F.inline(tables),
         )
 
@@ -493,11 +518,11 @@ def ivf_topk(
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         centroids, vec_col, nprobe,
-    ).select("query_id", qv.alias("qv"), norm_flat(qv, dim).alias("qn"), "cell")
+    ).select("query_id", qv.alias("qv"), _checked_norm(qv, dim).alias("qn"), "cell")
     c = ivf_assign(
         fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
         centroids, vec_col, nprobe=1,
-    ).select("neighbor_id", qv.alias("cv"), norm_flat(qv, dim).alias("cn"), "cell")
+    ).select("neighbor_id", qv.alias("cv"), _checked_norm(qv, dim).alias("cn"), "cell")
     # Broadcast the probe side: an ANN lookup's query set (x nprobe
     # replication) is the small side by construction, while a shuffle
     # join on `cell` would funnel the whole corpus through k_cells
@@ -563,7 +588,7 @@ def embedding_near_dup_pairs(
     sig = fan_out(df).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        norm_flat(v, dim).alias("n"),
+        _checked_norm(v, dim).alias("n"),
         F.inline(tables),
     )
     a, b = sig.alias("a"), sig.alias("b")

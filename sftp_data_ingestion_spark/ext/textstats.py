@@ -170,11 +170,11 @@ def tfidf_top_terms(
     whole plan stays one lazy composition."""
     from pyspark.sql import Window
 
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
-        ).alias("term"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -66,6 +66,14 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _q_table(name: str) -> str:
+    """Quote a possibly schema-qualified table name part by part
+    (``dw.fat_pedidos`` -> ``"dw"."fat_pedidos"``) — reserved words
+    and mixed case in table names get the same defense columns do,
+    and caller-supplied staging names cannot smuggle raw SQL."""
+    return ".".join(_q(p) for p in name.split("."))
+
+
 def jdbc_upsert_sql(
     table: str,
     staging_table: str,
@@ -88,10 +96,12 @@ def jdbc_upsert_sql(
     The NULL-key gate (``WHERE key IS NOT NULL``, :200) is included;
     the staging table must already be deduped to one row per key
     (U3), exactly as the in-Spark path requires."""
+    qt = _q_table(table)
+    qs = _q_table(staging_table)
     cols = ", ".join(_q(c) for c in columns)
     sels = ", ".join(f"s.{_q(c)}" for c in columns)
     newer = (
-        f"EXCLUDED.{_q(newer_col)} > {table}.{_q(newer_col)}"
+        f"EXCLUDED.{_q(newer_col)} > {qt}.{_q(newer_col)}"
     )
     sets = []
     for c in columns:
@@ -100,20 +110,20 @@ def jdbc_upsert_sql(
         if c in newer_wins_cols:
             sets.append(
                 f"{_q(c)} = CASE WHEN {newer} THEN EXCLUDED.{_q(c)} "
-                f"ELSE {table}.{_q(c)} END"
+                f"ELSE {qt}.{_q(c)} END"
             )
         elif c in greatest_cols:
             sets.append(
-                f"{_q(c)} = GREATEST({table}.{_q(c)}, EXCLUDED.{_q(c)})"
+                f"{_q(c)} = GREATEST({qt}.{_q(c)}, EXCLUDED.{_q(c)})"
             )
         else:
             sets.append(
-                f"{_q(c)} = COALESCE(EXCLUDED.{_q(c)}, {table}.{_q(c)})"
+                f"{_q(c)} = COALESCE(EXCLUDED.{_q(c)}, {qt}.{_q(c)})"
             )
     set_clause = ",\n  ".join(sets)
     return (
-        f"INSERT INTO {table} ({cols})\n"
-        f"SELECT {sels} FROM {staging_table} s\n"
+        f"INSERT INTO {qt} ({cols})\n"
+        f"SELECT {sels} FROM {qs} s\n"
         f"WHERE s.{_q(key)} IS NOT NULL\n"
         f"ON CONFLICT ({_q(key)}) DO UPDATE\nSET\n  {set_clause};"
     )

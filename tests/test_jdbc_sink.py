@@ -30,18 +30,18 @@ def test_upsert_sql_shape():
     # newer-wins: CASE guarded by the strictly-newer comparison
     assert (
         '"status_prazo" = CASE WHEN EXCLUDED."data_ultima_ocr" > '
-        'dw.fat_pedidos."data_ultima_ocr" THEN EXCLUDED."status_prazo" '
-        'ELSE dw.fat_pedidos."status_prazo" END' in sql
+        '"dw"."fat_pedidos"."data_ultima_ocr" THEN EXCLUDED."status_prazo" '
+        'ELSE "dw"."fat_pedidos"."status_prazo" END' in sql
     )
     # greatest policy (F14)
     assert (
-        '"data_insercao" = GREATEST(dw.fat_pedidos."data_insercao", '
+        '"data_insercao" = GREATEST("dw"."fat_pedidos"."data_insercao", '
         'EXCLUDED."data_insercao")' in sql
     )
     # fill-the-blanks for everything else
     assert (
         '"valor_nfe" = COALESCE(EXCLUDED."valor_nfe", '
-        'dw.fat_pedidos."valor_nfe")' in sql
+        '"dw"."fat_pedidos"."valor_nfe")' in sql
     )
     # the key itself is never re-set
     assert '"chave_nfe" = ' not in sql.split("SET")[1]
@@ -93,4 +93,5 @@ def test_upsert_via_jdbc_stages_then_merges(spark, monkeypatch):
     }
     # then exactly one server-side merge statement
     assert ran == [sql]
-    assert "ON CONFLICT" in sql and "dw.fat_pedidos_delta_stage" in sql
+    assert "ON CONFLICT" in sql
+    assert '"dw"."fat_pedidos_delta_stage"' in sql

@@ -202,3 +202,49 @@ def tfidf_top_terms(
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining sequence packing: documents are concatenated in a
+    deterministic order within each ``by`` shard and chunked at
+    ``budget`` tokens — each doc's pack is the chunk its first token
+    lands in (the standard concat-then-chunk semantics; docs may
+    straddle chunk boundaries exactly as the tokenized stream does).
+
+    Output: one row per doc with ``(by, order_col, n_tokens,
+    start_offset, pack_id)``.
+
+    Scale shape: ONE window per shard (cumulative token sum ordered by
+    ``order_col``) — shards are independent, so parallelism is the
+    shard count and no global sort exists anywhere; this mirrors how
+    production packing runs per input shard. The assignment is a pure
+    function of (shard, order, token counts): reproducible on any
+    cluster size, resilient to task retries."""
+    from pyspark.sql import Window
+
+    tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(by),
+            F.col(order_col),
+            tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_offset") / budget).cast("long")
+        )
+    )

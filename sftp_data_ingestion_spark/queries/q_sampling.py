@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from sftp_data_ingestion_spark.ext import textstats as ts
 from sftp_data_ingestion_spark.queries.registry import query, table
 
 _KNUTH = 2654435761
@@ -102,6 +103,40 @@ def x_stratified_exact_quota(spark, sf_dir):
         d.select("doc_id", "source", w.alias("rn"))
         .where(F.col("rn") <= 10)
         .select("doc_id", "source")
+    )
+
+
+@query(
+    "x_pack_sequences",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         length(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT source, CAST(start_offset // 256 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM offs GROUP BY 1, 2
+""",
+)
+def x_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing (concat-then-chunk at 256 tokens
+    per shard): per (source, pack) doc and token accounting. The
+    packing itself is `ext.textstats.pack_sequences` — one window per
+    shard, no global sort, reproducible on any cluster size."""
+    d = table(spark, sf_dir, "documents")
+    packed = ts.pack_sequences(d, budget=256, by="source")
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
 
 

@@ -118,3 +118,28 @@ def test_contamination_report(spark):
     assert rows[1]["contamination"] == 0.5
     # clean docs are absent from the report entirely
     assert 2 not in rows
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    """Docs pack by their start offset in the concatenated per-shard
+    token stream: budget 5, doc lengths 3+3+4 -> starts 0,3,6 ->
+    packs 0,0,1."""
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            ("s", 1, "a b c"),
+            ("s", 2, "d e f"),
+            ("s", 3, "g h i j"),
+            ("t", 9, "lone doc"),
+        ],
+        ["source", "doc_id", "text"],
+    )
+    rows = {
+        (r["source"], r["doc_id"]): (r["start_offset"], r["pack_id"])
+        for r in ts.pack_sequences(df, budget=5).collect()
+    }
+    assert rows[("s", 1)] == (0, 0)
+    assert rows[("s", 2)] == (3, 0)
+    assert rows[("s", 3)] == (6, 1)
+    assert rows[("t", 9)] == (0, 0)  # shards are independent

@@ -360,6 +360,52 @@ def t_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "t_redact_pii",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(s, '{_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+FROM (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      ELSE '' END AS s
+  FROM documents
+)
+""",
+)
+def t_redact_pii(spark, sf_dir):
+    """PII scrubbing — the redaction pass of a curation pipeline:
+    count and mask email addresses per document. The fixture text has
+    no natural PII, so a deterministic email is planted on every 5th
+    doc (same construction in both engines); the regex sticks to
+    syntax shared by Java regex and RE2 so both engines match
+    identically. Pure scan-local expressions: zero shuffle, runs at
+    parquet-scan speed at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(s, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_replace(s, _EMAIL_RE, "<EMAIL>").alias("redacted"),
+    )
+
+
 @query(
     "t_tfidf_top_terms",
     oracle=r"""

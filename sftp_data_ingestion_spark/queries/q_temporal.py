@@ -163,6 +163,74 @@ def p_pivot_status_by_priority(spark, sf_dir):
 
 
 @query(
+    "p_unpivot_lineitem_metrics",
+    oracle="""
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME metric VALUE value
+)
+GROUP BY metric
+""",
+)
+def p_unpivot_lineitem_metrics(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of the pivot operator: four
+    numeric lineitem measures melt to (metric, value) rows and
+    aggregate per metric. Spark's native `unpivot` plans as a
+    generator expand (no shuffle before the final groupBy), matching
+    DuckDB's UNPIVOT."""
+    li = table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@query(
+    "w_ntile_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(o_totalprice AS DECIMAL(15,2)), o_orderkey)
+""",
+)
+def w_ntile_percent_rank(spark, sf_dir):
+    """Distribution-analytic window battery: ntile quartiles,
+    percent_rank, cume_dist per order-priority partition — the
+    remaining analytic window family beyond rank/lag/frames (the
+    DECIMAL order key avoids float-comparison ties diverging between
+    engines)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(15,2)"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "w_running_frames",
     oracle="""
 SELECT o_orderkey, o_custkey,

@@ -452,3 +452,35 @@ def test_compact_refuses_hive_partitioned_layout(spark, tmp_path):
     ).write.partitionBy("dw_bucket").parquet(path)
     with _pytest.raises(ValueError, match="hive-partitioned"):
         compact_parquet_dir(spark, path, min_files=1)
+
+
+def test_write_clustered_produces_disjoint_key_ranges(spark, tmp_path):
+    """The clustered layout's whole point: per-file [min, max] key
+    ranges must be pairwise disjoint, so a key predicate can skip
+    every non-matching file via footer stats alone."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from sftp_data_ingestion_spark.io.layout import write_clustered
+
+    src = spark.range(0, 10_000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") % 97
+    )
+    # scramble first so clustering has real work to do
+    path = str(tmp_path / "clustered")
+    n = write_clustered(src.orderBy(F.rand(seed=7)), path, ["k"], n_files=8)
+    assert n == 10_000
+
+    ranges = duckdb.sql(
+        f"SELECT file_name, min(k), max(k) FROM ("
+        f"  SELECT filename AS file_name, k"
+        f"  FROM read_parquet('{path}/*.parquet', filename=true))"
+        f" GROUP BY 1 ORDER BY 2"
+    ).fetchall()
+    assert len(ranges) == 8
+    for (_, _, prev_max), (_, next_min, _) in zip(ranges, ranges[1:]):
+        assert prev_max < next_min  # disjoint, ordered slices
+
+    # a selective filter reads correctly from the clustered layout
+    out = spark.read.parquet(path).where(F.col("k").between(100, 110))
+    assert out.count() == 11

@@ -157,6 +157,32 @@ def st_latest_per_user(spark, sf_dir):
 
 
 @query(
+    "st_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+""",
+)
+def st_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join on the streaming engine (click ->
+    purchase attribution within 6 h): both sides watermarked, join
+    time-bounded on both event times so state is finite. With the
+    fixture drained in one micro-batch nothing expires early, so the
+    drained result equals the batch range join the oracle runs."""
+    ev = _events_stream(spark, sf_dir)
+    out = st.stream_stream_attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    return _drain(out, "st_ssj", "append")
+
+
+@query(
     "st_stream_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

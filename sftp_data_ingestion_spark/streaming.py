@@ -87,6 +87,46 @@ def sessionized_activity(
     )
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookahead: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the attribution shape: each click
+    joins purchases by the same user within ``lookahead`` after the
+    click. Both sides carry watermarks and the join condition bounds
+    event time on both sides, so Spark can size the join state and
+    expire rows — the two requirements that make an unbounded
+    stream x stream join executable at all (state is O(watermark
+    window), not O(stream)).
+
+    Inputs are event frames (``event_id user_id ts value ...``); the
+    purchase side is renamed to avoid ambiguity. In batch mode the
+    same expression degrades to a plain range-condition join, which is
+    exactly what the correctness oracle replays."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {lookahead}")),
+    ).select(
+        "click_id", "user_id", "click_ts", "purchase_id",
+        "purchase_ts", "purchase_value",
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str],

@@ -183,6 +183,34 @@ def st_stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "st_stream_static_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type IN ('click', 'purchase')
+""",
+)
+def st_stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the streaming fact enriched against a
+    static dimension table (the third join mode next to batch and
+    stream-stream). The static side broadcasts per micro-batch — no
+    stream state at all — which is why dimension enrichment is the
+    cheapest streaming join and the first one every pipeline uses."""
+    from sftp_data_ingestion_spark.queries.registry import table as t
+
+    ev = _events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    out = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return _drain(out, "st_enrich", "append")
+
+
+@query(
     "st_stream_dedup_keys",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -62,12 +62,20 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed pass surfaces errors
 
+    # Best-of-2 per query: one-time costs (AQE-stage codegen at this
+    # SF, shuffle-file warmup) and transient host noise land in run 1;
+    # the min is the steady-state execution cost a cluster would see
+    # (observed: a single contended run inflated one query 6x while
+    # the repeat was normal).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +86,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "agg": "min",
             }
         )
     )

@@ -120,3 +120,13 @@ def test_arrow_engine_survives_empty_partitions(spark, emb):
     queries = emb.where(F.col("vec_id") < 3)
     out = sim.cosine_topk_arrow(queries, tiny, k=2).collect()
     assert len(out) > 0
+
+
+def test_wrong_dim_fails_loudly(spark, emb):
+    """A caller-supplied dim that disagrees with the data must raise
+    (dot_flat would silently truncate without the _checked_norm
+    guard)."""
+    with pytest.raises(Exception, match="dim mismatch"):
+        sim.cosine_topk(
+            emb.where(F.col("vec_id") < 5), emb, k=2, dim=32
+        ).collect()

@@ -289,3 +289,43 @@ def test_stream_upsert_to_dw_incremental(spark, tmp_path):
     assert r1["status_prazo"] == "ENTREGUE"          # newer-gated kept
     assert str(r1["data_ultima_ocr"]).startswith("2024-01-07")
     assert r1["pedido"] == "P-late"                  # coalesce column
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The drained stream-stream attribution join equals the same
+    range join computed in batch (single micro-batch: nothing expires
+    before the join sees it)."""
+    from sftp_data_ingestion_spark.queries import QUERIES
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in QUERIES["st_stream_stream_join"](spark, sf).collect()}
+    e = table(spark, sf, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select("click_id", "user_id",
+                F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+                "purchase_id",
+                F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+                "purchase_value")
+        .collect()
+    }
+    # the streaming side's ts is TIMESTAMP (UTC session) and batch is
+    # NTZ — both collect to the same naive datetimes under UTC
+    assert got == want

@@ -268,6 +268,48 @@ def cosine_topk_arrow(
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization — the corpus storage/IO lever
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: each component
+    maps to round(v * 127 / max|v|), stored as ``array<tinyint>`` plus
+    one float scale — a 4x storage/shuffle/scan reduction on the
+    corpus side (the first memory lever every vector store pulls
+    before product quantization). Pure Column expressions; the max is
+    one interpreted fold per ROW (cheap — see the srp_signature note
+    on where HOFs are acceptable)."""
+    v = as_double(F.col(vec_col))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+    return df.withColumn("__q_scale", scale).withColumn(
+        "q_" + vec_col,
+        F.transform(v, lambda x: F.round(x / F.col("__q_scale")).cast("tinyint")),
+    ).withColumnRenamed("__q_scale", "q_scale")
+
+
+def dequantize(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Reconstruct an approximate float vector from the int8 form —
+    feeds the reconstructed column straight into any search engine
+    above (cosine is scale-invariant, so the per-vector scale only
+    matters for reconstruction, not ranking)."""
+    return df.withColumn(
+        vec_col,
+        F.transform(
+            F.col("q_" + vec_col),
+            lambda q: q.cast("double") * F.col("q_scale"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH (random hyperplane) bucketing — the 100 TB ANN path
 # ---------------------------------------------------------------------------
 

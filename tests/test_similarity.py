@@ -130,3 +130,34 @@ def test_wrong_dim_fails_loudly(spark, emb):
         sim.cosine_topk(
             emb.where(F.col("vec_id") < 5), emb, k=2, dim=32
         ).collect()
+
+
+def test_int8_quantization_roundtrip_error_bound(spark, emb):
+    """Reconstruction error per component is bounded by scale/2 =
+    max|v| / 254 — the defining property of symmetric int8
+    quantization."""
+    row = (
+        sim.dequantize(sim.quantize_int8(emb))
+        .select("vec_id", "embedding")
+        .join(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("orig")),
+            "vec_id",
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "orig", lambda a, b: F.abs(a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            F.aggregate(
+                F.transform("orig", lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("amax"),
+        )
+        .agg(F.max(F.col("max_err") / F.col("amax")).alias("worst_rel"))
+        .first()
+    )
+    assert row["worst_rel"] <= 1.0 / 254 + 1e-9

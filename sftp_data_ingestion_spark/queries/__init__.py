@@ -16,15 +16,23 @@ from sftp_data_ingestion_spark.queries.registry import (  # noqa: F401
     query,
 )
 
-# modules register themselves on import (order = report order)
-from sftp_data_ingestion_spark.queries import q_cleaning  # noqa: F401,E402
-from sftp_data_ingestion_spark.queries import q_pipeline  # noqa: F401,E402
-from sftp_data_ingestion_spark.queries import q_relational  # noqa: F401,E402
-from sftp_data_ingestion_spark.queries import q_text  # noqa: F401,E402
+# modules register themselves on import (order = report order).
+#
+# ORDERING POLICY: the driver's correctness gate grades the FIRST ~50
+# registered queries, so registration order is proof budget.  Families
+# that have not yet earned a green driver row go FIRST; the families
+# with two consecutive all-green driver rounds (q_cleaning, q_pipeline,
+# q_relational, most of q_text) go LAST.  New queries must be added to
+# a module registered at the END, or they evict a not-yet-proven query
+# out of the graded window (this happened in round 4).
 from sftp_data_ingestion_spark.queries import q_similarity  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_streaming  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_multimodal  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_temporal  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_sampling  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_extra  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_profile  # noqa: F401,E402
-from sftp_data_ingestion_spark.queries import q_streaming  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_text  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_cleaning  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_pipeline  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_relational  # noqa: F401,E402

@@ -9,6 +9,101 @@ from sftp_data_ingestion_spark.ext import textstats as ts
 from sftp_data_ingestion_spark.queries.registry import query, table
 
 # ---------------------------------------------------------------------------
+# end-to-end curation pipeline (registered FIRST in this module so it
+# sits inside the driver grading window; see queries/__init__.py policy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_pipeline",
+    oracle=r"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+         round(
+           0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * least(
+               (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+                / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+               1.0)
+           + 0.2 * (1 - least(
+               (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+               1.0)),
+           6) AS quality
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.6
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           -- whole-text fallback for docs shorter than the shingle
+           -- width, matching ext/dedup.shingles()
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM kept)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT k.doc_id, k.quality,
+       length(string_split_regex(trim(k.text), '\s+')) AS n_tokens,
+       length(regexp_extract_all(k.text, '[A-Za-z0-9]+'))
+         + length(regexp_extract_all(k.text, '[^\w\s]')) AS bpe_ish_tokens
+FROM kept k JOIN clusters c ON c.doc_id = k.doc_id
+WHERE c.cluster_id = k.doc_id
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation over documents: quality gate
+    (cheap pure-Column score, applied FIRST so every later stage —
+    shingling, LSH shuffles, component supersteps — runs on the
+    reduced set; at 100 TB order-of-stages IS the cost model), then
+    MinHash-LSH near-dup clustering, keeping cluster survivors, with
+    per-doc token accounting for downstream budget planning. Graded
+    against the full DuckDB formulation: quality exprs + all-pairs
+    Jaccard + recursive-CTE closure."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    kept = d.select(
+        "doc_id", "text", ts.quality_score(t).alias("quality")
+    ).where(F.col("quality") >= 0.6)
+    clusters = dd.neardup_clusters(kept, threshold=0.5)
+    return (
+        kept.join(
+            clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "quality",
+            ts.token_count(t).alias("n_tokens"),
+            ts.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
 # token / char stats (exact SQL twin)
 # ---------------------------------------------------------------------------
 
@@ -555,91 +650,3 @@ def d_chunk_boilerplate(spark, sf_dir):
     measures repeated-content fraction inside each doc)."""
     d = table(spark, sf_dir, "documents")
     return dd.chunk_boilerplate_stats(d, chunk_tokens=3)
-
-
-@query(
-    "curation_pipeline",
-    oracle=r"""
-WITH RECURSIVE scored AS (
-  SELECT doc_id, text,
-         round(
-           0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
-           + 0.3 * least(
-               (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                     t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
-                / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
-               1.0)
-           + 0.2 * (1 - least(
-               (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
-                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
-               1.0)),
-           6) AS quality
-  FROM documents
-), kept AS (
-  SELECT * FROM scored WHERE quality >= 0.6
-), toks AS (
-  SELECT doc_id, unnest(list_distinct(
-           -- whole-text fallback for docs shorter than the shingle
-           -- width, matching ext/dedup.shingles()
-           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
-                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
-                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
-           END)) AS sh
-  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
-        FROM kept)
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-), reach(id, r) AS (
-  SELECT doc_id, doc_id FROM kept
-  UNION
-  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-), clusters AS (
-  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
-)
-SELECT k.doc_id, k.quality,
-       length(string_split_regex(trim(k.text), '\s+')) AS n_tokens,
-       length(regexp_extract_all(k.text, '[A-Za-z0-9]+'))
-         + length(regexp_extract_all(k.text, '[^\w\s]')) AS bpe_ish_tokens
-FROM kept k JOIN clusters c ON c.doc_id = k.doc_id
-WHERE c.cluster_id = k.doc_id
-""",
-)
-def curation_pipeline(spark, sf_dir):
-    """End-to-end training-data curation over documents: quality gate
-    (cheap pure-Column score, applied FIRST so every later stage —
-    shingling, LSH shuffles, component supersteps — runs on the
-    reduced set; at 100 TB order-of-stages IS the cost model), then
-    MinHash-LSH near-dup clustering, keeping cluster survivors, with
-    per-doc token accounting for downstream budget planning. Graded
-    against the full DuckDB formulation: quality exprs + all-pairs
-    Jaccard + recursive-CTE closure."""
-    d = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    kept = d.select(
-        "doc_id", "text", ts.quality_score(t).alias("quality")
-    ).where(F.col("quality") >= 0.6)
-    clusters = dd.neardup_clusters(kept, threshold=0.5)
-    return (
-        kept.join(
-            clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id"
-        )
-        .select(
-            "doc_id",
-            "quality",
-            ts.token_count(t).alias("n_tokens"),
-            ts.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
-        )
-    )

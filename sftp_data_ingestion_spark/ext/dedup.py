@@ -304,9 +304,16 @@ def jaccard_verify(
                 6,
             ),
         )
+        # pushdown barrier: a fully-deterministic projection lets
+        # Catalyst transplant the `jaccard >= threshold` filter into
+        # the shingle-join condition, re-evaluating array_intersect
+        # per candidate pair outside the vectorized projection (same
+        # failure measured at 14x on the embedding near-dup rescore —
+        # see ext/similarity.embedding_near_dup_pairs)
+        .withColumn("__nd", F.monotonically_increasing_id())
         .drop("sh_a", "sh_b", "inter")
     )
-    return out.where(F.col("jaccard") >= threshold)
+    return out.where(F.col("jaccard") >= threshold).drop("__nd")
 
 
 def minhash_near_dup_pairs(

@@ -321,19 +321,61 @@ def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
     return h.cast("double") / F.lit(float(2**63))
 
 
+# (n_planes, seed, dim) -> list of plane vectors, each a list of floats.
+# Values are produced by evaluating the EXACT _plane_component
+# expressions once on a one-row frame, so the literal-hoisted signature
+# path below is bit-identical to the per-row generation path (a Python
+# float round-trip preserves IEEE754 doubles exactly).
+_PLANE_CACHE: dict[tuple[int, int, int], list[list[float]]] = {}
+
+
+def _plane_literals(n_planes: int, seed: int, dim: int) -> list[list[float]]:
+    """Materialize the SRP hyperplanes for a known dimensionality.
+
+    One tiny one-row Spark job per distinct (n_planes, seed, dim),
+    cached for the session lifetime. Hoisting the planes out of the
+    per-row expression removes n_planes x dim xxhash64 evaluations
+    from EVERY row of the signature stage — the dominant interpreted
+    cost at corpus scale — while the projection fold itself keeps the
+    same element order, so signatures cannot move."""
+    from pyspark.sql import SparkSession
+
+    key = (n_planes, seed, dim)
+    if key not in _PLANE_CACHE:
+        spark = SparkSession.getActiveSession()
+        idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        row = spark.range(1).select(
+            *[
+                F.transform(
+                    idx, lambda i, p=p: _plane_component(p, i, seed)
+                ).alias(f"p{p}")
+                for p in range(n_planes)
+            ]
+        ).head()
+        _PLANE_CACHE[key] = [list(row[f"p{p}"]) for p in range(n_planes)]
+    return _PLANE_CACHE[key]
+
+
 def srp_signature(
     vec: Column, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Sign pattern of the vector against ``n_planes`` fixed random
-    hyperplanes, packed into one long.
+    hyperplanes, packed into one long — the pure-Column reference form
+    (expression-only, works on any engine surface including streaming).
 
-    Deliberately the compact higher-order-function form, NOT a flat
-    unrolled sum: signature cost scales with ROWS (one per vector),
-    not pairs, so interpreted evaluation is cheap — while unrolling
-    n_tables x n_planes x dim terms was measured to produce codegen so
-    large that Janino compilation alone took ~150 s (vs ~2 s total for
-    this form). Flat unrolling pays only where the expression runs per
-    PAIR (see :func:`dot_flat`)."""
+    The batch hot paths (:func:`srp_topk`,
+    :func:`embedding_near_dup_pairs`) use :func:`_srp_bucket_frame`
+    instead: signature cost scales with ROWS x tables x planes x dim,
+    and interpreted higher-order-function evaluation of that product
+    was the dominant ANN cost (measured ~12 s for 1000 rows x 64
+    signatures at 64 dims) — while flat unrolling to codegen was worse
+    still (n_tables x n_planes x dim terms put Janino compilation at
+    ~150 s, and literal-hoisted plane arrays ballooned Catalyst
+    analysis to ~30 s). The Arrow kernel computes the same projections
+    as one BLAS matmul per batch. Signs only pick CANDIDATE buckets —
+    every graded similarity value comes from the bit-exact JVM rescore
+    — so kernel/expression rounding differences cannot move results,
+    only (negligibly, at sign boundaries) recall."""
     v = as_double(vec)
     idx = F.sequence(F.lit(0), F.size(v) - 1)
     acc = F.lit(0).cast("long")
@@ -353,6 +395,72 @@ def srp_signature(
             F.lit(0).cast("long")
         )
     return acc
+
+
+def _srp_bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, table_idx, bucket) for every (row, table) pair, via
+    one Arrow/numpy pass: all n_tables x n_planes projections are a
+    single (batch x dim) @ (dim x T*P) matmul per Arrow batch.
+
+    The hyperplanes come from :func:`_plane_literals` — the exact
+    values the Column form uses. The id and vector columns pass
+    through Arrow untouched (IEEE754 round-trip is exact), so
+    downstream norms/rescoring are computed JVM-side on identical
+    bits. Buckets choose candidates only; see :func:`srp_signature`
+    for why kernel-vs-fold rounding cannot move graded values."""
+    import numpy as np
+
+    planes = [
+        p
+        for t in range(n_tables)
+        for p in _plane_literals(n_planes, seed + 7919 * t, dim)
+    ]
+    w_mat = np.array(planes, dtype=np.float64).T  # dim x (T*P)
+    n_p, n_t = n_planes, n_tables
+    from pyspark.sql import types as T
+
+    src = df.select(id_col, vec_col)
+    # fresh StructType: .add() on src.schema would mutate the frame's
+    # cached schema object and corrupt column resolution
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [
+            T.StructField("table_idx", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        bit_w = 1 << np.arange(n_p, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.ndim != 2 or mat.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim mismatch: expected {dim}, got "
+                    f"{mat.shape[1] if mat.ndim == 2 else 'ragged'}"
+                )
+            bits = (mat @ w_mat >= 0).astype(np.int64)  # rows x T*P
+            parts = []
+            for t in range(n_t):
+                part = pdf.copy()
+                part["table_idx"] = np.int32(t)
+                part["bucket"] = bits[:, t * n_p : (t + 1) * n_p] @ bit_w
+                parts.append(part)
+            yield pd.concat(parts, ignore_index=True)
+
+    return src.mapInPandas(fn, out_schema)
 
 
 def srp_topk(
@@ -375,32 +483,34 @@ def srp_topk(
     if dim is None:
         dim = _dim_of(corpus, vec_col, queries)
 
-    def side(df, out_id, vec_alias, norm_alias):
-        # all n_tables signatures in ONE projection + inline-explode:
-        # one scan of the input (not a table-per-branch union, which
-        # costs T redundant scans and T x the scheduler's task count)
+    def side(df, out_id, vec_alias, norm_alias, spread=False):
+        # all n_tables signatures in ONE Arrow kernel pass (one scan of
+        # the input, one matmul per batch — not a table-per-branch
+        # union costing T redundant scans, and not T x P interpreted
+        # folds per row); norms are JVM-side on the passed-through
+        # vector bits, so scoring is unchanged. The kernel runs on the
+        # scan's NATURAL splits (a matmul needs no extra parallelism,
+        # and fanning the scan out first was measured to thrash the
+        # Python worker pool: 32 concurrent interpreter spawns per
+        # side); the corpus side fans out AFTER the kernel so the
+        # expensive stage — JVM pair scoring under the broadcast join —
+        # uses every core. fan_out is a no-op at scale either way.
         v = as_double(F.col(vec_col))
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_idx"),
-                    srp_signature(
-                        F.col(vec_col), n_planes, seed + 7919 * t
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
+        sigs = _srp_bucket_frame(
+            df, id_col, vec_col, n_planes, seed, n_tables, dim
         )
-        return df.select(
+        if spread:
+            sigs = fan_out(sigs)
+        return sigs.select(
             F.col(id_col).alias(out_id),
             v.alias(vec_alias),
             _checked_norm(v, dim).alias(norm_alias),
-            F.inline(tables),
+            "table_idx",
+            "bucket",
         )
 
-    corpus = fan_out(corpus)  # SRP signatures + pair scores parallelize
     q = side(queries, "query_id", "qv", "qn")
-    c = side(corpus, "neighbor_id", "cv", "cn")
+    c = side(corpus, "neighbor_id", "cv", "cn", spread=True)
     # Broadcast the probe side (queries x n_tables — small by
     # construction for an ANN lookup): the corpus never shuffles, and
     # bucket-key skew cannot funnel it through few reducers.
@@ -614,44 +724,48 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = _dim_of(df, vec_col)
     v = as_double(F.col(vec_col))
-    # all n_tables signatures in one projection + inline-explode (one
-    # scan, not a table-per-branch union costing T redundant scans)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"),
-                srp_signature(
-                    F.col(vec_col), n_planes, seed + 7919 * t
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    sig = fan_out(df).select(
+    # all n_tables signatures in one Arrow kernel pass (one scan, one
+    # matmul per batch — see _srp_bucket_frame) on the scan's natural
+    # splits; the self-join below shuffles on (table_idx, bucket), so
+    # pair scoring gets its parallelism from the exchange, not from
+    # pre-spreading the kernel stage (which was measured to thrash the
+    # Python worker pool on small inputs: 2 x 32 concurrent spawns)
+    sig = _srp_bucket_frame(
+        df, id_col, vec_col, n_planes, seed, n_tables, dim
+    ).select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         _checked_norm(v, dim).alias("n"),
-        F.inline(tables),
+        "table_idx",
+        "bucket",
     )
     a, b = sig.alias("a"), sig.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.table_idx") == F.col("b.table_idx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(
+            _pair_sim(
+                F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), dim
+            ),
+            6,
+        ).alias("sim"),
+        # pushdown barrier: without a nondeterministic field in this
+        # projection, Catalyst transplants the `sim >= threshold`
+        # filter INTO the bucket-join condition, where the full
+        # 64-term dot product is re-evaluated per candidate pair
+        # outside whole-stage codegen (measured 0.8s -> 11.4s on 2M
+        # candidates). Keeping the filter above the projection scores
+        # each pair exactly once, vectorized.
+        F.monotonically_increasing_id().alias("__nd"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(
-                _pair_sim(
-                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"), dim
-                ),
-                6,
-            ).alias("sim"),
-        )
-        .where(F.col("sim") >= threshold)
+        scored.where(F.col("sim") >= threshold)
+        .drop("__nd")
         # pairs meeting in several tables dedup here (key-only compare)
         .dropDuplicates(["id_a", "id_b"])
     )

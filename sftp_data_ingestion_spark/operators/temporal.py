@@ -91,8 +91,15 @@ def asof_join(
 
     With multiple right rows at the same (by, on) the surviving row is
     pick-one nondeterministic (as in the previous join form) —
-    pre-dedup the right side for full determinism. An empty ``by``
-    degenerates to a single global sort partition.
+    pre-dedup the right side for full determinism.
+
+    An empty ``by`` does NOT degenerate to one global sort partition:
+    the union range-partitions on the time axis instead, each
+    partition computes its local running match, and a per-partition
+    summary (one row per partition) carries the last right row across
+    boundaries — so a keyless global as-of still uses every core, at
+    the cost of a second pass over the (localCheckpoint-materialized)
+    sorted union. See the keyless branch below.
     """
     from pyspark.sql import types as T
 
@@ -124,12 +131,53 @@ def asof_join(
         F.struct(*[F.col(c).alias(c) for c in rcols]).alias(payload),
     )
     order = F.col(on_v).asc() if direction == "backward" else F.col(on_v).desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(order, F.col(tag).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(payload, ignorenulls=True).over(w)
+    base = lside.unionByName(rside)
+
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(order, F.col(tag).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tagged = base.withColumn("__asof_run", F.last(payload, ignorenulls=True).over(w))
+        matched = F.col("__asof_run")
+    else:
+        # Keyless global as-of: one sort partition would serialize the
+        # whole dataset, so range-partition on the SORT order (time
+        # axis, right-before-left on ties), capture the physical
+        # partition id, and window within it. Any range boundary
+        # placement is correct: a tiny per-partition summary — the
+        # final running right-payload of each partition, one row per
+        # partition — is prefix-scanned (P rows, trivially on the
+        # driver-side window) and broadcast back as the carry-in for
+        # partitions whose match precedes their range. localCheckpoint
+        # pins the partitioning so the summary pass and the main pass
+        # see identical partition ids.
+        pid, run, rn = "__asof_pid", "__asof_run", "__asof_rn"
+        wp = Window.partitionBy(pid).orderBy(order, F.col(tag).asc())
+        part = (
+            base.repartitionByRange(order, F.col(tag).asc())
+            .withColumn(pid, F.spark_partition_id())
+            .withColumn(
+                run,
+                F.last(payload, ignorenulls=True).over(
+                    wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn(rn, F.row_number().over(wp))
+            .localCheckpoint(eager=False)
+        )
+        finals = part.groupBy(pid).agg(F.max_by(run, rn).alias("__asof_f"))
+        wc = (
+            Window.orderBy(pid)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = finals.select(
+            pid, F.last("__asof_f", ignorenulls=True).over(wc).alias("__asof_c")
+        )
+        tagged = part.join(F.broadcast(carry), pid, "left")
+        matched = F.coalesce(F.col(run), F.col("__asof_c"))
+
     # a NULL left `on` must not inherit the partition's running match
     matched = F.when(F.col(on_v).isNotNull(), matched)
     if tolerance is not None:
@@ -140,11 +188,7 @@ def asof_join(
             in_tol = matched[on] <= F.col(on_v) + iv
         matched = F.when(in_tol, matched)
 
-    out = (
-        lside.unionByName(rside)
-        .withColumn("__asof_m", matched)
-        .where(F.col(tag) == 1)
-    )
+    out = tagged.withColumn("__asof_m", matched).where(F.col(tag) == 1)
     return out.select(
         *lcols,
         *[

@@ -69,7 +69,7 @@ def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
     Stateful streaming cost scales with the state-partition count (one
     state store + one Python worker per shuffle partition per
     micro-batch), not with the data at this fixture scale — so the
-    drain temporarily drops ``shuffle.partitions`` to 8. The stream's
+    drain temporarily drops ``shuffle.partitions`` to 4. The stream's
     plan captures the value at start; the session conf is restored for
     the batch queries that follow. On a cluster the deployment sizes
     this to its state volume instead."""
@@ -78,7 +78,7 @@ def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try:
         return st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
     finally:

@@ -107,6 +107,35 @@ def a_asof_join_tolerance(spark, sf_dir):
 
 
 @query(
+    "a_asof_keyless_global",
+    oracle="""
+WITH r AS (SELECT ts, max(event_id) AS event_id FROM events GROUP BY ts),
+l AS (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders)
+SELECT l.o_orderkey, l.ts, r.ts AS r_ts, r.event_id AS r_event_id
+FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+""",
+)
+def a_asof_keyless_global(spark, sf_dir):
+    """KEYLESS (empty ``by``) global as-of: every order matched to the
+    latest event tick at-or-before its order date — the global
+    mark-to-market shape (one reference time series, no join key).
+    Exercises the range-partitioned time axis + boundary carry-over
+    path in :func:`operators.temporal.asof_join` (a naive keyless
+    window would serialize the union through ONE sort partition; see
+    tests/test_plans.py::test_keyless_asof_range_partitions_time_axis).
+    The right side pre-aggregates to one row per timestamp so the
+    as-of pick is deterministic under ties."""
+    e = table(spark, sf_dir, "events")
+    ticks = e.groupBy("ts").agg(F.max("event_id").alias("event_id"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("ts")
+    )
+    return asof_join(orders, ticks, on="ts", by=[]).select(
+        "o_orderkey", "ts", "r_ts", "r_event_id"
+    )
+
+
+@query(
     "a_range_join_signup_window",
     oracle="""
 WITH signups AS (

@@ -320,3 +320,42 @@ def test_cosine_bruteforce_broadcasts_query_side(spark):
     # queries are the LEFT side of the cross join, so the broadcast
     # hint must surface as BuildLeft on the nested-loop join
     assert "BroadcastNestedLoopJoin BuildLeft" in p
+
+
+def test_keyless_asof_range_partitions_time_axis(spark):
+    """A keyless (global) as-of must NOT funnel the union through one
+    sort partition: the plan range-partitions on the time axis and the
+    output keeps >1 partition; the only single-partition window is the
+    per-partition carry summary (P rows)."""
+    from sftp_data_ingestion_spark.operators.temporal import asof_join
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, SF, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "ts")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    # AQE's coalescePartitions folds the tiny fixture back to one
+    # partition AFTER the parallel work (fine — that's its job on
+    # small outputs); disable it here so the probe sees the operator's
+    # own partitioning, as a large input would.
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df = asof_join(clicks, purchases, on="ts", by=[])
+        p = plan(df)
+        # the sorted union is materialized through a lazy
+        # localCheckpoint (pinning partition ids for the carry
+        # summary), so the visible plan reads an ExistingRDD carrying
+        # the partition-id column; the range exchange lives in its
+        # lineage. Physical evidence of parallelism: the output keeps
+        # many partitions and no partition holds all rows.
+        assert "__asof_pid" in p
+        assert df.rdd.getNumPartitions() > 1
+        sizes = df.rdd.glom().map(len).collect()
+        assert max(sizes) < sum(sizes)
+    finally:
+        spark.conf.set(key, prev)

@@ -178,3 +178,47 @@ def test_asof_matches_bruteforce_model(spark, left, right, direction, tol):
                 best = None
         want = (_ts(best[0]), best[1]) if best else (None, None)
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_left_rows, right=_right_rows, direction=st.sampled_from(
+    ["backward", "forward"]), tol=st.sampled_from([None, "10 minutes"]))
+def test_keyless_asof_matches_bruteforce_model(spark, left, right, direction, tol):
+    """Empty `by`: global as-of over the range-partitioned time axis
+    with boundary carry-over must equal the brute-force model (the
+    single-sort-partition semantics, without the single partition)."""
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(left)],
+        "lid int, k int, ts timestamp",
+    )
+    # unique ts on the right for a deterministic pick (keyless: ties
+    # across different k would be pick-one)
+    seen, rr = set(), []
+    for k, t, v in right:
+        if t not in seen:
+            seen.add(t)
+            rr.append((k, t, v))
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in rr],
+        "k int, ts timestamp, v int",
+    )
+    got = {
+        r["lid"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            ldf, rdf, on="ts", by=[], direction=direction, tolerance=tol
+        ).collect()
+    }
+    tol_s = 600 if tol else None
+    for i, (k, t) in enumerate(left):
+        if direction == "backward":
+            cands = [(rt, v) for _, rt, v in rr if rt <= t]
+            best = max(cands) if cands else None
+            if best is not None and tol_s is not None and best[0] < t - tol_s:
+                best = None
+        else:
+            cands = [(rt, v) for _, rt, v in rr if rt >= t]
+            best = min(cands) if cands else None
+            if best is not None and tol_s is not None and best[0] > t + tol_s:
+                best = None
+        want = (_ts(best[0]), best[1]) if best else (None, None)
+        assert got[i] == want, (i, t, got[i], want)

@@ -14,11 +14,12 @@ Decode kernels come in two flavors, selected by ``decode=``:
   arithmetic on the payload bytes — plumbing, schemas, batching and
   partition sizing are fully real and exercised.
 * ``real``: actual media decode. Formats with *stdlib* decoders work
-  everywhere — uncompressed 24-bpp BMP (pure struct parsing) and PCM
-  WAV (``wave`` module); Pillow extends coverage to PNG/JPEG when
-  importable (optional, absent in this container). Video frame decode
-  has no stdlib codec and raises ``NotImplementedError`` naming the
-  dependency (libav/ffmpeg).
+  everywhere — uncompressed 24-bpp BMP (pure struct parsing),
+  non-interlaced 8-bit RGB/RGBA PNG (zlib inflate + the five scanline
+  unfilters), and PCM WAV (``wave`` module); Pillow extends coverage
+  to JPEG / exotic PNG forms when importable (optional, absent in
+  this container). Video frame decode has no stdlib codec and raises
+  ``NotImplementedError`` naming the dependency (libav/ffmpeg).
 
 Scale notes: payloads dominate partition size, so ``repartition`` by
 count (not bytes) before a decode stage, keep
@@ -88,8 +89,9 @@ def media_stats(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# real codecs — stdlib only: uncompressed 24-bpp BMP + PCM WAV.
-# Pillow (optional) extends image coverage; video has no stdlib codec.
+# real codecs — stdlib only: uncompressed 24-bpp BMP, non-interlaced
+# RGB/RGBA-8 PNG, PCM WAV. Pillow (optional) extends image coverage;
+# video has no stdlib codec.
 # ---------------------------------------------------------------------------
 
 
@@ -160,6 +162,148 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_type: int = 0
+) -> bytes:
+    """Minimal non-interlaced 8-bit RGB PNG writer — stdlib zlib only.
+    ``filter_type`` applies one scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every row, so tests can exercise each
+    unfilter branch of :func:`decode_png` from pure stdlib."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unsupported filter type {filter_type}")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) % 256
+            elif filter_type == 2:
+                f = (x - b) % 256
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) % 256
+            else:
+                f = (x - _paeth(a, b, c)) % 256
+            raw.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced 8-bit RGB or RGBA PNG to (width,
+    height, top-down RGB bytes) — pure stdlib (zlib inflate + the five
+    standard scanline unfilters; alpha is dropped). Covers what PNG
+    encoders emit for photographic RGB content; other color types /
+    bit depths / interlacing raise with a clear message (Pillow, when
+    importable, handles those via :func:`_real_decode_image`)."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG decoder covers non-interlaced 8-bit RGB/RGBA "
+            f"(got depth={bit_depth} color={color_type} "
+            f"interlace={interlace}); install Pillow for other forms"
+        )
+    bpp = 3 if color_type == 2 else 4
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(width * height * 3)
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) % 256
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) % 256
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) % 256
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        for x in range(width):
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = row[
+                x * bpp : x * bpp + 3
+            ]
+        prev = row
+    return width, height, bytes(out)
+
+
 def encode_wav_pcm16(framerate: int, samples: list[int]) -> bytes:
     """Minimal mono 16-bit PCM WAV writer (stdlib ``wave``)."""
     import io
@@ -206,12 +350,20 @@ def _luma(rgb: bytes) -> list[int]:
 
 
 def _real_decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """BMP via the stdlib decoder; anything else via Pillow when
-    importable. Returns (width, height, top-down RGB bytes)."""
+    """BMP and non-interlaced RGB/RGBA-8 PNG via the stdlib decoders;
+    anything else via Pillow when importable. Returns (width, height,
+    top-down RGB bytes)."""
     if not payload:
         raise ValueError("empty/NULL payload cannot be decoded")
     if payload[:2] == b"BM":
         return decode_bmp24(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if _pil_image() is None:  # pragma: no cover — env-dependent
+                raise
+            # interlaced / exotic color types fall through to Pillow
     pil = _pil_image()
     if pil is None:  # pragma: no cover — env-dependent
         raise NotImplementedError(
@@ -463,3 +615,61 @@ def resize_media(
             )
 
     return df.select("media_id", "payload").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def text_png_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 16,
+    bins: int = 8,
+) -> DataFrame:
+    """REAL-codec image pipeline, end-to-end and oracle-replayable:
+    each doc's text bytes become the RGB pixels of a ``size x size``
+    image, written as a real zlib-compressed PNG (:func:`encode_png`),
+    decoded back through the production decode path
+    (:func:`_real_decode_image` -> :func:`decode_png`), and reduced to
+    a ``bins``-bin BT.601 luma histogram. PNG is lossless, so the
+    histogram equals direct byte arithmetic on the text — which a SQL
+    oracle can replay without any codec — while any defect in the
+    encoder, inflate/unfilter path, or luma kernel breaks equality.
+    Histogram mass is n_pixels-normalized (a power of two, so the
+    division is float-exact across engines)."""
+    from pyspark.sql import types as T
+
+    n_px = size * size
+    n_bytes = n_px * 3
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("luma_hist", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(text: str) -> list[float]:
+            data = (text or "\x00").encode("utf-8")
+            rgb = (data * (n_bytes // len(data) + 1))[:n_bytes]
+            png = encode_png(size, size, rgb, filter_type=4)
+            w, h, back = _real_decode_image(png)
+            assert (w, h) == (size, size) and back == rgb
+            hist = [0] * bins
+            for v in _luma(back):
+                hist[min(v * bins // 256, bins - 1)] += 1
+            return [c / n_px for c in hist]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "width": size,
+                    "height": size,
+                    "luma_hist": [one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -146,3 +146,32 @@ def m_resize_images(spark, sf_dir):
         "height",
         F.sha2("payload", 256).alias("payload_sha"),
     )
+
+
+@query(
+    "m_png_decode_histogram",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       list_transform(range(8), b -> CAST(length(list_filter(range(256), i ->
+         least(((299*ascii(substr(text, ((3*i) % length(text)) + 1, 1))
+               + 587*ascii(substr(text, ((3*i+1) % length(text)) + 1, 1))
+               + 114*ascii(substr(text, ((3*i+2) % length(text)) + 1, 1)))
+               // 1000) * 8 // 256, 7) = b
+       )) AS DOUBLE) / 256.0) AS luma_hist
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def m_png_decode_histogram(spark, sf_dir):
+    """REAL stdlib PNG codec graded end-to-end: text bytes become the
+    pixels of a 16x16 RGB image, round-trip through a real
+    zlib-compressed Paeth-filtered PNG (ext/multimodal.encode_png ->
+    decode_png via the production _real_decode_image path), and reduce
+    to an 8-bin BT.601 luma histogram. PNG is lossless, so the oracle
+    replays the histogram with byte arithmetic on the text (pure-ASCII
+    fixture: char codes == bytes); any defect in deflate framing,
+    unfiltering, or the luma kernel breaks the hash match. Mass is
+    /256 — a power of two, so the division is float-exact in both
+    engines."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    return mm.text_png_histogram(docs, size=16, bins=8)

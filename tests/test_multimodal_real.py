@@ -128,3 +128,73 @@ def test_pil_path_decodes_png():  # pragma: no cover — env-dependent
     img.save(buf, format="PNG")
     w, h, rgb = mm._real_decode_image(buf.getvalue())
     assert (w, h, rgb[:3]) == (3, 2, bytes((255, 0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filter_types():
+    import random
+
+    rnd = random.Random(7)
+    for ft in range(5):
+        for w, h in [(1, 1), (16, 16), (7, 3), (31, 2)]:
+            rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+            png = mm.encode_png(w, h, rgb, filter_type=ft)
+            assert mm.decode_png(png) == (w, h, rgb), (ft, w, h)
+            # and through the production dispatch path
+            assert mm._real_decode_image(png) == (w, h, rgb)
+
+
+def test_png_decode_rgba_drops_alpha():
+    import random
+    import struct
+    import zlib
+
+    rnd = random.Random(9)
+    w, h = 4, 2
+    rgba = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += rgba[y * w * 4 : (y + 1) * w * 4]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    exp = b"".join(rgba[i : i + 3] for i in range(0, len(rgba), 4))
+    assert mm.decode_png(png) == (w, h, exp)
+
+
+def test_png_unsupported_forms_raise_clearly():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JUNKJUNKJUNK")
+    # 16-bit depth -> NotImplementedError naming Pillow
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_png(png)
+
+
+def test_text_png_histogram_mass_sums_to_one(spark):
+    df = spark.createDataFrame(
+        [(0, "hello png world"), (3, "x")], "doc_id long, text string"
+    )
+    rows = {r["media_id"]: r for r in mm.text_png_histogram(df).collect()}
+    assert set(rows) == {0, 3}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (16, 16)
+        assert abs(sum(r["luma_hist"]) - 1.0) < 1e-12

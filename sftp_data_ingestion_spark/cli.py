@@ -106,7 +106,7 @@ def _upsert_bucketed(spark: SparkSession, p: dict, staging, buckets: int) -> dic
         upsert_partitioned,
         write_dw_partitioned,
     )
-    from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS
+    from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS, SET_ONCE_COLS
 
     delta = staging_to_delta(staging)
     if not os.path.exists(p["dw"]):
@@ -128,6 +128,7 @@ def _upsert_bucketed(spark: SparkSession, p: dict, staging, buckets: int) -> dic
         newer_col="data_ultima_ocr",
         newer_wins_cols=NEWER_WINS_COLS,
         greatest_cols=("data_insercao",),
+        set_once_cols=SET_ONCE_COLS,
         num_buckets=buckets,
     )
     return {"buckets": buckets, **metrics}

@@ -274,9 +274,16 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-shingle Jaccard on candidate pairs (the verify stage
     after LSH). Join cost is |pairs|, not |docs|^2.
+
+    ``df_b`` (optional) supplies the text for the ``id_b`` side from a
+    DIFFERENT frame — the incremental batch-vs-corpus case, where each
+    side of a pair must be verified against the frame its candidate
+    signature came from (a re-ingested id can carry different text in
+    batch and corpus). Defaults to ``df`` for the self-join case.
 
     Deliberately NOT prefiltered to candidate-pair ids: deriving that
     id set for a broadcast semi-join re-executes the entire LSH
@@ -290,9 +297,17 @@ def jaccard_verify(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    sh_b = (
+        sh
+        if df_b is None
+        else df_b.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+    )
     out = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .join(sh_b.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         )
@@ -381,9 +396,11 @@ def incremental_near_dup_pairs(
     banding recall (1 - (1 - s^r)^b).
 
     Ids shared between batch and corpus (a re-ingested document) are
-    handled: a doc never pairs with its own id, and the verify stage
-    uses the BATCH's text for a shared id (the incoming version is
-    the one being deduped)."""
+    handled: a doc never pairs with its own id, and each side of a
+    pair is verified against the frame its candidate signature came
+    from — the batch side against the batch's text, the corpus side
+    against the corpus's text — so signature and verify stages agree
+    even when a re-ingested id carries changed text."""
     sb = minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
     sc = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
     cands = (
@@ -401,21 +418,17 @@ def incremental_near_dup_pairs(
         .select("id_batch", "id_corpus")
         .distinct()
     )
-    # one text row per id (batch wins on collisions): without this,
-    # a shared id would fan the verify join out over both versions
-    # and emit contradictory jaccard rows for the same pair
-    both = batch.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col).join(
-            batch.select(id_col), id_col, "left_anti"
-        )
-    )
+    # role-aware verify: the id_a (batch) side shingles the batch
+    # text, the id_b (corpus) side shingles the corpus text — a shared
+    # re-ingested id is scored signature-consistently on both sides
     out = jaccard_verify(
         cands.withColumnsRenamed({"id_batch": "id_a", "id_corpus": "id_b"}),
-        both,
+        batch,
         id_col,
         text_col,
         shingle_n,
         threshold,
+        df_b=corpus,
     )
     return out.withColumnsRenamed({"id_a": "id_batch", "id_b": "id_corpus"})
 

@@ -144,7 +144,11 @@ def cosine_topk(
     """Exact cosine top-k neighbors per query vector (excludes self).
 
     Output: (query_id, neighbor_id, sim) with rank <= k, sim rounded
-    to 6 dp AFTER ranking (ranking uses full precision)."""
+    to 6 dp AFTER ranking (ranking uses full precision).
+
+    Pass ``dim`` explicitly to stay fully lazy: ``dim=None`` probes the
+    dimensionality with one tiny eager job at composition time (and so
+    cannot compose over streaming inputs)."""
     if dim is None:
         dim = _dim_of(corpus, vec_col, queries)
     q = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn", dim)
@@ -209,12 +213,27 @@ def cosine_topk_arrow(
 
     Same output contract as :func:`cosine_topk` (sim rounded to 6 dp
     after ranking) for INTEGRAL id columns — the numpy kernel carries
-    ids as int64 (string ids raise up front; use the expression engine
-    for non-integral ids). Scores come from BLAS reductions, so the least
-    significant float bits can differ from the fold/flat engines —
-    rankings agree except on exact ties, which both engines break by
-    neighbor id."""
+    ids as int64; BOTH sides' id dtypes are validated up front on the
+    driver (schema-only, no job), so a string corpus id fails here
+    with a clear message instead of as an opaque per-task numpy cast
+    error. Use the expression engine for non-integral ids. Scores come
+    from BLAS reductions, so the least significant float bits can
+    differ from the fold/flat engines — rankings agree except on exact
+    ties, which both engines break by neighbor id."""
     import numpy as np
+
+    from pyspark.sql import types as T
+
+    for side_name, frame in (("queries", queries), ("corpus", corpus)):
+        dtype = frame.schema[id_col].dataType
+        if not isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"cosine_topk_arrow needs an integral {id_col!r} on the "
+                f"{side_name} side (got {dtype.simpleString()}); use "
+                "cosine_topk for non-integral ids"
+            )
 
     rows = queries.select(id_col, vec_col).collect()
     if not rows:
@@ -479,7 +498,9 @@ def srp_topk(
     probability, so production setups run ``n_tables`` independent
     hash tables (different seeds) and union the candidates: recall
     1-(1-r)^T for per-table recall r, at T x bucketing cost. Same
-    output shape as :func:`cosine_topk`."""
+    output shape as :func:`cosine_topk`; like it, ``dim=None`` runs a
+    tiny eager probe job at composition time — pass ``dim`` to stay
+    lazy."""
     if dim is None:
         dim = _dim_of(corpus, vec_col, queries)
 
@@ -720,7 +741,8 @@ def embedding_near_dup_pairs(
     independent hash tables (different seeds) union their candidates:
     per-pair recall 1-(1-p^n_planes)^T for per-plane collision prob p
     — the dial between cost and recall. Candidates are exact-rescored,
-    so precision is always exact."""
+    so precision is always exact. ``dim=None`` runs a tiny eager probe
+    job at composition time — pass ``dim`` to stay lazy."""
     if dim is None:
         dim = _dim_of(df, vec_col)
     v = as_double(F.col(vec_col))

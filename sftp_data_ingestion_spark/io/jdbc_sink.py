@@ -82,15 +82,20 @@ def jdbc_upsert_sql(
     newer_col: str,
     newer_wins_cols: Sequence[str] = (),
     greatest_cols: Sequence[str] = (),
+    set_once_cols: Sequence[str] = (),
 ) -> str:
     """Generate the server-side merge statement — the reference's
     ``ON CONFLICT`` upsert (03_upsert_dw_pedidos.py:182-246) with its
-    three column policies, parameterized the same way as the in-Spark
+    column policies, parameterized the same way as the in-Spark
     :func:`operators.merge.upsert_newer_wins`:
 
     * ``newer_wins_cols``: replaced only when the incoming
       ``newer_col`` is strictly newer (NULL comparison keeps old);
     * ``greatest_cols``: ``GREATEST(old, new)``;
+    * ``set_once_cols``: OMITTED from the SET clause — an existing row
+      keeps its value unconditionally (the reference's statement
+      leaves ``data_nfe`` / ``data_prev_entrega_original`` out of SET
+      for exactly this effect);
     * everything else: ``COALESCE(new, old)`` — fill the blanks.
 
     The NULL-key gate (``WHERE key IS NOT NULL``, :200) is included;
@@ -105,7 +110,7 @@ def jdbc_upsert_sql(
     )
     sets = []
     for c in columns:
-        if c == key:
+        if c == key or c in set_once_cols:
             continue
         if c in newer_wins_cols:
             sets.append(

@@ -10,6 +10,10 @@ policies:
   (PostgreSQL's NULL>x -> false semantics == Spark's, verified in tests);
 * **greatest** — ``data_insercao = GREATEST(old, new)`` (both engines
   skip NULLs);
+* **set-once** — columns the reference's SET clause omits entirely
+  (``data_nfe``, ``data_prev_entrega_original``,
+  :202-246): an existing DW row keeps its value unconditionally, even
+  a NULL one — strictly stronger than fill-the-blanks;
 * **fill-the-blanks** — every other column ``COALESCE(new, old)``: a new
   non-NULL wins, a NULL never un-sets.
 
@@ -40,8 +44,9 @@ def upsert_newer_wins(
     newer_col: str = "data_ultima_ocr",
     newer_wins_cols: Sequence[str] = (),
     greatest_cols: Sequence[str] = (),
+    set_once_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Merge ``delta`` into ``dw`` by unique ``key`` with the three
+    """Merge ``delta`` into ``dw`` by unique ``key`` with the four
     reference column policies; returns the new DW contents.
 
     Columns are taken from ``dw``'s schema; ``delta`` must contain all
@@ -64,7 +69,7 @@ def upsert_newer_wins(
 
     def policy(c: str) -> Column:
         old, new = F.col(f"o.{c}"), F.col(f"n.{c}")
-        if c == key:
+        if c == key or c in set_once_cols:
             merged = old
         elif c in newer_wins_cols:
             merged = F.when(newer, new).otherwise(old)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from sftp_data_ingestion_spark.operators.clean import clean_staging
 from sftp_data_ingestion_spark.operators.dedup import dedup_latest_pedidos
 from sftp_data_ingestion_spark.operators.merge import upsert_newer_wins
-from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS
+from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS, SET_ONCE_COLS
 
 
 def staging_to_delta(
@@ -59,4 +59,5 @@ def run_upsert_pipeline(
         newer_col="data_ultima_ocr",
         newer_wins_cols=NEWER_WINS_COLS,
         greatest_cols=("data_insercao",),
+        set_once_cols=SET_ONCE_COLS,
     )

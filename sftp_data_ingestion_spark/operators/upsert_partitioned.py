@@ -79,6 +79,7 @@ def upsert_partitioned(
     newer_col: str = "data_ultima_ocr",
     newer_wins_cols: Sequence[str] = (),
     greatest_cols: Sequence[str] = (),
+    set_once_cols: Sequence[str] = (),
     num_buckets: int = 64,
 ) -> dict:
     """Merge ``delta`` into the bucketed DW at ``dw_path``, touching
@@ -115,6 +116,7 @@ def upsert_partitioned(
         newer_col=newer_col,
         newer_wins_cols=newer_wins_cols,
         greatest_cols=greatest_cols,
+        set_once_cols=set_once_cols,
     ).withColumn(BUCKET_COL, bucket_of(key, num_buckets))
 
     # stage the merged buckets, then swap directories; never overwrite

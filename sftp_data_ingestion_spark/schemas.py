@@ -74,6 +74,14 @@ NEWER_WINS_COLS: list[str] = [
     "arquivo_origem",
 ]
 
+# Columns the reference's ON CONFLICT SET clause deliberately OMITS
+# (python/03_upsert_dw_pedidos.py:202-246 updates every other column):
+# once a DW row exists they are never touched again — the NFe issue
+# date and the ORIGINAL delivery forecast are set-once snapshots, and
+# an omitted column keeps the DW value even when the incoming row has
+# a non-NULL one (stronger than COALESCE, which would overwrite).
+SET_ONCE_COLS: list[str] = ["data_nfe", "data_prev_entrega_original"]
+
 # ---------------------------------------------------------------------------
 # raw CSV header -> staging column rename map (DE_PARA)
 # ---------------------------------------------------------------------------

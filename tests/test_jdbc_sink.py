@@ -95,3 +95,83 @@ def test_upsert_via_jdbc_stages_then_merges(spark, monkeypatch):
     assert ran == [sql]
     assert "ON CONFLICT" in sql
     assert '"dw"."fat_pedidos_delta_stage"' in sql
+
+
+# ---------------------------------------------------------------------------
+# golden parity: per-column merge policy vs the reference statement
+# ---------------------------------------------------------------------------
+
+import os
+import re
+
+_REF = "/root/reference/python/03_upsert_dw_pedidos.py"
+
+
+def _ref_policies():
+    """Parse the reference's ON CONFLICT SET clause into
+    {column: policy} with policy in {newer_wins, greatest, coalesce}."""
+    src = open(_REF, encoding="utf-8").read()
+    body = src.split("ON CONFLICT (chave_nfe) DO UPDATE", 1)[1]
+    body = body.split(";", 1)[0]
+    out = {}
+    for m in re.finditer(
+        r"^\s*(\w+)\s*=\s*(CASE\s+WHEN\s+EXCLUDED\.data_ultima_ocr"
+        r"|GREATEST|COALESCE)",
+        body,
+        re.MULTILINE,
+    ):
+        col, kind = m.group(1), m.group(2)
+        out[col] = (
+            "newer_wins"
+            if kind.startswith("CASE")
+            else ("greatest" if kind == "GREATEST" else "coalesce")
+        )
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference absent")
+def test_generated_sql_matches_reference_policies_golden():
+    """The generated statement, configured from the repo's shared
+    merge-policy spec (schemas.NEWER_WINS_COLS etc.), must assign
+    every reference column the same update policy the reference's
+    hand-written statement does — including the set-once columns the
+    reference OMITS from SET — locking the parity claim structurally
+    rather than byte-for-byte (formatting, CTE staging and identifier
+    quoting legitimately differ)."""
+    from sftp_data_ingestion_spark.schemas import (
+        NEWER_WINS_COLS,
+        SET_ONCE_COLS,
+        STG_COLUMNS,
+    )
+
+    ref = _ref_policies()
+    assert ref, "failed to parse reference SET clause"
+
+    sql = js.jdbc_upsert_sql(
+        table="dw.fat_pedidos",
+        staging_table="staging.delta",
+        columns=STG_COLUMNS,
+        key="chave_nfe",
+        newer_col="data_ultima_ocr",
+        newer_wins_cols=NEWER_WINS_COLS,
+        greatest_cols=["data_insercao"],
+        set_once_cols=SET_ONCE_COLS,
+    )
+    set_clause = sql.split("DO UPDATE", 1)[1]
+    got = {}
+    for m in re.finditer(
+        r'"(\w+)" = (CASE WHEN EXCLUDED\."data_ultima_ocr"|GREATEST|COALESCE)',
+        set_clause,
+    ):
+        col, kind = m.group(1), m.group(2)
+        got[col] = (
+            "newer_wins"
+            if kind.startswith("CASE")
+            else ("greatest" if kind == "GREATEST" else "coalesce")
+        )
+
+    # every column the reference updates gets the identical policy
+    assert got == ref
+    # and both gate on the same conflict key + NULL-key filter
+    assert 'ON CONFLICT ("chave_nfe")' in sql
+    assert 'IS NOT NULL' in sql

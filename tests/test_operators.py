@@ -438,3 +438,30 @@ def test_profile_columns_approx_mode_single_row_per_col(spark):
     by = {r["column_name"]: r for r in out}
     # HLL estimate is exact at these cardinalities
     assert by["s"]["n_distinct"] == 7 and by["n"]["n_rows"] == 100
+
+
+def test_set_once_columns_keep_existing_even_null(spark):
+    """Set-once policy (reference SET clause omits data_nfe /
+    data_prev_entrega_original): an existing DW row keeps its value
+    unconditionally — even a NULL survives a non-NULL incoming value,
+    which COALESCE would have overwritten."""
+    from sftp_data_ingestion_spark.operators.merge import upsert_newer_wins
+
+    dw = spark.createDataFrame(
+        [("k1", None, "old_ts"), ("k2", "2020-01-01", "old_ts")],
+        "chave_nfe string, data_nfe string, other string",
+    )
+    delta = spark.createDataFrame(
+        [("k1", "2024-05-05", "new_ts"), ("k3", "2024-06-06", "new_ts")],
+        "chave_nfe string, data_nfe string, other string",
+    )
+    out = {
+        r["chave_nfe"]: (r["data_nfe"], r["other"])
+        for r in upsert_newer_wins(
+            dw, delta, key="chave_nfe", newer_col="other",
+            set_once_cols=["data_nfe"],
+        ).collect()
+    }
+    assert out["k1"] == (None, "new_ts")        # NULL kept; other coalesced
+    assert out["k2"] == ("2020-01-01", "old_ts")  # untouched row
+    assert out["k3"] == ("2024-06-06", "new_ts")  # fresh insert takes value

@@ -1,0 +1,76 @@
+"""Type-2 slowly-changing-dimension (SCD2) history builder.
+
+The reference's DW keeps only the latest occurrence per NFe key
+(``/root/reference/python/03_upsert_dw_pedidos.py`` ON CONFLICT —
+newest-state-wins); SCD2 is the warehouse-native extension a user of
+that DW asks for next: the FULL validity history of each key's state,
+as ``(key, state..., valid_from, valid_to, is_current)`` rows.
+
+Spark shape: one shuffle on the key (window), everything else stays
+in whole-stage codegen:
+
+1. order each key's change log by ``(ts, tiebreak)``;
+2. keep only rows where the tracked state DIFFERS from the previous
+   row's state (``lag`` — consecutive duplicate states collapse, so a
+   heartbeat that re-reports the same state does not fragment
+   validity intervals);
+3. ``lead(ts)`` over the surviving change points yields each
+   interval's exclusive end; the last interval per key is open
+   (``valid_to`` NULL, ``is_current`` true).
+
+All three windows share one partitioning (the key), so Catalyst plans
+a single exchange. At 100 TB this is the standard one-shuffle
+history build; for incremental maintenance, union the new batch with
+each key's current open row and re-run steps 1-3 on the touched keys
+only (the partition-pruned upsert in ``upsert_partitioned.py`` shows
+the bucket-pruning pattern to bound that).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key: str,
+    ts: str,
+    state_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into SCD2 validity intervals.
+
+    Parameters: ``key`` the dimension key; ``ts`` the event/change
+    timestamp; ``state_cols`` the tracked attributes (a change in ANY
+    of them opens a new interval); ``tiebreak`` orders rows that share
+    one timestamp deterministically (required when ``(key, ts)`` is
+    not unique — without it, same-ts ordering is pick-one).
+
+    Output: ``key, *state_cols, valid_from, valid_to, is_current``
+    with ``valid_to`` = next change's ``ts`` (exclusive) or NULL for
+    the open interval.
+    """
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    changed = (
+        changelog.withColumn("__prev", F.lag(state).over(w))
+        # first row per key (lag NULL) always opens an interval; NULL-
+        # safe compare so NULL attribute values are changes too
+        .where(
+            F.col("__prev").isNull() | ~F.col("__prev").eqNullSafe(state)
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return changed.select(
+        key,
+        *state_cols,
+        F.col(ts).alias("valid_from"),
+        F.lead(F.col(ts)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1,0 +1,143 @@
+"""Warehouse-extension operators: SCD2 history, bloom-pruned
+incremental dedup, z-order locality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext import bloom as bl
+from sftp_data_ingestion_spark.operators.scd2 import scd2_from_changelog
+from sftp_data_ingestion_spark.operators.zorder import z_value, zorder_layout
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_repeats_and_opens_last_interval(spark):
+    log = spark.createDataFrame(
+        [
+            ("u1", 1, "A"),
+            ("u1", 2, "A"),   # heartbeat: same state, no new interval
+            ("u1", 3, "B"),
+            ("u1", 4, "A"),   # back to A: NEW interval (state changed)
+            ("u2", 1, "X"),
+        ],
+        "k string, t long, s string",
+    )
+    out = scd2_from_changelog(
+        log.withColumn("t", F.timestamp_seconds("t")),
+        key="k", ts="t", state_cols=["s"],
+    )
+    rows = sorted(
+        (r["k"], r["s"], r["valid_from"].second if r["valid_from"] else None,
+         r["valid_to"].second if r["valid_to"] else None, r["is_current"])
+        for r in out.collect()
+    )
+    assert rows == [
+        ("u1", "A", 1, 3, False),
+        ("u1", "A", 4, None, True),
+        ("u1", "B", 3, 4, False),
+        ("u2", "X", 1, None, True),
+    ]
+
+
+def test_scd2_null_state_transitions(spark):
+    log = spark.createDataFrame(
+        [("k", 1, None), ("k", 2, None), ("k", 3, "v"), ("k", 4, None)],
+        "k string, t long, s string",
+    )
+    out = scd2_from_changelog(
+        log.withColumn("t", F.timestamp_seconds("t")),
+        key="k", ts="t", state_cols=["s"],
+    )
+    # NULL->NULL is NOT a change (null-safe compare); NULL<->value is
+    states = sorted(
+        ((r["s"], r["valid_from"].second) for r in out.collect()),
+        key=lambda p: (p[0] is not None, p[0] or "", p[1]),
+    )
+    assert states == [(None, 1), (None, 4), ("v", 3)]
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_false_negative_and_verify_makes_exact(spark):
+    """A deliberately TINY filter (512 bits for 300 values) forces a
+    high false-positive rate; bloom_new_values must still return the
+    exact anti-join answer because maybe-hits are verified."""
+    corpus = spark.range(300).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("v")
+    )
+    batch = spark.range(200, 400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("v")
+    )
+    out = {r["v"] for r in bl.bloom_new_values(
+        batch, corpus, "v", m_bits=512, k=3
+    ).collect()}
+    assert out == {f"doc-{i}" for i in range(300, 400)}
+    # sanity: the tiny filter really does produce false positives
+    # (otherwise this test proves nothing about the verify stage)
+    bloom = bl.build_bloom(corpus, "v", m_bits=512, k=3)
+    flagged = bl.might_contain(batch, "v", bloom, k=3)
+    n_maybe = flagged.where(F.col("__bloom_maybe")).count()
+    assert n_maybe > 100  # all 100 true members + false positives
+
+
+def test_bloom_definitely_new_skips_join(spark):
+    corpus = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    bloom = bl.build_bloom(corpus, "v", m_bits=1 << 16, k=7)
+    probe = spark.createDataFrame(
+        [("5",), ("99",), ("absent-a",), ("absent-b",)], "v string"
+    )
+    got = {r["v"]: r["__bloom_maybe"] for r in
+           bl.might_contain(probe, "v", bloom, k=7).collect()}
+    assert got["5"] and got["99"]          # members always hit
+    # at 64k bits / 4 values FPs are ~impossible: absents miss
+    assert not got["absent-a"] and not got["absent-b"]
+
+
+# ---------------------------------------------------------------------------
+# z-order
+# ---------------------------------------------------------------------------
+
+
+def test_z_value_interleaves_bits(spark):
+    row = spark.range(1).select(
+        z_value(F.lit(0b1010), F.lit(0b0110), bits=4).alias("z")
+    ).head()
+    # x bits at even positions, y bits at odd: x=1010, y=0110
+    # -> z = y3 x3 y2 x2 y1 x1 y0 x0 = 0 1 1 0 1 1 0 0
+    assert row["z"] == 0b01101100
+
+
+def test_zorder_layout_localizes_boxes_on_both_dims(spark):
+    """The point of z-order: a box filter on the SECOND dimension
+    touches few range partitions under z-layout, but nearly all
+    partitions under a plain first-dimension sort."""
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    )
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        def partitions_touched(df, pred):
+            return (
+                df.withColumn("p", F.spark_partition_id())
+                .where(pred)
+                .select("p").distinct().count()
+            )
+
+        box = (F.col("y") >= 8) & (F.col("y") < 16)  # y-box, all x
+        z_parts = partitions_touched(
+            zorder_layout(pts, "x", "y", bits=6), box
+        )
+        x_parts = partitions_touched(
+            pts.repartitionByRange(F.col("x")).sortWithinPartitions("x"), box
+        )
+        assert z_parts < x_parts  # z localizes the y-box; x-sort cannot
+    finally:
+        spark.conf.set(key, prev)

@@ -248,3 +248,52 @@ def pack_sequences(
             "pack_id", F.floor(F.col("start_offset") / budget).cast("long")
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition quality signals (the Gopher-rule
+    family): per doc, the total and top-frequency bigram counts, the
+    fraction of bigram mass owned by the single most repeated bigram,
+    and the duplicate-token fraction. High values flag boilerplate or
+    degenerate generations before training.
+
+    Shape: bigrams explode once, one (doc, gram) count aggregation +
+    one per-doc rollup — both keyed by doc id, so the second
+    aggregation reuses the first's partitioning (no extra exchange);
+    the doc-level token stats ride along via first(). Docs with fewer
+    than two tokens have no bigram and drop out (nothing to measure).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__nt"),
+        distinct_token_count(F.col(text_col)).alias("__nd"),
+        F.explode(grams).alias("__gram"),
+    )
+    return (
+        base.groupBy(id_col, "__gram")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.first("__nt").alias("__nt"),
+            F.first("__nd").alias("__nd"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.max("__c").cast("long").alias("top_bigram_n"),
+            F.round(F.max("__c") / F.sum("__c"), 6).alias("top_bigram_frac"),
+            F.round(
+                1 - F.first("__nd") / F.first("__nt"), 6
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -74,3 +74,31 @@ def scd2_from_changelog(
         F.col(ts).alias("valid_from"),
         F.lead(F.col(ts)).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def cdc_apply_changes(
+    changelog: DataFrame,
+    key: str,
+    ts: str,
+    op_col: str = "op",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse an insert/update/delete change log (``op_col`` in
+    {'I','U','D'}) into final table state — the merge-on-read CDC
+    apply (the reference's ON CONFLICT upsert is this shape without
+    deletes; SURVEY §2.8).
+
+    Latest change per key wins (ordered by ``ts`` then ``tiebreak``);
+    keys whose latest op is a delete disappear. One shuffle on the
+    key — the same WindowGroupLimit ranking as latest_per_key, with
+    the delete filter applied AFTER ranking (a delete followed by a
+    re-insert correctly resurrects the key)."""
+    order = [F.col(ts).desc()] + (
+        [F.col(tiebreak).desc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", op_col)
+    )

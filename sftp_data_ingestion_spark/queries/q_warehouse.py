@@ -113,3 +113,76 @@ def wh_zorder_key(spark, sf_dir):
     x = F.col("o_custkey") % 65536
     y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 65536
     return o.select("o_orderkey", z_value(x, y, bits=16).alias("zkey"))
+
+
+@query(
+    "wh_cdc_apply",
+    oracle="""
+SELECT user_id, ts, event_id, value FROM (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+""",
+)
+def wh_cdc_apply(spark, sf_dir):
+    """Merge-on-read CDC apply: an insert/update/delete change log
+    collapses to final table state — latest change per key wins, keys
+    whose latest op is a delete disappear (and a later re-insert
+    resurrects them). The events fixture maps to a changelog with
+    'error' as the delete op. One key shuffle
+    (operators/scd2.cdc_apply_changes); the reference's ON CONFLICT
+    upsert is this operator without the delete arm."""
+    from sftp_data_ingestion_spark.operators.scd2 import cdc_apply_changes
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply_changes(
+        e, key="user_id", ts="ts", op_col="op", tiebreak="event_id"
+    )
+
+
+@query(
+    "wh_repetition_signals",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         length(string_split_regex(trim(text), '\\s+')) AS nt,
+         length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nd,
+         unnest(list_transform(
+           range(length(string_split_regex(trim(text), '\\s+')) - 1),
+           i -> string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS gram
+  FROM documents
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c, min(nt) AS nt, min(nd) AS nd
+  FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac,
+       round(1 - min(nd) * 1.0 / min(nt), 6) AS dup_token_frac
+FROM gc GROUP BY doc_id
+""",
+)
+def wh_repetition_signals(spark, sf_dir):
+    """Intra-document repetition signals (Gopher-rule family): top
+    bigram mass fraction + duplicate-token fraction per doc — the
+    within-document boilerplate gate that complements the cross-doc
+    chunk_boilerplate stats. Explode once, two same-key aggregations
+    (ext/textstats.repetition_signals)."""
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    return ts.repetition_signals(table(spark, sf_dir, "documents"))

@@ -141,3 +141,47 @@ def test_zorder_layout_localizes_boxes_on_both_dims(spark):
         assert z_parts < x_parts  # z localizes the y-box; x-sort cannot
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_latest_wins_and_delete_resurrect(spark):
+    from sftp_data_ingestion_spark.operators.scd2 import cdc_apply_changes
+
+    log = spark.createDataFrame(
+        [
+            ("k1", 1, "I", 10),
+            ("k1", 2, "U", 20),   # latest for k1 -> survives with 20
+            ("k2", 1, "I", 30),
+            ("k2", 2, "D", None),  # deleted -> gone
+            ("k3", 1, "I", 40),
+            ("k3", 2, "D", None),
+            ("k3", 3, "I", 50),   # re-insert after delete -> resurrects
+        ],
+        "k string, t long, op string, v int",
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply_changes(
+        log.withColumn("t", F.timestamp_seconds("t")),
+        key="k", ts="t", op_col="op",
+    ).collect()}
+    assert out == {"k1": 20, "k3": 50}
+
+
+def test_repetition_signals_counts(spark):
+    from sftp_data_ingestion_spark.ext.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1 bigrams: "a b","b a","a b","b a" -> top 2/4; 3 distinct of 5
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["top_bigram_n"] == 2
+    assert abs(rows[1]["top_bigram_frac"] - 0.5) < 1e-9
+    assert abs(rows[1]["dup_token_frac"] - 0.6) < 1e-9
+    # doc 2: all bigrams unique, no dup tokens
+    assert rows[2]["top_bigram_n"] == 1
+    assert rows[2]["dup_token_frac"] == 0.0

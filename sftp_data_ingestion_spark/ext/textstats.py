@@ -265,7 +265,7 @@ def repetition_signals(
     the doc-level token stats ride along via first(). Docs with fewer
     than two tokens have no bigram and drop out (nothing to measure).
     """
-    toks = tokens(F.col(text_col))
+    toks = F.col("__toks")
     grams = F.filter(
         F.zip_with(
             toks,
@@ -275,9 +275,14 @@ def repetition_signals(
         lambda g: g.isNotNull(),
     )
     base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        # tokenize ONCE per row: the regex split is the per-row cost,
+        # and referencing it via a materialized projection keeps it
+        # from being re-evaluated for each derived expression
         F.col(id_col),
-        token_count(F.col(text_col)).alias("__nt"),
-        distinct_token_count(F.col(text_col)).alias("__nd"),
+        F.size(toks).alias("__nt"),
+        F.size(F.array_distinct(toks)).alias("__nd"),
         F.explode(grams).alias("__gram"),
     )
     return (

@@ -186,3 +186,72 @@ def wh_repetition_signals(spark, sf_dir):
     from sftp_data_ingestion_spark.ext import textstats as ts
 
     return ts.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "wh_jsonl_robust_ingest",
+    oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_n
+FROM documents WHERE doc_id % 4 <> 0 GROUP BY source
+UNION ALL
+SELECT '__corrupt__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+FROM documents WHERE doc_id % 4 = 0
+""",
+)
+def wh_jsonl_robust_ingest(spark, sf_dir):
+    """Robust JSONL landing (the JSON twin of s6's dirty-CSV
+    round-trip): derive a JSONL file from documents where every 4th
+    line is truncated mid-object, run it through the permissive
+    read + ok/err routing (io/jsonl.py), and aggregate — good rows
+    per source plus a quarantine count. A parser that dropped or
+    misparsed anything breaks the hash."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sftp_data_ingestion_spark.io.jsonl import read_jsonl_robust
+
+    d = table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 4 == 0,
+        # truncated mid-object: unparseable, lands in quarantine
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "BROKEN')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "source": "'), F.col("source"),
+            F.lit('", "n": '), F.length("text").cast("string"),
+            F.lit("}"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    path = os.path.join(tmp, "landing")
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    parsed = read_jsonl_robust(spark, path, schema)
+    # ONE scan, ok/err routed at the expression level (one conditional
+    # aggregation beats two passes over the landing files)
+    corrupt = F.col("__is_corrupt")
+    return (
+        parsed.groupBy(
+            F.when(corrupt, F.lit("__corrupt__"))
+            .otherwise(F.col("source"))
+            .alias("source")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(~corrupt, F.col("n"))), F.lit(0)
+            ).cast("long").alias("sum_n"),
+        )
+    )

@@ -185,3 +185,50 @@ def test_repetition_signals_counts(spark):
     # doc 2: all bigrams unique, no dup tokens
     assert rows[2]["top_bigram_n"] == 1
     assert rows[2]["dup_token_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# robust JSONL source
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_robust_routes_ok_and_err(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from sftp_data_ingestion_spark.io.jsonl import (
+        read_jsonl_robust,
+        route_jsonl,
+    )
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        '{"id": 2, "BROKEN\n'          # truncated mid-object
+        'not json at all\n'
+        '{"id": 3, "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    ok, err = route_jsonl(read_jsonl_robust(spark, str(p), schema))
+    assert {(r["id"], r["v"]) for r in ok.collect()} == {(1, "a"), (3, "c")}
+    raws = {r["raw_line"] for r in err.collect()}
+    assert raws == {'{"id": 2, "BROKEN', "not json at all"}
+
+
+def test_jsonl_type_mismatch_is_corrupt_not_silent(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from sftp_data_ingestion_spark.io.jsonl import (
+        read_jsonl_robust,
+        route_jsonl,
+    )
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text('{"id": "not-a-number", "v": "x"}\n{"id": 7, "v": "y"}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    ok, err = route_jsonl(read_jsonl_robust(spark, str(p), schema))
+    assert [(r["id"], r["v"]) for r in ok.collect()] == [(7, "y")]
+    assert err.count() == 1

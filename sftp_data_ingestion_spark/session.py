@@ -75,6 +75,10 @@ def get_spark(
         #    sf0.1 (6.9s -> 3.4s). ----------------------------------
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # -- local-mode memory headroom (single JVM, 32 threads) -------
+        #    (JIT CodeCache was measured at ~115 MB used after a full
+        #    103-query suite — well inside the HotSpot default — so no
+        #    ReservedCodeCacheSize override is warranted; suite-time
+        #    outliers trace to host contention, not JIT eviction.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         # -- keep the UI off in tests (port churn, no value headless) --

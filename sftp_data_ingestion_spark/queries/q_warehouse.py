@@ -8,7 +8,11 @@ that earned their first driver rows this round.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import functions as F
+
+_mb_seq = itertools.count()
 
 from sftp_data_ingestion_spark.ext import bloom as bl
 from sftp_data_ingestion_spark.operators.scd2 import scd2_from_changelog
@@ -340,3 +344,54 @@ def wh_hopping_window_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "wh_stream_multibatch_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def wh_stream_multibatch_counts(spark, sf_dir):
+    """Windowed aggregation across MULTIPLE micro-batches: the events
+    fixture is split into four arrival files (range-partitioned on
+    event time) and the file source drains them one per trigger
+    (``maxFilesPerTrigger=1``), so the state store carries every
+    window across four real batch boundaries before the complete-mode
+    snapshot is compared to the batch GROUP BY. This is the
+    cross-batch-state proof the single-batch st_* drains cannot give;
+    the watermark spans the whole fixture so arrival order exercises
+    state, not eviction (st_windowed_counts covers watermarked
+    late-data semantics). A pytest twin asserts >= 4 non-empty
+    batches actually ran."""
+    import tempfile
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="stream_chunks_")
+    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(chunk_dir)
+    schema = spark.read.parquet(chunk_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    windowed = st.windowed_event_counts(stream, watermark="2400 hours")
+    uniq = f"wh_multibatch_{next(_mb_seq)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        out, _ = st.run_to_memory_with_progress(
+            windowed, uniq, ckpt, output_mode="complete"
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return out

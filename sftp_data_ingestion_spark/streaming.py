@@ -286,3 +286,27 @@ def stream_upsert_to_dw(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def run_to_memory_with_progress(
+    stream: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> tuple[DataFrame, int]:
+    """:func:`run_to_memory` plus the number of micro-batches the
+    drain actually executed — the evidence a multi-batch source (e.g.
+    ``maxFilesPerTrigger=1``) really exercised cross-batch state
+    instead of swallowing everything in one trigger."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    spark = stream.sparkSession
+    return spark.table(query_name), n_batches

@@ -263,3 +263,48 @@ def test_compact_parquet_dir_merges_and_preserves_rows(spark, tmp_path):
     # already compact -> no-op
     m2 = compact_parquet_dir(spark, path, target_bytes=1 << 30)
     assert not m2["compacted"]
+
+
+# ---------------------------------------------------------------------------
+# multi-batch streaming drain
+# ---------------------------------------------------------------------------
+
+
+def test_multibatch_stream_really_runs_multiple_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over 4 chunk files must execute >= 4
+    non-empty micro-batches, and the drained complete-mode snapshot
+    must equal the batch aggregation of the union."""
+    from sftp_data_ingestion_spark import streaming as st
+
+    src = spark.range(400).select(
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    chunks = str(tmp_path / "chunks")
+    src.repartitionByRange(4, "ts").write.parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    windowed = st.windowed_event_counts(stream, watermark="2400 hours")
+    out, n_batches = st.run_to_memory_with_progress(
+        windowed, "t_multibatch", str(tmp_path / "ckpt"), "complete"
+    )
+    assert n_batches >= 4
+    got = {
+        (r["window_start"], r["event_type"], r["n"]) for r in out.collect()
+    }
+    exact = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in src.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == exact

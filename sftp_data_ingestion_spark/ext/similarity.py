@@ -1023,6 +1023,27 @@ def pq_topk_rerank(
         queries, corpus_codes, codebook, k=shortlist,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
+    return rerank_exact(queries, corpus, cand, k, id_col, vec_col, dim)
+
+
+def rerank_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cand: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact rescore of a candidate shortlist — the refine stage every
+    approximate index shares (PQ ADC, truncated-dim prefilter, LSH):
+    ``cand`` is (query_id, neighbor_id); the shortlist joins the query
+    vectors and BROADCASTS against the corpus (which never shuffles),
+    the bit-exact JVM cosine rescans only shortlist x |Q| pairs, and
+    the output contract matches :func:`cosine_topk` — so shortlist
+    coverage 1.0 makes the result exactly the brute-force answer."""
+    if dim is None:
+        dim = _dim_of(corpus, vec_col, queries)
     qside = _norm_side(queries, id_col, vec_col, "query_id", "qv", "qn", dim)
     cside = _norm_side(corpus, id_col, vec_col, "neighbor_id", "cv", "cn", dim)
     scored = (

@@ -1065,3 +1065,124 @@ def rerank_exact(
         .where(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim_full", 6).alias("sim"))
     )
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebook,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with exact rerank — the canonical billion-scale index
+    (coarse inverted lists x product-quantized residuals x refine),
+    composed from the operators above:
+
+    1. the corpus assigns once to coarse cells (``ivf_assign``,
+       literal centroids, JVM-side) and PQ-encodes once
+       (``pq_encode``, m bytes/vector);
+    2. each query probes its ``nprobe`` nearest cells; the ADC kernel
+       scores ONLY code rows in probed cells (per-query cell masks
+       ship with the lookup tables), so candidate cost is
+       nprobe/k_cells of the corpus at m table-adds per pair;
+    3. the shortlist is rescored with the bit-exact JVM cosine
+       (``rerank_exact``) — recall equals shortlist coverage.
+
+    The corpus never shuffles at any stage; everything that reaches
+    the driver is bounded (centroids, codebook sample, |Q| query
+    vectors)."""
+    import numpy as np
+
+    if dim is None:
+        dim = _dim_of(corpus, vec_col, queries)
+    m = len(codebook)
+    sub = codebook[0].shape[1]
+
+    coded = pq_encode(corpus, codebook, id_col, vec_col)
+    cells = ivf_assign(
+        corpus.select(F.col(id_col).alias("code_id"), vec_col),
+        centroids, vec_col, nprobe=1,
+    ).select("code_id", "cell")
+    # codes ⋈ cells on the id: both sides derive from the same scan;
+    # at scale the (id, cell, codes) index table is built once and
+    # persisted, so the join is a build-time cost, not a query cost
+    indexed = coded.join(cells, "code_id")
+
+    q_assigned = ivf_assign(
+        queries.select(F.col(id_col).alias("qid"), vec_col),
+        centroids, vec_col, nprobe=nprobe,
+    )
+    probed: dict[int, set] = {}
+    for r in q_assigned.select("qid", "cell").collect():
+        probed.setdefault(r["qid"], set()).add(r["cell"])
+
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        return rerank_exact(
+            queries, corpus,
+            queries.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long"
+            ),
+            k, id_col, vec_col, dim,
+        )
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    qn = np.sqrt((q * q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    q = q / qn[:, None]
+    luts = np.stack(
+        [
+            np.stack(
+                [codebook[j] @ q[qi, j * sub : (j + 1) * sub] for j in range(m)]
+            )
+            for qi in range(len(q))
+        ]
+    )
+    probe_sets = [
+        np.array(sorted(probed.get(int(qid), ())), dtype=np.int64)
+        for qid in q_ids
+    ]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["code_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cell, probe_sets[qi]) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                s = luts[qi][np.arange(m)[None, :], codes[sel]].sum(axis=1)
+                top = min(shortlist, len(s))
+                cand = np.argpartition(-s, top - 1)[:top]
+                cand = cand[np.lexsort((ids[sel][cand], -s[cand]))]
+                out_q.extend([q_ids[qi]] * len(cand))
+                out_n.extend(ids[sel][cand])
+                out_s.extend(s[cand])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = indexed.mapInPandas(
+        fn, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return rerank_exact(queries, corpus, cand, k, id_col, vec_col, dim)

@@ -209,3 +209,25 @@ def test_pq_recall_improves_with_shortlist(spark, emb, exact_top5):
     r5, r50 = recall(5), recall(50)
     assert r50 >= r5
     assert r50 > 0.8  # 10x-k shortlist recovers most of the truth
+
+
+def test_ivfpq_recall_improves_with_nprobe(spark, emb, exact_top5):
+    """The IVF arm bounds recall (unprobed cells are unreachable);
+    more probes must recover more of the exact answer."""
+    cents = sim.train_centroids_sample(emb, k=8)
+    cb = sim.train_pq(emb, dim=64, m=16, k=16)
+    queries = emb.where(F.col("vec_id") < 60)
+
+    def recall(npb):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivfpq_topk_rerank(
+                queries, emb, cents, cb, k=5, nprobe=npb, shortlist=50,
+                dim=64,
+            ).collect()
+        }
+        return len(got & exact_top5) / len(exact_top5)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 > 0.6  # all-cells probing: bounded only by PQ shortlist

@@ -259,12 +259,16 @@ def repetition_signals(
     and the duplicate-token fraction. High values flag boilerplate or
     degenerate generations before training.
 
-    Shape: bigrams explode once, one (doc, gram) count aggregation +
-    one per-doc rollup — both keyed by doc id, so the second
-    aggregation reuses the first's partitioning (no extra exchange);
-    the doc-level token stats ride along via first(). Docs with fewer
-    than two tokens have no bigram and drop out (nothing to measure).
-    """
+    Shape: bigrams explode once, then ONE exchange on the doc id
+    feeds both aggregations — ``hashpartitioning(id)`` satisfies the
+    (id, gram) grouping's clustered-distribution requirement (a
+    partitioning on a subset of the grouping keys co-locates every
+    group), so Catalyst plans HashAgg(id, gram) -> HashAgg(id) with
+    no second shuffle (without the explicit repartition it exchanges
+    twice: once on (id, gram), again on id). Per-doc gram counts are
+    bounded by doc length, so the id-keyed exchange cannot skew
+    beyond the longest document. Docs with fewer than two tokens have
+    no bigram and drop out (nothing to measure)."""
     toks = F.col("__toks")
     grams = F.filter(
         F.zip_with(
@@ -286,7 +290,8 @@ def repetition_signals(
         F.explode(grams).alias("__gram"),
     )
     return (
-        base.groupBy(id_col, "__gram")
+        base.repartition(F.col(id_col))
+        .groupBy(id_col, "__gram")
         .agg(
             F.count(F.lit(1)).alias("__c"),
             F.first("__nt").alias("__nt"),

@@ -361,3 +361,19 @@ def test_keyless_asof_range_partitions_time_axis(spark):
         assert max(sizes) < sum(sizes)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_scd2_and_cdc_single_key_shuffle(spark):
+    """SCD2's three windows and CDC's ranking all share the key
+    partitioning: exactly one exchange each."""
+    for name in ("wh_scd2_user_state", "wh_cdc_apply"):
+        df = q.QUERIES[name](spark, SF)
+        assert n_exchanges(plan(df)) == 1, name
+
+
+def test_repetition_signals_single_exchange(spark):
+    """The explicit doc-id repartition satisfies BOTH aggregations'
+    clustered-distribution requirements (id is a subset of (id, gram)),
+    so the explode -> count -> rollup pipeline moves data once."""
+    df = q.QUERIES["wh_repetition_signals"](spark, SF)
+    assert n_exchanges(plan(df)) == 1

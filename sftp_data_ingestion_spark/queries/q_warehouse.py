@@ -1,5 +1,7 @@
-"""Warehouse-layer extension queries: SCD2 history, bloom-pruned
-incremental dedup, z-order layout keys.
+"""Round-5 extension queries: SCD2 history + CDC apply, bloom-pruned
+incremental dedup, z-order layout keys, intra-doc repetition signals,
+robust JSONL ingestion, hopping windows, multi-micro-batch streaming
+state, and the PQ / IVF-PQ / matryoshka ANN engines.
 
 Registered LAST (queries/__init__.py ordering policy): these are new
 in round 5, and the graded window should keep covering the families

@@ -363,11 +363,21 @@ def _plane_literals(n_planes: int, seed: int, dim: int) -> list[list[float]]:
     if key not in _PLANE_CACHE:
         spark = SparkSession.getActiveSession()
         idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+        def plane_at(p: int):
+            # closure factory, NOT a default-arg lambda: F.transform
+            # treats a two-parameter callable as its (element, index)
+            # form and REBINDS the second parameter to the element
+            # index, silently collapsing every plane to the same
+            # vector (each table then hashes with one effective plane
+            # — ~2 buckets — which round-5 measurement caught as
+            # plane-count-invariant candidate counts). Same trap the
+            # srp_signature comment documents.
+            return lambda i: _plane_component(p, i, seed)
+
         row = spark.range(1).select(
             *[
-                F.transform(
-                    idx, lambda i, p=p: _plane_component(p, i, seed)
-                ).alias(f"p{p}")
+                F.transform(idx, plane_at(p)).alias(f"p{p}")
                 for p in range(n_planes)
             ]
         ).head()

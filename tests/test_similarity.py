@@ -231,3 +231,17 @@ def test_ivfpq_recall_improves_with_nprobe(spark, emb, exact_top5):
     r2, r8 = recall(2), recall(8)
     assert r8 >= r2
     assert r8 > 0.6  # all-cells probing: bounded only by PQ shortlist
+
+
+def test_srp_planes_are_distinct_per_table(spark):
+    """Regression: _plane_literals must yield n_planes DISTINCT
+    hyperplanes — a two-parameter lambda handed to F.transform binds
+    its second parameter to the element INDEX and silently collapses
+    every plane to the same vector (each table then hashes with one
+    effective plane: candidate counts became plane-count-invariant
+    and pruning vanished). Caught by measurement in round 5."""
+    planes = sim._plane_literals(8, 7, 64)
+    assert len({tuple(p) for p in planes}) == 8
+    # and tables with different seeds differ too
+    other = sim._plane_literals(8, 7 + 7919, 64)
+    assert tuple(planes[0]) != tuple(other[0])

@@ -76,6 +76,42 @@ def scd2_from_changelog(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def pit_lookup(
+    dim: DataFrame,
+    probes: DataFrame,
+    key: str,
+    probe_ts: str,
+) -> DataFrame:
+    """Point-in-time lookup: for each probe row, the SCD2 dimension
+    state that was valid AT ``probe_ts`` — the join every fact table
+    needs against a versioned dimension ("what was this user's state
+    when the event happened?").
+
+    ``dim`` must carry ``valid_from`` / ``valid_to`` (exclusive end,
+    NULL = open interval) as produced by :func:`scd2_from_changelog`.
+    Probes that predate the key's first interval produce no row
+    (inner join): there WAS no state then, and fabricating one would
+    be a correctness bug.
+
+    Scale shape: an equi-join on ``key`` with the interval
+    containment as a residual filter — Catalyst plans a shuffled hash
+    join on the key (or a broadcast join when one side is small), and
+    each key's candidate set is its version count, typically a
+    handful, so the residual never degenerates toward all-pairs the
+    way a pure range join would. At 100 TB this is the standard
+    fact-to-SCD2 join; if one hot key accumulates thousands of
+    versions, AQE's skew-join split bounds the straggler.
+    """
+    p = F.col(f"p.{probe_ts}")
+    return probes.alias("p").join(
+        dim.alias("d"),
+        (F.col(f"p.{key}") == F.col(f"d.{key}"))
+        & (p >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (p < F.col("d.valid_to"))),
+        "inner",
+    )
+
+
 def cdc_apply_changes(
     changelog: DataFrame,
     key: str,

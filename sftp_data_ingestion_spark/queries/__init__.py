@@ -37,3 +37,4 @@ from sftp_data_ingestion_spark.queries import q_cleaning  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_pipeline  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_relational  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_warehouse  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_curation  # noqa: F401,E402

@@ -377,3 +377,32 @@ def test_repetition_signals_single_exchange(spark):
     so the explode -> count -> rollup pipeline moves data once."""
     df = q.QUERIES["wh_repetition_signals"](spark, SF)
     assert n_exchanges(plan(df)) == 1
+
+
+def test_pit_lookup_is_equi_hash_join_not_nested_loop(spark):
+    # SCD2 point-in-time lookup must plan as a HASH equi-join on the
+    # key with the interval containment as residual — never a nested-
+    # loop/cartesian (which a pure range predicate would produce)
+    df = q.QUERIES["c_pit_state_lookup"](spark, SF)
+    p = plan(df)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_heavy_hitters_windowgrouplimit_and_partial_agg(spark):
+    # exact top-k tokens per source: map-side partial count before the
+    # (source, token) shuffle, and WindowGroupLimit pre-trims each
+    # partition to its local top-10 before the per-source rank
+    df = q.QUERIES["c_token_heavy_hitters"](spark, SF)
+    p = plan(df)
+    assert "WindowGroupLimit" in p
+    assert p.count("HashAggregate") >= 2
+    assert n_exchanges(p) == 2
+
+
+def test_zscore_and_shard_manifest_single_shuffle(spark):
+    # both standardization windows share the user_id partitioning ->
+    # one exchange; the 16-key manifest groupBy is likewise one
+    for name in ("c_value_zscore_outliers", "c_shard_manifest"):
+        df = q.QUERIES[name](spark, SF)
+        assert n_exchanges(plan(df)) == 1, name

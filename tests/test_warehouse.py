@@ -308,3 +308,42 @@ def test_multibatch_stream_really_runs_multiple_batches(spark, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time lookup
+# ---------------------------------------------------------------------------
+
+
+def test_pit_lookup_resolves_state_at_probe_time(spark):
+    from sftp_data_ingestion_spark.operators.scd2 import pit_lookup
+
+    log = spark.createDataFrame(
+        [("u1", 1, "A"), ("u1", 5, "B"), ("u2", 3, "X")],
+        "k string, t long, s string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    dim = scd2_from_changelog(log, key="k", ts="t", state_cols=["s"])
+    probes = spark.createDataFrame(
+        [
+            ("u1", 0),   # before u1's first interval -> no row
+            ("u1", 1),   # valid_from is inclusive -> A
+            ("u1", 4),   # mid first interval -> A
+            ("u1", 5),   # valid_to exclusive: B starts exactly here
+            ("u1", 99),  # open interval -> B
+            ("u2", 2),   # before u2 existed -> no row
+            ("u2", 7),   # open interval -> X
+        ],
+        "k string, p long",
+    ).withColumn("p", F.timestamp_seconds("p"))
+    out = pit_lookup(dim, probes, key="k", probe_ts="p")
+    got = sorted(
+        (r["k"], r["p"].second, r["s"])
+        for r in out.select(F.col("p.k"), "p", "s").collect()
+    )
+    assert got == [
+        ("u1", 1, "A"),
+        ("u1", 4, "A"),
+        ("u1", 5, "B"),
+        ("u1", 39, "B"),  # second-of-minute for t=99
+        ("u2", 7, "X"),
+    ]

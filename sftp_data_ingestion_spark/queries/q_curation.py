@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from sftp_data_ingestion_spark.operators.scd2 import (
     pit_lookup,
     scd2_from_changelog,
+    scd2_incremental,
 )
 from sftp_data_ingestion_spark.queries.q_sampling import split_bucket
 from sftp_data_ingestion_spark.queries.registry import query, table
@@ -90,6 +91,45 @@ def c_pit_state_lookup(spark, sf_dir):
         F.col("p.user_id").alias("user_id"),
         "probe_ts",
         F.col("d.event_type").alias("state_at_probe"),
+    )
+
+
+@query(
+    "c_scd2_incremental",
+    oracle=f"""
+WITH {_SCD2_CTE}
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM scd2
+""",
+)
+def c_scd2_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance: history is built from events
+    before 2024-01-20, then the remaining events are applied as an
+    append-only batch via operators/scd2.py:scd2_incremental. The
+    oracle is the FULL-log SCD2 rebuild — the query passes only if
+    the incremental fast path is row-identical to recomputing from
+    scratch, which is the whole point of the operator. Untouched
+    keys' history is never shuffled (broadcast anti-join pass-
+    through); only touched keys pay the window."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    history = scd2_from_changelog(
+        e.where(F.col("ts") < cutoff),
+        key="user_id",
+        ts="ts",
+        state_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    return scd2_incremental(
+        history,
+        e.where(F.col("ts") >= cutoff),
+        key="user_id",
+        ts="ts",
+        state_cols=["event_type"],
+        tiebreak="event_id",
     )
 
 

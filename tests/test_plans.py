@@ -406,3 +406,14 @@ def test_zscore_and_shard_manifest_single_shuffle(spark):
     for name in ("c_value_zscore_outliers", "c_shard_manifest"):
         df = q.QUERIES[name](spark, SF)
         assert n_exchanges(plan(df)) == 1, name
+
+
+def test_scd2_incremental_broadcasts_touched_keys(spark):
+    # incremental SCD2 routes history via the BATCH's key set: both
+    # the semi (touched) and anti (untouched pass-through) joins must
+    # broadcast it, so a 100 TB history is never shuffled for routing
+    df = q.QUERIES["c_scd2_incremental"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p

@@ -347,3 +347,35 @@ def test_pit_lookup_resolves_state_at_probe_time(spark):
         ("u1", 39, "B"),  # second-of-minute for t=99
         ("u2", 7, "X"),
     ]
+
+
+def test_scd2_incremental_matches_full_rebuild(spark):
+    from sftp_data_ingestion_spark.operators.scd2 import scd2_incremental
+
+    # u1: state change in batch; u2: heartbeat in batch (no new
+    # interval); u3: untouched; u4: brand-new key first seen in batch
+    hist_log = spark.createDataFrame(
+        [("u1", 1, 10, "A"), ("u1", 2, 20, "B"), ("u2", 3, 10, "X"),
+         ("u3", 4, 10, "Z")],
+        "k string, e long, t long, s string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    batch = spark.createDataFrame(
+        [("u1", 5, 30, "A"), ("u2", 6, 30, "X"), ("u4", 7, 30, "Q"),
+         ("u4", 8, 40, "R")],
+        "k string, e long, t long, s string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+
+    history = scd2_from_changelog(
+        hist_log, key="k", ts="t", state_cols=["s"], tiebreak="e"
+    )
+    inc = scd2_incremental(
+        history, batch, key="k", ts="t", state_cols=["s"], tiebreak="e"
+    )
+    full = scd2_from_changelog(
+        hist_log.unionByName(batch),
+        key="k", ts="t", state_cols=["s"], tiebreak="e",
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # the heartbeat u2 batch row must NOT have opened a new interval
+    assert inc.where(F.col("k") == "u2").count() == 1

@@ -254,3 +254,60 @@ def c_shard_manifest(spark, sf_dir):
             F.sum("term").alias("checksum"),
         )
     )
+
+
+@query(
+    "st_stream_stream_left_outer",
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+UNION ALL
+SELECT c.event_id, c.user_id, c.ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS DOUBLE)
+FROM c, wm
+WHERE c.ts + INTERVAL 6 HOUR < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+  )
+""",
+)
+def st_stream_stream_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join on the streaming engine:
+    attribution plus the unconverted clicks. The null-extended arm is
+    governed by watermark eviction — a click emits unmatched only
+    once the global watermark (min of both sides' max event time,
+    minus the 2 h delay) passes click_ts + 6 h, so the oracle
+    replays the inner join PLUS exactly that cutoff on the
+    unmatched arm. Clicks still inside the horizon at drain time
+    correctly never emit. This grades Spark's outer-join state
+    eviction semantics exactly, not just the happy path.
+
+    Lives in this end-registered module per the queries/__init__.py
+    ordering policy (adding it to q_streaming would evict a graded
+    query from the driver's ~50-row window)."""
+    from sftp_data_ingestion_spark.queries.q_streaming import (
+        _drain,
+        _events_stream,
+    )
+    from sftp_data_ingestion_spark import streaming as st
+
+    ev = _events_stream(spark, sf_dir)
+    out = st.stream_stream_attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    return _drain(out, "st_ssj_louter", "append")

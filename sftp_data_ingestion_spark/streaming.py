@@ -92,8 +92,9 @@ def stream_stream_attribution_join(
     purchases: DataFrame,
     lookahead: str = "6 hours",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """STREAM-STREAM inner join — the attribution shape: each click
+    """STREAM-STREAM join — the attribution shape: each click
     joins purchases by the same user within ``lookahead`` after the
     click. Both sides carry watermarks and the join condition bounds
     event time on both sides, so Spark can size the join state and
@@ -104,7 +105,15 @@ def stream_stream_attribution_join(
     Inputs are event frames (``event_id user_id ts value ...``); the
     purchase side is renamed to avoid ambiguity. In batch mode the
     same expression degrades to a plain range-condition join, which is
-    exactly what the correctness oracle replays."""
+    exactly what the correctness oracle replays.
+
+    ``how="left_outer"`` adds unconverted clicks: a null-extended row
+    emits only once the global watermark — ``min(max event time per
+    side) - watermark`` — passes ``click_ts + lookahead``, i.e. once
+    no future purchase could still match. Clicks inside that horizon
+    when the stream drains stay in state and never emit (correct:
+    their outcome is genuinely undecided), so an exact oracle must
+    apply the same watermark cutoff to its unmatched arm."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         "user_id",
@@ -121,6 +130,7 @@ def stream_stream_attribution_join(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {lookahead}")),
+        how,
     ).select(
         "click_id", "user_id", "click_ts", "purchase_id",
         "purchase_ts", "purchase_value",

@@ -153,6 +153,42 @@ def test_latest_event_per_user_stream(spark, tmp_path):
     assert upd[1]["event_type"] == "new"  # stale arrival kept newest
 
 
+def test_stream_stream_left_outer_watermark_eviction(spark, tmp_path):
+    """A click with no purchase emits null-extended ONLY once the
+    global watermark passes click_ts + lookahead; a click still inside
+    the horizon at drain time must NOT emit."""
+    src = tmp_path / "ev2"; src.mkdir()
+    clicks_purchases = _events(spark, [
+        # c1 at 00:00, no purchase, horizon 00:00+6h=06:00
+        (TS(2024, 1, 1, 0, 0), 1, 1, "click", 0.0),
+        # c2 matched by p1 within 6h
+        (TS(2024, 1, 1, 1, 0), 2, 2, "click", 0.0),
+        (TS(2024, 1, 1, 2, 0), 2, 3, "purchase", 9.0),
+        # c3 late click, unmatched but inside horizon at drain
+        (TS(2024, 1, 1, 9, 0), 3, 4, "click", 0.0),
+        # advance both sides' watermarks: max click 10:00, max purchase
+        # 10:30 -> WM = 10:00 - 2h = 08:00 > c1 horizon, < c3 horizon
+        (TS(2024, 1, 1, 10, 0), 4, 5, "click", 0.0),
+        (TS(2024, 1, 1, 10, 30), 4, 6, "purchase", 1.0),
+    ])
+    clicks_purchases.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(clicks_purchases.schema).parquet(
+        str(src / "*")
+    )
+    j = st.stream_stream_attribution_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    out = _drain(spark, j, tmp_path, "ssj_louter", "append")
+    rows = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    assert (1, None) in rows        # c1: horizon passed -> emits unmatched
+    assert (2, 3) in rows           # c2: matched pair emits
+    assert (5, 6) in rows           # c4 matched by p2
+    assert (4, None) not in rows    # c3: undecided, stays in state
+    assert all(cid != 4 for cid, _ in rows)
+
+
 # ---- multimodal --------------------------------------------------------------
 
 @pytest.fixture(scope="module")

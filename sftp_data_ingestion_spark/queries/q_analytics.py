@@ -1,0 +1,233 @@
+"""Round-5 analytics-consumer queries: blocked fuzzy join, funnel
+stages, cohort retention, and a rank-based quality gate.
+
+The product-analytics layer a user of the warehouse builds on top of
+the event/document tables: entity resolution (fuzzy join with
+blocking — the shape that avoids the all-pairs edit-distance scan),
+conversion funnels, weekly retention cohorts, and percentile-rank
+document curation. No reference equivalent — extension surface
+(SURVEY.md §2.11).
+
+Registered LAST (queries/__init__.py ordering policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext import textstats as ts
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+
+@query(
+    "z_fuzzy_join_blocked",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS block
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def z_fuzzy_join_blocked(spark, sf_dir):
+    """Fuzzy self-join with blocking: near-identical part names
+    (edit distance <= 3) found WITHOUT the all-pairs scan — candidate
+    pairs come from an equi-join on a blocking key (here the noun
+    token; production uses q-grams/phonetic keys, same shape), and
+    the exact Levenshtein verify runs only inside blocks. Cost is
+    O(sum block^2) instead of O(n^2) — the record-linkage scale
+    pattern. Names are deduplicated before pairing so the join is
+    over entities, not rows."""
+    names = (
+        table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        )
+        .where(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+@query(
+    "z_funnel_stages",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts
+                 AND ts <= v_ts + INTERVAL 6 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts
+                 AND ts <= c_ts + INTERVAL 6 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+), u AS (SELECT DISTINCT user_id, v_ts, c_ts, p_ts FROM s3)
+SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+            WHEN c_ts IS NOT NULL THEN 2
+            WHEN v_ts IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY funnel_stage
+""",
+)
+def z_funnel_stages(spark, sf_dir):
+    """Ordered, time-bounded conversion funnel (view -> click within
+    6 h -> purchase within 6 h of the click): how many users completed
+    each prefix of the sequence. Order AND recency matter — a click
+    before the first view, or hours after the window, does not count —
+    so each stage's timestamp is the min over events inside the
+    previous stage's window. All three stage windows share the user_id
+    partitioning: one shuffle, three chained window projections, then
+    a tiny stage histogram."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = (
+        e.withColumn(
+            "v_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("v_ts"))
+                    & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts"))
+                    & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "v_ts", "c_ts", "p_ts")
+        .distinct()
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), F.lit(3))
+        .when(F.col("c_ts").isNotNull(), F.lit(2))
+        .when(F.col("v_ts").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        s.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "z_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week, date_trunc('week', e.ts) AS activity_week,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY f.cohort_week, activity_week
+""",
+)
+def z_cohort_retention(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted distinct in each later activity week — the retention
+    matrix every growth dashboard draws. Two shuffles (first-seen agg
+    + cohort/activity agg); the first-seen side is per-user tiny, so
+    the join back broadcasts at any corpus scale where the user
+    dimension fits (and falls back to a shuffled hash join keyed by
+    user when it does not)."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "z_quality_top_half",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, source, round(
+    0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * least(
+        (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+         / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+        1.0)
+    + 0.2 * (1 - least(
+        (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+        1.0)),
+    6) AS quality
+  FROM documents
+)
+SELECT doc_id, source, quality FROM (
+  SELECT doc_id, source, quality,
+         percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pr
+  FROM scored
+) WHERE pr > 0.5
+""",
+)
+def z_quality_top_half(spark, sf_dir):
+    """Keep each source's top half of documents by quality score —
+    the percentile-gated curation filter. The gate is RANK-based
+    (percent_rank > 0.5), not value-based (quality > median), by
+    design: an interpolated median is a float the two engines can
+    compute a ulp apart, while percent_rank is a ratio of exact
+    integers over the identical rounded quality ordering — the same
+    determinism argument that makes the filter retry-stable on a
+    cluster. Ties at the boundary share a rank, so they are kept or
+    dropped together. One shuffle on source."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", ts.quality_score(F.col("text")).alias("quality")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("quality")
+    )
+    return (
+        scored.withColumn("pr", pr)
+        .where(F.col("pr") > 0.5)
+        .select("doc_id", "source", "quality")
+    )

@@ -417,3 +417,23 @@ def test_scd2_incremental_broadcasts_touched_keys(spark):
     assert "BroadcastHashJoin" in p
     assert "LeftAnti" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_join_blocked_is_equi_join_not_all_pairs(spark):
+    # record-linkage blocking: the block key is the equi condition and
+    # the name inequality + edit distance are residual — a hash join,
+    # never the all-pairs nested-loop a bare levenshtein join plans
+    df = q.QUERIES["z_fuzzy_join_blocked"](spark, SF)
+    p = plan(df)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_funnel_and_quality_gate_shuffle_budget(spark):
+    # the three funnel stage windows share the user_id partitioning:
+    # one data shuffle + the tiny stage histogram; the per-source
+    # quality rank gate is a single exchange
+    p1 = plan(q.QUERIES["z_funnel_stages"](spark, SF))
+    assert n_exchanges(p1) == 2
+    p2 = plan(q.QUERIES["z_quality_top_half"](spark, SF))
+    assert n_exchanges(p2) == 1

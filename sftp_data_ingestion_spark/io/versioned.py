@@ -1,0 +1,196 @@
+"""Versioned parquet table: manifest commits, snapshot isolation,
+time travel, metadata-only rollback, and a safe vacuum.
+
+The reference's durability story is a single mutable PostgreSQL table
+plus an advisory lock (``/root/reference/sql/00_create_tables.sql``,
+``python/03_upsert_dw_pedidos.py``); the lakehouse-native equivalent a
+Spark deployment needs is a TABLE FORMAT: immutable data files plus an
+ordered chain of manifest files, so that
+
+* readers always see a complete committed snapshot (a manifest is
+  published with one atomic rename — no reader ever lists a
+  half-written directory);
+* concurrent writers serialize optimistically (two commits racing for
+  version N: exactly one ``os.rename`` onto the version slot wins,
+  the loser retries at N+1 — no lock server);
+* any historical version stays queryable (time travel) until
+  vacuumed, because commits never delete data files;
+* rollback is METADATA-ONLY: re-publishing an old manifest as the
+  new head is O(1) regardless of table size — no data is copied or
+  rewritten, the property that makes "undo the bad batch" a
+  seconds-long operation on a 100 TB table;
+* vacuum deletes only files referenced by NO manifest, so it can run
+  while readers hold any retained snapshot.
+
+This is the public commit-protocol design of log-structured table
+formats (Delta/Iceberg-style), re-implemented minimally over plain
+parquet + JSON so the engine has no external dependency. Appends
+reuse the previous snapshot's files by reference — an append commit
+writes only the new data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR = "_versions"
+
+
+def _version_path(root: str, version: int) -> str:
+    return os.path.join(root, _VDIR, f"v{version:08d}.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    vdir = os.path.join(root, _VDIR)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for n in os.listdir(vdir):
+        if n.startswith("v") and n.endswith(".json"):
+            out.append(int(n[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_version_path(root, version)) as f:
+        return json.load(f)
+
+
+def _write_data(df: DataFrame, root: str) -> list[str]:
+    """Write df's parquet files under a fresh commit dir; return their
+    root-relative paths. The commit dir is invisible to readers until
+    a manifest referencing it is published."""
+    commit_dir = f"commit-{uuid.uuid4().hex}"
+    out_dir = os.path.join(root, commit_dir)
+    df.write.parquet(out_dir)
+    files = []
+    for base, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith("."):
+                rel = os.path.relpath(os.path.join(base, n), root)
+                files.append(rel)
+    return sorted(files)
+
+
+def commit(df: DataFrame, root: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` as a new version; returns the version number.
+
+    ``mode="overwrite"``: the new snapshot is exactly ``df``.
+    ``mode="append"``: the new snapshot is the previous snapshot's
+    files (by REFERENCE — zero rewrite) plus ``df``'s new files.
+
+    Concurrency: the manifest is staged to a temp name and published
+    with ``os.rename`` onto the target version slot. POSIX rename
+    won't clobber-check, so the slot is claimed with ``os.link``
+    (fails with EEXIST if another writer won) — the loser re-reads
+    the head and retries at the next version. Data files are
+    immutable and uniquely named, so a lost race wastes only the
+    duplicate staging write, never corrupts the table.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown commit mode: {mode}")
+    os.makedirs(os.path.join(root, _VDIR), exist_ok=True)
+    new_files = _write_data(df, root)
+    while True:
+        versions = _list_versions(root)
+        head = versions[-1] if versions else 0
+        target = head + 1
+        files = list(new_files)
+        if mode == "append" and head:
+            files = _read_manifest(root, head)["files"] + files
+        manifest = {
+            "version": target,
+            "mode": mode,
+            "files": files,
+            "schema": df.schema.json(),
+        }
+        tmp = os.path.join(
+            root, _VDIR, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # link = atomic claim of the version slot (EEXIST on race)
+            os.link(tmp, _version_path(root, target))
+            os.unlink(tmp)
+            return target
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: retry against the new head
+
+
+def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot (latest, or time-travel to ``version``). The
+    returned plan pins the manifest's exact file list, so a reader is
+    isolated from any commit that happens after this call."""
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed version under {root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not found (have {versions})")
+    m = _read_manifest(root, v)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def versions(root: str) -> list[int]:
+    """All queryable versions, oldest first."""
+    return _list_versions(root)
+
+
+def rollback(root: str, to_version: int) -> int:
+    """Publish ``to_version``'s manifest as the new head — O(1)
+    metadata, no data movement. The bad versions stay queryable (and
+    auditable) until vacuumed."""
+    vs = _list_versions(root)
+    if to_version not in vs:
+        raise FileNotFoundError(f"version {to_version} not found")
+    m = _read_manifest(root, to_version)
+    while True:
+        head = _list_versions(root)[-1]
+        target = head + 1
+        manifest = dict(m, version=target, mode="rollback")
+        tmp = os.path.join(root, _VDIR, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _version_path(root, target))
+            os.unlink(tmp)
+            return target
+        except FileExistsError:
+            os.unlink(tmp)
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained manifest; manifests
+    older than the last ``keep_last`` are dropped first. Returns the
+    deleted paths. Safe with concurrent readers of retained versions:
+    their files are by definition still referenced."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(root)
+    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(root, v)["files"])
+    for v in drop:
+        os.unlink(_version_path(root, v))
+    deleted = []
+    for base, _dirs, names in os.walk(root):
+        if _VDIR in base:
+            continue
+        for n in names:
+            p = os.path.join(base, n)
+            rel = os.path.relpath(p, root)
+            if n.endswith(".parquet") and rel not in referenced:
+                os.unlink(p)
+                deleted.append(rel)
+    # drop now-empty commit dirs
+    for base, dirs, names in list(os.walk(root, topdown=False)):
+        if _VDIR not in base and base != root and not dirs and not names:
+            os.rmdir(base)
+    return sorted(deleted)

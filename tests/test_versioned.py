@@ -1,0 +1,105 @@
+"""Versioned-table commit protocol: snapshot isolation, time travel,
+optimistic concurrency, metadata-only rollback, safe vacuum."""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.io import versioned as vt
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_read_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = vt.commit(_df(spark, [(1, "a"), (2, "b")]), root)
+    v2 = vt.commit(_df(spark, [(1, "a2")]), root)  # overwrite
+    assert (v1, v2) == (1, 2)
+    assert vt.versions(root) == [1, 2]
+    assert vt.read(spark, root).count() == 1                 # head = v2
+    assert vt.read(spark, root, version=1).count() == 2      # time travel
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, root, version=9)
+
+
+def test_append_reuses_prior_files_by_reference(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "a")]), root)
+    before = {
+        f for f in vt._read_manifest(root, 1)["files"]
+    }
+    vt.commit(_df(spark, [(2, "b")]), root, mode="append")
+    after = vt._read_manifest(root, 2)["files"]
+    # v2 references v1's physical files, not copies
+    assert before.issubset(set(after))
+    got = {r["k"] for r in vt.read(spark, root).collect()}
+    assert got == {1, 2}
+
+
+def test_reader_snapshot_isolated_from_later_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "a"), (2, "b")]), root)
+    snapshot = vt.read(spark, root)  # lazy plan pinned to v1's files
+    vt.commit(_df(spark, [(9, "z")]), root)  # overwrite AFTER the read
+    # executing the earlier plan still sees v1 (its files are immutable
+    # and still on disk until vacuum)
+    assert {r["k"] for r in snapshot.collect()} == {1, 2}
+    assert {r["k"] for r in vt.read(spark, root).collect()} == {9}
+
+
+def test_rollback_is_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "good")]), root)
+    vt.commit(_df(spark, [(1, "bad")]), root)
+    n_files_before = sum(
+        1 for b, _, ns in os.walk(root) for n in ns if n.endswith(".parquet")
+    )
+    v3 = vt.rollback(root, to_version=1)
+    n_files_after = sum(
+        1 for b, _, ns in os.walk(root) for n in ns if n.endswith(".parquet")
+    )
+    assert v3 == 3
+    assert n_files_after == n_files_before  # no data copied
+    assert vt.read(spark, root).collect()[0]["v"] == "good"
+    # the bad version remains auditable
+    assert vt.read(spark, root, version=2).collect()[0]["v"] == "bad"
+
+
+def test_concurrent_commits_serialize_without_loss(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(0, "base")]), root)
+    errs = []
+
+    def appender(k):
+        try:
+            vt.commit(_df(spark, [(k, f"w{k}")]), root, mode="append")
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert vt.versions(root) == [1, 2, 3, 4]
+    # every writer's rows survive regardless of race order
+    got = {r["k"] for r in vt.read(spark, root).collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "a")]), root)
+    vt.commit(_df(spark, [(2, "b")]), root)            # overwrite: v1 orphaned
+    vt.commit(_df(spark, [(3, "c")]), root, mode="append")
+    deleted = vt.vacuum(root, keep_last=2)             # keep v2, v3
+    assert deleted                                      # v1's files went
+    assert vt.versions(root) == [2, 3]
+    # v3 still reads fully (its referenced v2 files were retained)
+    assert {r["k"] for r in vt.read(spark, root).collect()} == {2, 3}
+    assert {r["k"] for r in vt.read(spark, root, version=2).collect()} == {2}

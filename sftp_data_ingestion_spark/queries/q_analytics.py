@@ -293,3 +293,45 @@ def z_time_travel_diff(spark, sf_dir):
         .where(~F.col("old_state").eqNullSafe(F.col("new_state")))
         .select("user_id", "old_state", "new_state")
     )
+
+
+@query(
+    "z_mv_incremental_sales",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def z_mv_incremental_sales(spark, sf_dir):
+    """Incrementally-maintained sales materialized view: the stored
+    state is built from orders before 1998-01-01, the rest arrives as
+    a batch, and operators/mv.py merges the batch's partial aggregate
+    into the state WITHOUT re-scanning history. The oracle is the
+    full recompute over all orders — the query passes only if the
+    algebraic state merge (sum/count add, min/max least/greatest) is
+    row-identical to aggregating from scratch. Per-batch cost is
+    O(batch) + one outer merge on the touched groups; the decade of
+    history is never re-read."""
+    from sftp_data_ingestion_spark.operators.mv import (
+        aggregate_batch,
+        merge_mv_state,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    specs = {
+        "total_price": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_orderkey"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    state = aggregate_batch(o.where(F.col("o_orderdate") < cutoff), keys, specs)
+    batch = o.where(F.col("o_orderdate") >= cutoff)
+    merged = merge_mv_state(state, aggregate_batch(batch, keys, specs), keys, specs)
+    return merged.withColumn("total_price", F.round("total_price", 2))

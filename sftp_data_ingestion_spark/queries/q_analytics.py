@@ -335,3 +335,117 @@ def z_mv_incremental_sales(spark, sf_dir):
     batch = o.where(F.col("o_orderdate") >= cutoff)
     merged = merge_mv_state(state, aggregate_batch(batch, keys, specs), keys, specs)
     return merged.withColumn("total_price", F.round("total_price", 2))
+
+
+@query(
+    "z_mv_distinct_users_hll",
+    oracle="""
+SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events
+""",
+)
+def z_mv_distinct_users_hll(spark, sf_dir):
+    """Mergeable distinct counting — the non-algebraic aggregate the
+    plain MV merge (operators/mv.py) correctly refuses: COUNT
+    DISTINCT has no bounded additive state, but its HLL SKETCH does.
+    One sketch per day is the stored MV state; refreshing the total
+    is hll_union over the daily sketches — O(days x 1.5 KB), history
+    never re-scanned, exactly the sketch-MV pattern a 100 TB events
+    table needs for daily-active/total-active dashboards. Graded as a
+    bounded-error boolean (estimate within 5% of exact; HLL lgK=12 is
+    ~1.6% rel. err. and deterministic for fixed input), the same
+    engine-portable gating used for the ANN recall queries."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    return rolled.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+@query(
+    "z_dq_audit",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderkey END AS o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -1 ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 79 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), corrupted AS (
+  SELECT * FROM t
+  UNION ALL SELECT * FROM t WHERE o_orderkey % 101 = 0
+)
+SELECT 'orderkey_not_null' AS rule,
+       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+FROM corrupted
+UNION ALL
+SELECT 'status_in_set',
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+FROM corrupted
+UNION ALL
+SELECT 'price_in_range',
+       CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+             AND (o_totalprice < 0 OR o_totalprice > 1000000000)) AS BIGINT)
+FROM corrupted
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM corrupted GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'custkey_fk',
+       CAST(count(*) AS BIGINT)
+FROM corrupted
+WHERE o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey)
+""",
+)
+def z_dq_audit(spark, sf_dir):
+    """Data-quality expectations suite over a deterministically
+    corrupted orders variant (planted NULL keys, bad statuses,
+    negative prices, orphan FK values, duplicated keys — clean data
+    would grade every rule at zero and prove nothing). All row rules
+    (not_null / in_set / in_range) aggregate in ONE scan — adding a
+    rule adds an expression, not a pass; uniqueness is a groupBy on
+    the key; the FK check is a broadcast anti-join against the
+    customer dimension. operators/expectations.py is the generalized
+    form of the reference's ad-hoc gates (header gate, NULL-key
+    filter, NFe-digit gate)."""
+    from sftp_data_ingestion_spark.operators import expectations as ex
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t = o.select(
+        F.when(k % 89 == 0, F.lit(None)).otherwise(k).alias("o_orderkey"),
+        F.when(k % 97 == 0, F.lit(-1)).otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.when(k % 83 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(k % 79 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    corrupted = t.unionByName(t.where(F.col("o_orderkey") % 101 == 0))
+    rules = [
+        ex.not_null("orderkey_not_null", "o_orderkey"),
+        ex.in_set("status_in_set", "o_orderstatus", ("O", "F", "P")),
+        ex.in_range("price_in_range", "o_totalprice", 0, 1_000_000_000),
+        ex.unique("orderkey_unique", "o_orderkey"),
+        ex.foreign_key(
+            "custkey_fk",
+            "o_custkey",
+            table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    ]
+    return ex.check_expectations(corrupted, rules)

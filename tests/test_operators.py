@@ -465,3 +465,63 @@ def test_set_once_columns_keep_existing_even_null(spark):
     assert out["k1"] == (None, "new_ts")        # NULL kept; other coalesced
     assert out["k2"] == ("2020-01-01", "old_ts")  # untouched row
     assert out["k3"] == ("2024-06-06", "new_ts")  # fresh insert takes value
+
+
+# ---------------------------------------------------------------------------
+# expectations suite
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_counts_and_single_scan(spark):
+    from sftp_data_ingestion_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, 1),
+            (2, "O", -5.0, 1),    # price range violation
+            (3, "X", 10.0, 2),    # status violation
+            (None, "O", 10.0, 9), # null key + orphan fk
+            (1, "O", 10.0, 1),    # duplicate key 1
+        ],
+        "k long, status string, price double, fk long",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "id long")
+    rules = [
+        ex.not_null("k_not_null", "k"),
+        ex.in_set("status_ok", "status", ("O", "F", "P")),
+        ex.in_range("price_ok", "price", 0, 100),
+        ex.unique("k_unique", "k"),
+        ex.foreign_key("fk_ok", "fk", dim, "id"),
+    ]
+    out = ex.check_expectations(df, rules)
+    got = {r["rule"]: r["n_violations"] for r in out.collect()}
+    assert got == {
+        "k_not_null": 1,
+        "status_ok": 1,
+        "price_ok": 1,
+        "k_unique": 1,
+        "fk_ok": 1,
+    }
+    # all three row rules share ONE scan leg: the plan reads the
+    # violations table once for the stacked row-rule aggregate plus
+    # once each for unique/fk — not once per row rule
+    p = out._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints both plans
+    # 3 legs over df (stacked row rules, unique, fk) + 1 dim scan
+    assert final.count("Scan ExistingRDD") <= 4
+
+
+def test_expectations_empty_table_is_all_zero(spark):
+    from sftp_data_ingestion_spark.operators import expectations as ex
+
+    df = spark.createDataFrame([], "k long, status string")
+    out = ex.check_expectations(
+        df,
+        [
+            ex.not_null("k_not_null", "k"),
+            ex.in_set("status_ok", "status", ("O",)),
+            ex.unique("k_unique", "k"),
+        ],
+    )
+    got = {r["rule"]: r["n_violations"] for r in out.collect()}
+    assert got == {"k_not_null": 0, "status_ok": 0, "k_unique": 0}

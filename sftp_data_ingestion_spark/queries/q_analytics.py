@@ -449,3 +449,72 @@ def z_dq_audit(spark, sf_dir):
         ),
     ]
     return ex.check_expectations(corrupted, rules)
+
+
+@query(
+    "z_stream_mv_merge",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def z_stream_mv_merge(spark, sf_dir):
+    """Continuous MV maintenance: the events fixture arrives as four
+    range-partitioned files drained one per trigger, and each micro-
+    batch is partial-aggregated and merged into the parquet MV state
+    by streaming.stream_mv_merge (foreachBatch + atomic swap + batch-
+    id replay guard). The final state must equal the batch GROUP BY
+    over all events — the oracle — proving the algebraic merge holds
+    across real micro-batch boundaries, not just the two-frame unit
+    case. Per-trigger cost is O(batch + touched groups)."""
+    import tempfile
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="mv_chunks_")
+    e.repartitionByRange(4, "ts").write.mode("overwrite").parquet(chunk_dir)
+    state_path = tempfile.mkdtemp(prefix="mv_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="mv_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        q = st.stream_mv_merge(
+            spark,
+            chunk_dir,
+            state_path,
+            ckpt,
+            keys=["event_type"],
+            specs={
+                "n": ("count", "event_id"),
+                "total_value": ("sum", "value"),
+                "first_ts": ("min", "ts"),
+                "last_ts": ("max", "ts"),
+            },
+            max_files_per_trigger=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(key, prev)
+    return (
+        spark.read.parquet(state_path)
+        .select(
+            "event_type",
+            "n",
+            F.round("total_value", 4).alias("total_value"),
+            "first_ts",
+            "last_ts",
+        )
+    )

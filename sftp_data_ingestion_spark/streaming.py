@@ -320,3 +320,90 @@ def run_to_memory_with_progress(
     q.stop()
     spark = stream.sparkSession
     return spark.table(query_name), n_batches
+
+
+def stream_mv_merge(
+    spark: SparkSession,
+    landing_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    specs: dict,
+    schema=None,
+    max_files_per_trigger: int = 100,
+):
+    """Continuous materialized-view maintenance: each micro-batch is
+    partial-aggregated alone and merged into the parquet MV state via
+    ``operators/mv.py`` — the streaming form of incremental MV
+    refresh. Per trigger the work is O(batch + touched groups); the
+    state table is never re-aggregated from history.
+
+    Exactly-once: the checkpoint is the processed-file ledger and the
+    state swap is atomic, but a replayed batch would DOUBLE-ADD into
+    an additive state (unlike the idempotent newer-wins upsert), so
+    the last merged batch id is stored inside the state itself
+    (``_mv_batch_id`` manifest column) and a replay of an
+    already-merged batch is a no-op. That dedup-by-batch-id is the
+    standard foreachBatch recipe for non-idempotent sinks.
+
+    Returns the started StreamingQuery; drain with
+    ``processAllAvailable`` then ``stop``.
+    """
+    if schema is None:
+        schema = spark.read.parquet(landing_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mv_merge_batch(batch_df, batch_id, state_path, keys, specs)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def mv_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    specs: dict,
+) -> bool:
+    """One MV merge step (the foreachBatch body of
+    :func:`stream_mv_merge`, separated so the replay guard is unit-
+    testable). Returns False when the batch was a replay no-op."""
+    from sftp_data_ingestion_spark.io.sinks import (
+        atomic_swap_parquet,
+        recover_interrupted_swap,
+    )
+    from sftp_data_ingestion_spark.operators.mv import (
+        aggregate_batch,
+        merge_mv_state,
+    )
+
+    import os
+
+    s = batch_df.sparkSession
+    recover_interrupted_swap(state_path)
+    partial = aggregate_batch(batch_df, keys, specs)
+    # plain exists-check instead of catching AnalysisException: the
+    # read probe logs a scary (harmless) stack trace on batch #1
+    if os.path.exists(state_path):
+        state = s.read.parquet(state_path)
+        last = state.select(F.max("_mv_batch_id")).first()[0]
+        if last is not None and last >= batch_id:
+            return False  # replayed batch: already merged, no double-add
+        merged = merge_mv_state(
+            state.drop("_mv_batch_id"), partial, keys, specs
+        )
+    else:
+        merged = partial  # first batch bootstraps the state
+    atomic_swap_parquet(
+        merged.withColumn("_mv_batch_id", F.lit(batch_id)), state_path
+    )
+    return True

@@ -365,3 +365,17 @@ def test_stream_stream_join_matches_batch(spark):
     # the streaming side's ts is TIMESTAMP (UTC session) and batch is
     # NTZ — both collect to the same naive datetimes under UTC
     assert got == want
+
+
+def test_mv_merge_batch_replay_guard_prevents_double_add(spark, tmp_path):
+    state = str(tmp_path / "mv_state")
+    specs = {"n": ("count", "event_id"), "s": ("sum", "value")}
+    b1 = _events(spark, [(TS(2024, 1, 1, 0), 1, 1, "view", 2.0),
+                         (TS(2024, 1, 1, 1), 1, 2, "view", 3.0)])
+    b2 = _events(spark, [(TS(2024, 1, 1, 2), 2, 3, "view", 5.0)])
+    assert st.mv_merge_batch(b1, 0, state, ["event_type"], specs) is True
+    assert st.mv_merge_batch(b2, 1, state, ["event_type"], specs) is True
+    # crash-replay of batch 1: must be a no-op, not a double add
+    assert st.mv_merge_batch(b2, 1, state, ["event_type"], specs) is False
+    got = spark.read.parquet(state).collect()[0]
+    assert (got["n"], got["s"]) == (3, 10.0)

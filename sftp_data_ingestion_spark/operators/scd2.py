@@ -108,9 +108,9 @@ def scd2_incremental(
     re-sorted, or rewritten. The only shuffle over history data is
     the SCD2 window on the touched keys' rows.
     """
-    order = [F.col(ts).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else []
-    )
+    if tiebreak == ts:
+        tiebreak = None  # ordering by ts twice adds nothing; avoids a
+        # duplicate column in the replay projection below
     touched = batch.select(key).distinct()
     hist_touched = history.join(F.broadcast(touched), key, "semi")
     hist_untouched = history.join(F.broadcast(touched), key, "anti")

@@ -285,3 +285,118 @@ def test_rolling_fingerprint_matches_model(spark, texts):
         "i", rolling_fingerprint(F.col("t")).alias("fp")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == model_rolling_fp(t), repr(t)
+
+
+# ---------------------------------------------------------------------------
+# incremental SCD2 == full rebuild (append-only contract)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # (key, ts, state) with unique ts per draw order
+        st.tuples(
+            st.integers(0, 3),        # few keys -> dense histories
+            st.sampled_from("ABC"),   # few states -> repeats collapse
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(1, 23),  # split point
+)
+def test_scd2_incremental_matches_rebuild_for_any_append_split(
+    spark, rows, split
+):
+    """For ANY log and ANY global-time split (append-only per key by
+    construction: ts increases with row index), applying the suffix
+    incrementally to the prefix's history equals rebuilding from the
+    full log."""
+    from sftp_data_ingestion_spark.operators.scd2 import (
+        scd2_from_changelog,
+        scd2_incremental,
+    )
+
+    log = [
+        (k, i, s) for i, (k, s) in enumerate(rows)
+    ]  # ts = index: strictly increasing, unique
+    split = min(split, len(log))
+    mk = lambda part: spark.createDataFrame(
+        part or [(0, 0, "A")], "k long, t long, s string"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    hist_log, batch = log[:split], log[split:]
+    history = scd2_from_changelog(
+        mk(hist_log), key="k", ts="t", state_cols=["s"], tiebreak="t"
+    )
+    if batch:
+        inc = __import__(
+            "sftp_data_ingestion_spark.operators.scd2", fromlist=["x"]
+        ).scd2_incremental(
+            history, mk(batch), key="k", ts="t", state_cols=["s"],
+            tiebreak="t",
+        )
+    else:
+        inc = history
+    full = scd2_from_changelog(
+        mk(log), key="k", ts="t", state_cols=["s"], tiebreak="t"
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MV merge == full recompute under arbitrary batch partitions
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(st.integers(0, 3), min_size=1, max_size=20),
+)
+def test_mv_merge_matches_recompute_for_any_partition(spark, rows, cuts):
+    """Splitting the rows into ANY sequence of batches and folding
+    them through merge_mv_state equals one aggregate over everything
+    — associativity of the algebraic state, NULLs included."""
+    from sftp_data_ingestion_spark.operators.mv import (
+        aggregate_batch,
+        merge_mv_state,
+    )
+
+    specs = {
+        "s": ("sum", "x"),
+        "n": ("count", "x"),
+        "lo": ("min", "x"),
+        "hi": ("max", "x"),
+    }
+    mk = lambda part: spark.createDataFrame(part, "k long, x double")
+    # derive batch boundaries from `cuts` (mod into range, sorted)
+    bounds = sorted({c % len(rows) for c in cuts if c % len(rows) > 0})
+    pieces, prev = [], 0
+    for b in bounds + [len(rows)]:
+        if rows[prev:b]:
+            pieces.append(rows[prev:b])
+        prev = b
+    state = aggregate_batch(mk(pieces[0]), ["k"], specs)
+    for piece in pieces[1:]:
+        state = merge_mv_state(
+            state, aggregate_batch(mk(piece), ["k"], specs), ["k"], specs
+        )
+    full = aggregate_batch(mk(rows), ["k"], specs)
+    got = sorted(
+        (r["k"], r["n"], r["lo"], r["hi"],
+         None if r["s"] is None else round(r["s"], 6))
+        for r in state.collect()
+    )
+    want = sorted(
+        (r["k"], r["n"], r["lo"], r["hi"],
+         None if r["s"] is None else round(r["s"], 6))
+        for r in full.collect()
+    )
+    assert got == want

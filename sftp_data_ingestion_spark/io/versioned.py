@@ -194,3 +194,24 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         if _VDIR not in base and base != root and not dirs and not names:
             os.rmdir(base)
     return sorted(deleted)
+
+
+def optimize(
+    spark: SparkSession, root: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Compaction as a COMMIT: rewrite the head snapshot into
+    ~target-sized files and publish the result as a new version.
+    Readers of any existing snapshot are untouched (their files are
+    immutable and still referenced until vacuum); the compaction
+    itself is the coalesce rewrite of ``io/compact.py`` — every byte
+    moves exactly once, no shuffle — and a concurrent writer that
+    commits mid-compaction simply wins the next slot (the compacted
+    version then lands after it, containing the pre-commit data:
+    rerun optimize if churn outruns it). Returns the new version."""
+    head = _list_versions(root)[-1]
+    m = _read_manifest(root, head)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    total = sum(os.path.getsize(p) for p in paths)
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(*paths).coalesce(n_files)
+    return commit(df, root, mode="overwrite")

@@ -518,3 +518,49 @@ def z_stream_mv_merge(spark, sf_dir):
             "last_ts",
         )
     )
+
+
+@query(
+    "z_forget_users",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE user_id % 37 <> 0
+GROUP BY event_type
+""",
+)
+def z_forget_users(spark, sf_dir):
+    """GDPR erasure end-to-end: a deterministic forget-set of users
+    is purged from events by broadcast anti-join
+    (operators/forget.py), the purged table is COMMITTED to the
+    versioned store, and the audit aggregate is computed from the
+    committed version read back — so the grade covers the purge, the
+    commit, and the read, not just the join. The pre-purge version
+    remains for audit until vacuum; the vacuum horizon is the
+    compliance knob (see operators/forget.py docstring)."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.io import versioned as vt
+    from sftp_data_ingestion_spark.operators.forget import forget_keys
+
+    e = table(spark, sf_dir, "events")
+    forget = (
+        e.select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 37 == 0)
+    )
+    purged = forget_keys({"events": (e, "user_id")}, forget, "user_id")[
+        "events"
+    ]
+    root = tempfile.mkdtemp(prefix="forget_")
+    vt.commit(e, root)          # v1: pre-purge (audit)
+    vt.commit(purged, root)     # v2: erased
+    return (
+        vt.read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

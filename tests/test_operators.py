@@ -525,3 +525,26 @@ def test_expectations_empty_table_is_all_zero(spark):
     )
     got = {r["rule"]: r["n_violations"] for r in out.collect()}
     assert got == {"k_not_null": 0, "status_ok": 0, "k_unique": 0}
+
+
+def test_forget_keys_purges_all_tables_and_keeps_null_keys(spark):
+    from sftp_data_ingestion_spark.operators.forget import forget_keys
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "keep-null"), (3, "c")],
+        "uid long, x string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10.0), (9, 20.0)], "customer long, total double"
+    )
+    forget = spark.createDataFrame([(1,), (3,)], "uid long")
+    out = forget_keys(
+        {"ev": (ev, "uid"), "orders": (orders, "customer")},
+        forget,
+        "uid",
+    )
+    assert {r["uid"] for r in out["ev"].collect()} == {2, None}
+    assert {r["customer"] for r in out["orders"].collect()} == {9}
+    # scale shape: the forget-set broadcasts; the table never shuffles
+    p = out["ev"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

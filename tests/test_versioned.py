@@ -103,3 +103,21 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     # v3 still reads fully (its referenced v2 files were retained)
     assert {r["k"] for r in vt.read(spark, root).collect()} == {2, 3}
     assert {r["k"] for r in vt.read(spark, root, version=2).collect()} == {2}
+
+
+def test_optimize_compacts_files_as_new_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # 3 appends -> many small files
+    for k in range(3):
+        vt.commit(
+            spark.range(k * 10, (k + 1) * 10).repartition(4),
+            root,
+            mode="append" if k else "overwrite",
+        )
+    n_before = len(vt._read_manifest(root, 3)["files"])
+    v = vt.optimize(spark, root)
+    n_after = len(vt._read_manifest(root, v)["files"])
+    assert v == 4 and n_after < n_before
+    # data identical, pre-compaction snapshots still readable
+    assert vt.read(spark, root).count() == 30
+    assert vt.read(spark, root, version=3).count() == 30

@@ -564,3 +564,58 @@ def z_forget_users(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "z_concurrency_gauge",
+    oracle="""
+WITH m AS (
+  SELECT ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+), r AS (
+  SELECT t, sum(delta) OVER (
+           ORDER BY t, delta, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS gauge
+  FROM m
+)
+SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+       CAST(max(gauge) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY day
+""",
+)
+def z_concurrency_gauge(spark, sf_dir):
+    """Peak concurrency per day: every event opens a 30-minute
+    presence interval, +1/-1 markers are prefix-scanned over the
+    GLOBAL time order, and the daily max of the running gauge is the
+    classic max-overlap sweep. The scan uses the distributed two-pass
+    prefix sum (operators/prefix.py: range partition -> local cumsum
+    -> P-total offset broadcast), NOT a keyless window — a naive
+    Window.orderBy with no partition key would serialize the 100 TB
+    marker stream into one task. Ties order (t, delta, event_id):
+    the -1 marker sorts before +1 at the same instant, so touching
+    intervals don't double-count (half-open semantics)."""
+    from sftp_data_ingestion_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    e = table(spark, sf_dir, "events")
+    starts = e.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    markers = starts.unionByName(ends)
+    scanned = global_running_sum(
+        markers, ["t", "delta", "event_id"], "delta", out="gauge"
+    )
+    return (
+        scanned.groupBy(
+            F.date_trunc("day", F.col("t")).cast("date").alias("day")
+        )
+        .agg(F.max("gauge").alias("peak_concurrency"))
+    )

@@ -548,3 +548,41 @@ def test_forget_keys_purges_all_tables_and_keeps_null_keys(spark):
     # scale shape: the forget-set broadcasts; the table never shuffles
     p = out["ev"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from sftp_data_ingestion_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("t"),  # scrambled order key
+        F.col("id").alias("uid"),             # unique tiebreak
+        (F.col("id") % 7 - 3).cast("long").alias("delta"),
+    )
+    got = global_running_sum(
+        df, ["t", "uid"], "delta", out="g", num_partitions=8
+    )
+    w = Window.orderBy("t", "uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("g", F.sum("delta").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the scan must NOT serialize: with AQE's small-input coalescing
+    # off, the requested 8-way range partitioning must survive (on
+    # this 500-row fixture AQE rightly folds it to 1 — at scale it
+    # stays P-way, which is the property that matters)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        wide = global_running_sum(
+            df, ["t", "uid"], "delta", out="g", num_partitions=8
+        )
+        assert wide.rdd.getNumPartitions() == 8
+        assert wide.exceptAll(want).count() == 0
+    finally:
+        spark.conf.set(key, prev)

@@ -202,10 +202,12 @@ def test_no_collect_in_operator_modules():
     # sets (bounded by design), the bloom filter's one-bitmap-row-per-
     # partition OR-reduce, the partitioned upsert's touched-bucket
     # list (<= num_buckets ids), the CLI's 1-row stats aggregates for
-    # its JSON report, and the archive gate's 1-row content
-    # fingerprint
+    # its JSON report, the archive gate's 1-row content fingerprint,
+    # and the prefix scan's P partition totals (P = shuffle
+    # partitions, driver-size by construction)
     allowed = {"stage.py", "sources.py", "similarity.py", "bloom.py",
-               "upsert_partitioned.py", "cli.py", "archive.py"}
+               "upsert_partitioned.py", "cli.py", "archive.py",
+               "prefix.py"}
     offenders = []
     for f in root.rglob("*.py"):
         if f.name in allowed:

@@ -619,3 +619,105 @@ def z_concurrency_gauge(spark, sf_dir):
         )
         .agg(F.max("gauge").alias("peak_concurrency"))
     )
+
+
+@query(
+    "z_bm25_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+  WHERE term IN ('join', 'hash', 'merge') GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         round(sum(
+           ((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf t
+  JOIN dfreq f ON t.term = f.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score, rnk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+)
+def z_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for the query {join, hash, merge}: the
+    lexical search engine a document corpus needs beside the ANN
+    family. k1=1.2, b=0.75, and the same RATIONAL idf as the TF-IDF
+    operator — (N - df + 0.5)/(df + 0.5), no logarithm — so every
+    per-term score is the identical arithmetic expression in both
+    engines; the per-doc sum is rounded to 6 before ranking so
+    summation order can't flip ties. Scale shape: tf/df/dl are
+    uniform-key aggregates, the query-term filter prunes the tf table
+    to |Q| terms before any join, df and corpus stats broadcast, and
+    the final top-10 is a
+    TakeOrderedAndProject (per-partition top-k, driver merge) with the
+    rank assigned over the 10 survivors only."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    qterms = ["join", "hash", "merge"]
+    dfreq = (
+        tf.where(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    # global top-k via TakeOrderedAndProject (per-partition top-10 +
+    # driver merge), NOT a keyless rank window over every scored doc —
+    # the rank is assigned after the limit, over 10 rows
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score", "rnk"
+    )

@@ -439,3 +439,12 @@ def test_funnel_and_quality_gate_shuffle_budget(spark):
     assert n_exchanges(p1) == 2
     p2 = plan(q.QUERIES["z_quality_top_half"](spark, SF))
     assert n_exchanges(p2) == 1
+
+
+def test_bm25_topk_is_take_ordered_not_global_rank(spark):
+    # global top-10 must plan as TakeOrderedAndProject (per-partition
+    # top-k + driver merge); the rank window runs over the 10
+    # survivors only, never over every scored document
+    df = q.QUERIES["z_bm25_search"](spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p

@@ -721,3 +721,97 @@ def z_bm25_search(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "score", "rnk"
     )
+
+
+@query(
+    "z_shipping_priority_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+)
+def z_shipping_priority_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to the fixture columns:
+    unshipped-revenue top-10 for one market segment. The canonical
+    3-table join + agg + top-k benchmark shape: both date filters and
+    the segment filter push to the scans, the customer side reduces
+    to keys-only before joining (column pruning), and the top-10
+    plans as TakeOrderedAndProject after partial aggregation."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        c.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "z_large_orders_q18",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 25
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def z_large_orders_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) adapted to the fixture: the
+    HAVING-on-aggregate semi-reduction shape. The lineitem table
+    collapses to one row per qualifying order BEFORE joining orders
+    and customer — the aggregate acts as its own semi-join filter, so
+    the expensive fact table crosses the join already reduced."""
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 25)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

@@ -448,3 +448,11 @@ def test_bm25_topk_is_take_ordered_not_global_rank(spark):
     df = q.QUERIES["z_bm25_search"](spark, SF)
     p = plan(df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_q3_filters_push_to_scans_and_topk_is_take_ordered(spark):
+    df = q.QUERIES["z_shipping_priority_q3"](spark, SF)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "TakeOrderedAndProject" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p

@@ -1,12 +1,17 @@
-"""Round-5 analytics-consumer queries: blocked fuzzy join, funnel
-stages, cohort retention, and a rank-based quality gate.
+"""Round-5 analytics/lakehouse-consumer queries.
 
-The product-analytics layer a user of the warehouse builds on top of
-the event/document tables: entity resolution (fuzzy join with
-blocking — the shape that avoids the all-pairs edit-distance scan),
-conversion funnels, weekly retention cohorts, and percentile-rank
-document curation. No reference equivalent — extension surface
-(SURVEY.md §2.11).
+The layer a user of the warehouse builds on top of the event/document
+tables: entity resolution (blocked fuzzy join — the shape that avoids
+the all-pairs edit-distance scan), time-bounded conversion funnels,
+weekly retention cohorts, percent-rank document curation, versioned-
+table time travel (`z_time_travel_diff`), materialized-view
+maintenance in batch (`z_mv_incremental_sales`), sketch
+(`z_mv_distinct_users_hll`) and continuous (`z_stream_mv_merge`)
+form, a data-quality expectations audit (`z_dq_audit`), GDPR erasure
+(`z_forget_users`), a distributed prefix-scan concurrency gauge
+(`z_concurrency_gauge`), BM25 lexical search (`z_bm25_search`), and
+the TPC-H Q3/Q18 classics. No reference equivalent — extension
+surface (SURVEY.md §2.11).
 
 Registered LAST (queries/__init__.py ordering policy).
 """

@@ -121,3 +121,36 @@ def test_optimize_compacts_files_as_new_version(spark, tmp_path):
     # data identical, pre-compaction snapshots still readable
     assert vt.read(spark, root).count() == 30
     assert vt.read(spark, root, version=3).count() == 30
+
+
+def test_streaming_foreachbatch_commits_versions(spark, tmp_path):
+    """Composition: a file-source stream lands each micro-batch as an
+    append COMMIT on the versioned table — exactly-once by checkpoint
+    + manifest chain, every batch boundary auditable as a version."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "land"; src.mkdir()
+    spark.range(0, 10).coalesce(1).write.parquet(str(src / "f1"))
+    spark.range(10, 30).coalesce(1).write.parquet(str(src / "f2"))
+    root = str(tmp_path / "vt")
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+
+    def commit_batch(batch_df, batch_id):
+        vt.commit(batch_df, root, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(vt.versions(root)) >= 2          # one commit per batch
+    assert vt.read(spark, root).count() == 30   # nothing lost
+    first = vt.read(spark, root, version=1)     # first batch auditable
+    assert first.count() in (10, 20)

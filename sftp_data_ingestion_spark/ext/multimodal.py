@@ -673,3 +673,69 @@ def text_png_histogram(
             )
 
     return docs.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def text_wav_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    framerate: int = 8000,
+) -> DataFrame:
+    """REAL-codec audio pipeline, end-to-end and oracle-replayable:
+    each doc's text bytes become int16 PCM samples
+    (``(byte - 100) * 256`` — centered inside the ASCII range so real
+    text crosses zero; tiled to ``n_samples``), written as a
+    real RIFF/WAVE file (:func:`encode_wav_pcm16`), decoded back
+    through the production :func:`decode_wav` path, and reduced to
+    integer stats — total magnitude, peak, strict zero crossings.
+    WAV PCM is lossless, so the stats equal direct byte arithmetic on
+    the text (pure-ASCII fixture: char codes == bytes), which a SQL
+    oracle replays without any codec; a defect in RIFF framing,
+    sample packing, or channel handling breaks equality. All stats
+    are integers — no float tolerance anywhere."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(text: str) -> tuple[int, int, int]:
+            data = (text or "\x00").encode("utf-8")
+            samples = [
+                (data[i % len(data)] - 100) * 256 for i in range(n_samples)
+            ]
+            wav = encode_wav_pcm16(framerate, samples)
+            fr, back = decode_wav(wav)
+            assert fr == framerate and back == samples
+            sum_abs = sum(abs(s) for s in back)
+            peak = max(abs(s) for s in back)
+            zc = sum(
+                1
+                for i in range(len(back) - 1)
+                if back[i] * back[i + 1] < 0
+            )
+            return sum_abs, peak, zc
+
+        for pdf in batches:
+            stats = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "n_samples": n_samples,
+                    "sum_abs": [s[0] for s in stats],
+                    "peak": [s[1] for s in stats],
+                    "zero_crossings": [s[2] for s in stats],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -820,3 +820,36 @@ def z_large_orders_q18(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "z_wav_decode_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           (ascii(substr(text, (i % length(text)) + 1, 1)) - 100) * 256
+         ) AS smp
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id AS media_id,
+       CAST(256 AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(length(list_filter(range(255), i ->
+         smp[i + 1] * smp[i + 2] < 0)) AS INTEGER) AS zero_crossings
+FROM s
+""",
+)
+def z_wav_decode_stats(spark, sf_dir):
+    """REAL stdlib WAV codec graded end-to-end (the audio analogue of
+    m_png_decode_histogram): text bytes become int16 PCM samples,
+    round-trip through a real RIFF/WAVE file via the production
+    encode/decode path, and reduce to integer magnitude/peak/zero-
+    crossing stats the oracle replays with pure byte arithmetic — no
+    float tolerance anywhere. Lives here, not q_multimodal, per the
+    queries/__init__.py ordering policy."""
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    return mm.text_wav_stats(docs)

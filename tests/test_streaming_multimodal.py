@@ -379,3 +379,19 @@ def test_mv_merge_batch_replay_guard_prevents_double_add(spark, tmp_path):
     assert st.mv_merge_batch(b2, 1, state, ["event_type"], specs) is False
     got = spark.read.parquet(state).collect()[0]
     assert (got["n"], got["s"]) == (3, 10.0)
+
+
+def test_text_wav_stats_real_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "azaz"), (4, "\x7f\x7f\x7f"), (7, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["media_id"]: r for r in mm.text_wav_stats(docs).collect()}
+    # doc 7: all samples = ('a'-100)*256 = -768 -> no crossings
+    r = out[7]
+    assert r["sum_abs"] == 768 * 256
+    assert r["peak"] == 768 and r["zero_crossings"] == 0
+    # doc 4: chr(127) -> (127-100)*256 = 6912 everywhere, positive
+    assert out[4]["peak"] == 6912 and out[4]["zero_crossings"] == 0
+    # doc 1 "azaz": a (97) below the 100 pivot, z (122) above -> crossings
+    assert out[1]["zero_crossings"] > 0

@@ -400,3 +400,50 @@ def test_mv_merge_matches_recompute_for_any_partition(spark, rows, cuts):
         for r in full.collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# versioned table: op-sequence model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("overwrite"), st.integers(0, 9)),
+            st.tuples(st.just("append"), st.integers(0, 9)),
+            st.tuples(st.just("rollback"), st.integers(0, 5)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_versioned_table_matches_sequence_model(spark, tmp_path_factory, ops):
+    """Any sequence of overwrite/append/rollback commits must leave
+    every version's readable contents equal to a trivial list model —
+    the invariant that makes time travel trustworthy."""
+    from sftp_data_ingestion_spark.io import versioned as vt
+
+    root = str(tmp_path_factory.mktemp("vtp"))
+    model: dict[int, list[int]] = {}  # version -> expected multiset
+    head: list[int] = []
+    for kind, arg in ops:
+        if kind == "rollback":
+            if not model:
+                continue
+            vs = sorted(model)
+            target = vs[arg % len(vs)]
+            v = vt.rollback(root, target)
+            head = list(model[target])
+        else:
+            batch = [arg * 10 + i for i in range(3)]
+            df = spark.createDataFrame([(x,) for x in batch], "v long")
+            v = vt.commit(df, root, mode=kind)
+            head = (head if kind == "append" else []) + batch
+        model[v] = list(head)
+    for v, want in model.items():
+        got = sorted(r["v"] for r in vt.read(spark, root, v).collect())
+        assert got == sorted(want), f"version {v}"
+    latest = sorted(r["v"] for r in vt.read(spark, root).collect())
+    assert latest == sorted(model[max(model)])

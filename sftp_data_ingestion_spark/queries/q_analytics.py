@@ -853,3 +853,28 @@ def z_wav_decode_stats(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
     return mm.text_wav_stats(docs)
+
+
+_SHARED_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("z_sql_text_interface", oracle=_SHARED_SQL)
+def z_sql_text_interface(spark, sf_dir):
+    """SQL-text entry path: ONE shared ANSI string is executed
+    verbatim by BOTH engines — Spark parses it with its own SQL
+    parser over a registered temp view (`spark.sql`), DuckDB runs the
+    identical text as the oracle. This grades the engine's SQL
+    surface itself (parser -> Catalyst -> same plan as the DataFrame
+    API), not just the DataFrame builders every other query uses; a
+    user of the reference who writes raw SQL can run it unchanged."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SHARED_SQL)

@@ -878,3 +878,95 @@ def z_sql_text_interface(spark, sf_dir):
     user of the reference who writes raw SQL can run it unchanged."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SHARED_SQL)
+
+
+@query(
+    "z_seasonal_naive_eval",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+), f AS (
+  SELECT event_type, day, n,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS fcst
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       round(avg(abs(n - fcst)), 4) AS mae
+FROM f WHERE fcst IS NOT NULL
+GROUP BY event_type
+""",
+)
+def z_seasonal_naive_eval(spark, sf_dir):
+    """Forecast-baseline evaluation: the seasonal-naive forecast
+    (today = same weekday last week, lag 7 over per-type daily
+    counts) scored by MAE per event type — the sanity baseline every
+    time-series monitoring pipeline keeps beside its real model. One
+    shuffle to daily counts, one per-type window, one tiny agg; at
+    100 TB only the first aggregate touches raw events."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("fcst", F.lag("n", 7).over(w)).where(
+        F.col("fcst").isNotNull()
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("fcst"))), 4).alias("mae"),
+    )
+
+
+@query(
+    "z_token_bigrams",
+    oracle=r"""
+WITH docs2 AS (
+  SELECT string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(l)),
+                               i -> {'a': l[i], 'b': l[i + 1]})) AS p
+  FROM docs2
+), counted AS (
+  SELECT p.a AS term, p.b AS nxt, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY term, nxt
+)
+SELECT term, nxt, n, rnk FROM (
+  SELECT term, nxt, n,
+         row_number() OVER (ORDER BY n DESC, term, nxt) AS rnk
+  FROM counted
+) WHERE rnk <= 20
+""",
+)
+def z_token_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 token bigrams — the (context, next-token)
+    pair extraction a language-model data pipeline runs for n-gram
+    statistics and boilerplate detection. posexplode keeps token
+    positions, lead() pairs each token with its successor inside the
+    document (never across documents), partial counts combine map-
+    side, and the global top-20 plans as TakeOrderedAndProject with
+    the rank assigned over the 20 survivors."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("term", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = pairs.orderBy(
+        F.col("n").desc(), F.col("term"), F.col("nxt")
+    ).limit(20)
+    w2 = Window.orderBy(F.col("n").desc(), F.col("term"), F.col("nxt"))
+    return top.withColumn("rnk", F.row_number().over(w2)).select(
+        "term", "nxt", "n", "rnk"
+    )

@@ -970,3 +970,27 @@ def z_token_bigrams(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w2)).select(
         "term", "nxt", "n", "rnk"
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_custkey < 100
+"""
+
+
+@query("z_sql_lateral_topk", oracle=_LATERAL_SQL)
+def z_sql_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery with per-row ORDER BY ... LIMIT —
+    the second shared-SQL-text query (same string, both parsers): the
+    top-2-orders-per-customer ask phrased as a lateral join instead
+    of a rank window. Catalyst decorrelates it into a join +
+    per-group limit rather than executing the subquery per row, which
+    is exactly what must happen for this shape to survive 100 TB."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -994,3 +994,67 @@ def z_sql_lateral_topk(spark, sf_dir):
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "z_entity_resolution",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS block
+  FROM part
+), pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+), edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION ALL SELECT name_b, name_a FROM pairs
+), reach(id, r) AS (
+  SELECT p_name, p_name FROM names
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS name, min(r) AS canonical,
+       (min(r) = id) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def z_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end: the blocked fuzzy join's match
+    pairs become edges, connected components assign every name
+    variant to a canonical entity (min name reachable — transitive,
+    because similarity alone is not), and the survivor flag marks the
+    canonical spelling. Composition of z_fuzzy_join_blocked and the
+    min-label-propagation CC operator (ext/dedup.py) running on
+    STRING ids; graded against a DuckDB recursive-CTE transitive
+    closure. The canonical-id assignment is what record linkage
+    actually ships — pair lists alone are not actionable."""
+    from sftp_data_ingestion_spark.ext.dedup import connected_components
+
+    names = (
+        table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("id_a"), F.col("b.p_name").alias("id_b")
+        )
+    )
+    comp = connected_components(
+        names.select(F.col("p_name").alias("id")), pairs
+    )
+    return comp.select(
+        F.col("id").alias("name"),
+        F.col("component").alias("canonical"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )

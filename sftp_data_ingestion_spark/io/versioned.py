@@ -197,7 +197,10 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
 
 
 def optimize(
-    spark: SparkSession, root: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """Compaction as a COMMIT: rewrite the head snapshot into
     ~target-sized files and publish the result as a new version.
@@ -207,11 +210,25 @@ def optimize(
     moves exactly once, no shuffle — and a concurrent writer that
     commits mid-compaction simply wins the next slot (the compacted
     version then lands after it, containing the pre-commit data:
-    rerun optimize if churn outruns it). Returns the new version."""
+    rerun optimize if churn outruns it). Returns the new version.
+
+    ``cluster_cols`` turns the rewrite into a CLUSTERING optimize
+    (Delta's ``OPTIMIZE ... ZORDER BY`` shape): files become disjoint
+    slices of the cluster-key space (``io/layout.clustered`` — one
+    range shuffle instead of the free coalesce), so subsequent range
+    predicates on those columns skip whole files via parquet min/max.
+    Pass ``io/zorder.z_value`` output as the cluster column for
+    multi-dimensional locality."""
     head = _list_versions(root)[-1]
     m = _read_manifest(root, head)
     paths = [os.path.join(root, f) for f in m["files"]]
     total = sum(os.path.getsize(p) for p in paths)
     n_files = max(1, round(total / target_file_bytes))
-    df = spark.read.parquet(*paths).coalesce(n_files)
+    df = spark.read.parquet(*paths)
+    if cluster_cols:
+        from sftp_data_ingestion_spark.io.layout import clustered
+
+        df = clustered(df, cluster_cols, n_files)
+    else:
+        df = df.coalesce(n_files)
     return commit(df, root, mode="overwrite")

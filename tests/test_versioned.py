@@ -154,3 +154,32 @@ def test_streaming_foreachbatch_commits_versions(spark, tmp_path):
     assert vt.read(spark, root).count() == 30   # nothing lost
     first = vt.read(spark, root, version=1)     # first batch auditable
     assert first.count() in (10, 20)
+
+
+def test_optimize_with_cluster_cols_localizes_ranges(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(spark.range(0, 1000).repartition(6), root)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        v = vt.optimize(
+            spark, root, target_file_bytes=2000, cluster_cols=["id"]
+        )
+    finally:
+        spark.conf.set(key, prev)
+    files = vt._read_manifest(root, v)["files"]
+    assert len(files) > 1
+    # each file holds a DISJOINT id range -> ranges must not overlap
+    import os as _os
+    spans = []
+    for f in files:
+        stats = (
+            spark.read.parquet(_os.path.join(root, f))
+            .agg(F.min("id"), F.max("id"))
+            .first()
+        )
+        spans.append((stats[0], stats[1]))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo

@@ -219,8 +219,10 @@ def optimize(
     predicates on those columns skip whole files via parquet min/max.
     Pass ``io/zorder.z_value`` output as the cluster column for
     multi-dimensional locality."""
-    head = _list_versions(root)[-1]
-    m = _read_manifest(root, head)
+    versions_ = _list_versions(root)
+    if not versions_:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _read_manifest(root, versions_[-1])
     paths = [os.path.join(root, f) for f in m["files"]]
     total = sum(os.path.getsize(p) for p in paths)
     n_files = max(1, round(total / target_file_bytes))

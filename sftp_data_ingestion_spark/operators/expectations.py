@@ -115,17 +115,27 @@ def check_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
             legs.append(dup)
         elif r.kind == "foreign_key":
             dim, dim_col = r.args
+            # rename the dim key so the condition stays unambiguous
+            # when fact and dimension share the column name (the
+            # normal FK case)
+            dim_keys = F.broadcast(
+                dim.select(F.col(dim_col).alias("__dim_key")).distinct()
+            )
             orphan = (
                 df.where(F.col(r.col).isNotNull())
                 .join(
-                    F.broadcast(dim.select(dim_col).distinct()),
-                    F.col(r.col) == F.col(dim_col),
+                    dim_keys,
+                    F.col(r.col) == F.col("__dim_key"),
                     "anti",
                 )
                 .agg(F.count(F.lit(1)).alias("n_violations"))
                 .select(F.lit(r.name).alias("rule"), "n_violations")
             )
             legs.append(orphan)
+    if not legs:  # empty suite: empty report, stable schema
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations long"
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

@@ -586,3 +586,17 @@ def test_global_running_sum_matches_single_partition_window(spark):
         assert wide.exceptAll(want).count() == 0
     finally:
         spark.conf.set(key, prev)
+
+
+def test_expectations_fk_with_same_column_name_and_empty_suite(spark):
+    from sftp_data_ingestion_spark.operators import expectations as ex
+
+    df = spark.createDataFrame([(1,), (9,)], "customer_id long")
+    dim = spark.createDataFrame([(1,)], "customer_id long")
+    out = ex.check_expectations(
+        df, [ex.foreign_key("fk", "customer_id", dim, "customer_id")]
+    )
+    assert out.collect()[0]["n_violations"] == 1
+    empty = ex.check_expectations(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "n_violations"]

@@ -442,6 +442,8 @@ def test_versioned_table_matches_sequence_model(spark, tmp_path_factory, ops):
             v = vt.commit(df, root, mode=kind)
             head = (head if kind == "append" else []) + batch
         model[v] = list(head)
+    if not model:  # every op was a rollback on an empty table: no-op
+        return
     for v, want in model.items():
         got = sorted(r["v"] for r in vt.read(spark, root, v).collect())
         assert got == sorted(want), f"version {v}"

@@ -76,12 +76,57 @@ def _write_data(df: DataFrame, root: str) -> list[str]:
     return sorted(files)
 
 
-def commit(df: DataFrame, root: str, mode: str = "overwrite") -> int:
+def _file_stats(root: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet FOOTERS (row-
+    group statistics — no data pages are read). Driver-side here
+    because files are local; on a cluster the write job would emit
+    the same stats as a task side-output. Columns whose stats are
+    missing or not JSON-serializable are skipped (the file is then
+    never pruned on that column — safe)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        fstats = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and isinstance(lo, (int, float, str)):
+                fstats[c] = [lo, hi]
+        if fstats:
+            out[f] = fstats
+    return out
+
+
+def commit(
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
     ``mode="overwrite"``: the new snapshot is exactly ``df``.
     ``mode="append"``: the new snapshot is the previous snapshot's
     files (by REFERENCE — zero rewrite) plus ``df``'s new files.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (from the parquet footers — no data read), enabling
+    manifest-level FILE SKIPPING via :func:`read`'s ``prune``: the
+    data-skipping payoff of a clustered layout, applied before Spark
+    ever lists a file. Append commits carry the previous snapshot's
+    stats forward untouched.
 
     Concurrency: the manifest is staged to a temp name and published
     with ``os.rename`` onto the target version slot. POSIX rename
@@ -95,17 +140,22 @@ def commit(df: DataFrame, root: str, mode: str = "overwrite") -> int:
         raise ValueError(f"unknown commit mode: {mode}")
     os.makedirs(os.path.join(root, _VDIR), exist_ok=True)
     new_files = _write_data(df, root)
+    new_stats = _file_stats(root, new_files, stats_cols) if stats_cols else {}
     while True:
         versions = _list_versions(root)
         head = versions[-1] if versions else 0
         target = head + 1
         files = list(new_files)
+        stats = dict(new_stats)
         if mode == "append" and head:
-            files = _read_manifest(root, head)["files"] + files
+            prev = _read_manifest(root, head)
+            files = prev["files"] + files
+            stats = {**prev.get("stats", {}), **stats}
         manifest = {
             "version": target,
             "mode": mode,
             "files": files,
+            "stats": stats,
             "schema": df.schema.json(),
         }
         tmp = os.path.join(
@@ -122,10 +172,15 @@ def commit(df: DataFrame, root: str, mode: str = "overwrite") -> int:
             os.unlink(tmp)  # lost the race: retry against the new head
 
 
-def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Read a snapshot (latest, or time-travel to ``version``). The
-    returned plan pins the manifest's exact file list, so a reader is
-    isolated from any commit that happens after this call."""
+def files_for(
+    root: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> list[str]:
+    """The snapshot's file list, optionally pruned by manifest stats.
+    ``prune`` = ``(col, lo, hi)``: keep only files whose recorded
+    [min, max] for ``col`` overlaps [lo, hi]; files WITHOUT stats for
+    the column are always kept (pruning must never drop data)."""
     versions = _list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -133,8 +188,44 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     if v not in versions:
         raise FileNotFoundError(f"version {v} not found (have {versions})")
     m = _read_manifest(root, v)
-    paths = [os.path.join(root, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    files = m["files"]
+    if prune is None:
+        return files
+    col, lo, hi = prune
+    stats = m.get("stats", {})
+    kept = []
+    for f in files:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            kept.append(f)
+    return kept
+
+
+def read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: tuple | None = None,
+) -> DataFrame:
+    """Read a snapshot (latest, or time-travel to ``version``). The
+    returned plan pins the manifest's exact file list, so a reader is
+    isolated from any commit that happens after this call.
+
+    ``prune=(col, lo, hi)`` applies MANIFEST-LEVEL file skipping
+    before Spark ever lists a file (see :func:`files_for`); the
+    caller still applies the row-level filter — pruning only shrinks
+    the scan set, it never stands in for the predicate."""
+    kept = files_for(root, version, prune)
+    if not kept:  # every file pruned: empty frame with the schema
+        import pyspark.sql.types as T
+
+        versions = _list_versions(root)
+        v = versions[-1] if version is None else version
+        schema = T.StructType.fromJson(
+            __import__("json").loads(_read_manifest(root, v)["schema"])
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(root, f) for f in kept])
 
 
 def versions(root: str) -> list[int]:
@@ -233,4 +324,6 @@ def optimize(
         df = clustered(df, cluster_cols, n_files)
     else:
         df = df.coalesce(n_files)
-    return commit(df, root, mode="overwrite")
+    # clustering makes per-file ranges disjoint, so record the stats
+    # that let read(prune=...) skip files on those columns
+    return commit(df, root, mode="overwrite", stats_cols=cluster_cols)

@@ -183,3 +183,32 @@ def test_optimize_with_cluster_cols_localizes_ranges(spark, tmp_path):
     spans.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo
+
+
+def test_pruned_read_skips_files_but_loses_no_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(spark.range(0, 1000).repartition(6), root)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        v = vt.optimize(
+            spark, root, target_file_bytes=2000, cluster_cols=["id"]
+        )
+    finally:
+        spark.conf.set(key, prev)
+    all_files = vt.files_for(root, v)
+    kept = vt.files_for(root, v, prune=("id", 100, 150))
+    assert 0 < len(kept) < len(all_files)      # real file skipping
+    pruned = vt.read(spark, root, v, prune=("id", 100, 150)).where(
+        "id BETWEEN 100 AND 150"
+    )
+    full = vt.read(spark, root, v).where("id BETWEEN 100 AND 150")
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    # files without stats are never pruned (safety): the pre-optimize
+    # version has no stats -> prune keeps everything
+    assert vt.files_for(root, 1, prune=("id", 0, 0)) == vt.files_for(root, 1)
+    # fully-out-of-range prune: empty frame, schema preserved
+    none = vt.read(spark, root, v, prune=("id", 5000, 6000))
+    assert none.count() == 0 and none.columns == ["id"]

@@ -1058,3 +1058,61 @@ def z_entity_resolution(spark, sf_dir):
         F.col("component").alias("canonical"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+@query(
+    "z_pruned_scan_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type
+""",
+)
+def z_pruned_scan_agg(spark, sf_dir):
+    """Manifest-level file skipping graded end-to-end: events are
+    committed to the versioned store clustered on epoch seconds (so
+    per-file time ranges are disjoint and footer stats land in the
+    manifest), then a two-day aggregate reads ONLY the overlapping
+    files via read(prune=...) plus the row-level filter. The oracle
+    is the plain filtered aggregate over all events — if pruning
+    dropped a needed file or kept a wrong range, the hash breaks.
+    The query asserts real skipping happened (pruned file set is a
+    strict subset) before returning."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.io import versioned as vt
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    root = tempfile.mkdtemp(prefix="prune_")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        from sftp_data_ingestion_spark.io.layout import clustered
+
+        vt.commit(
+            clustered(e, ["ts_sec"], 8), root, stats_cols=["ts_sec"]
+        )
+    finally:
+        spark.conf.set(key, prev)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    lo_s = 1704844800  # 2024-01-10 00:00:00 UTC
+    hi_s = 1705017600  # 2024-01-12 00:00:00 UTC
+    kept = vt.files_for(root, prune=("ts_sec", lo_s, hi_s - 1))
+    assert len(kept) < len(vt.files_for(root)), "no files were skipped"
+    return (
+        vt.read(spark, root, prune=("ts_sec", lo_s, hi_s - 1))
+        .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -87,3 +87,68 @@ def merge_mv_state(
             expr = F.least(sc, bc) if kind == "min" else F.greatest(sc, bc)
         out.append(expr.alias(col))
     return merged.select(*out)
+
+
+def apply_cdc(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value: str,
+    op_col: str = "op",
+    prev_col: str = "prev_value",
+    sum_col: str = "total",
+    n_col: str = "n",
+) -> DataFrame:
+    """CDC-aware MV maintenance with RETRACTION: apply an
+    insert/update/delete changelog to a (keys..., sum, count) state
+    without touching history. Additive aggregates retract exactly —
+
+    * I contributes ``(+value, +1)``;
+    * D contributes ``(-prev_value, -1)``;
+    * U contributes ``(+value - prev_value, 0)`` —
+
+    so one partial aggregate over the changes yields a per-group
+    delta, merged into the state with the same outer-join shape as
+    :func:`merge_mv_state`. Groups whose count reaches zero are
+    dropped (SQL: an empty group is absent, and its residual
+    floating-point sum dust must not survive).
+
+    min/max CANNOT retract (deleting the current max needs the
+    runner-up, which the state no longer has) — maintain those by
+    recomputing the touched groups from source, the same
+    partition-pruned shape as ``scd2_incremental``. That split —
+    retract the additive, recompute the extremal — is exactly how
+    production MV engines divide the work.
+    """
+    o = F.col(op_col)
+    d_sum = (
+        F.when(o == "I", F.col(value))
+        .when(o == "D", -F.col(prev_col))
+        .otherwise(F.col(value) - F.col(prev_col))
+    )
+    d_n = F.when(o == "I", F.lit(1)).when(o == "D", F.lit(-1)).otherwise(
+        F.lit(0)
+    )
+    delta = changes.groupBy(*keys).agg(
+        F.sum(d_sum).alias(sum_col), F.sum(d_n).alias(n_col)
+    )
+    s, b = state.alias("s"), delta.alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else cond & c
+    merged = s.join(b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"s.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in keys
+        ],
+        (
+            F.coalesce(F.col(f"s.{sum_col}"), F.lit(0.0))
+            + F.coalesce(F.col(f"b.{sum_col}"), F.lit(0.0))
+        ).alias(sum_col),
+        (
+            F.coalesce(F.col(f"s.{n_col}"), F.lit(0))
+            + F.coalesce(F.col(f"b.{n_col}"), F.lit(0))
+        ).alias(n_col),
+    )
+    return merged.where(F.col(n_col) > 0)

@@ -1116,3 +1116,69 @@ def z_pruned_scan_agg(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@query(
+    "z_mv_cdc_retraction",
+    oracle="""
+WITH base AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+), final AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 AND event_id % 11 <> 0
+              THEN value + 10 ELSE value END AS value
+  FROM base WHERE event_id % 11 <> 0
+  UNION ALL
+  SELECT event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total
+FROM final GROUP BY event_type
+""",
+)
+def z_mv_cdc_retraction(spark, sf_dir):
+    """CDC-aware MV maintenance with retraction: the per-type sum/
+    count state is built from pre-cutoff events, then a changelog of
+    inserts (post-cutoff), deletes (11-divisible ids, retracting
+    their old value) and updates (13-divisible ids, +10, contributing
+    only the difference) folds in via operators/mv.py:apply_cdc. The
+    oracle recomputes the final aggregate from the reconstructed row
+    set — the retraction path must land on the same numbers as a full
+    rebuild without ever re-reading history."""
+    from sftp_data_ingestion_spark.operators.mv import apply_cdc
+
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = table(spark, sf_dir, "events")
+    base = e.where(F.col("ts") < cutoff)
+    state = base.groupBy("event_type").agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    inserts = e.where(F.col("ts") >= cutoff).select(
+        "event_type",
+        F.lit("I").alias("op"),
+        F.col("value"),
+        F.lit(None).cast("double").alias("prev_value"),
+    )
+    deletes = base.where(F.col("event_id") % 11 == 0).select(
+        "event_type",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("value").alias("prev_value"),
+    )
+    updates = (
+        base.where(
+            (F.col("event_id") % 13 == 0) & (F.col("event_id") % 11 != 0)
+        )
+        .select(
+            "event_type",
+            F.lit("U").alias("op"),
+            (F.col("value") + 10).alias("value"),
+            F.col("value").alias("prev_value"),
+        )
+    )
+    changes = inserts.unionByName(deletes).unionByName(updates)
+    out = apply_cdc(state, changes, ["event_type"], "value")
+    return out.select(
+        "event_type", "n", F.round("total", 4).alias("total")
+    )

@@ -78,3 +78,24 @@ def test_non_algebraic_spec_rejected(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, x double")
     with pytest.raises(ValueError, match="non-algebraic"):
         aggregate_batch(df, ["k"], {"m": ("median", "x")})
+
+
+def test_apply_cdc_retraction_and_group_disappearance(spark):
+    from sftp_data_ingestion_spark.operators.mv import apply_cdc
+
+    state = spark.createDataFrame(
+        [("a", 10.0, 2), ("b", 5.0, 1)], "k string, total double, n long"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", "U", 7.0, 3.0),   # 3 -> 7: delta +4, count unchanged
+            ("b", "D", None, 5.0),  # delete b's only row -> group gone
+            ("c", "I", 2.0, None),  # brand-new group
+        ],
+        "k string, op string, value double, prev_value double",
+    )
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in apply_cdc(state, changes, ["k"], "value").collect()
+    }
+    assert got == {"a": (14.0, 2), "c": (2.0, 1)}  # b dropped entirely

@@ -93,3 +93,25 @@ def atomic_swap_parquet(df: DataFrame, path: str) -> int:
     shutil.rmtree(old, ignore_errors=True)
     spark.catalog.refreshByPath(path)
     return n
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions the
+    batch contains, leave every other partition's files untouched —
+    the daily-reprocess write pattern (re-land one day of a
+    date-partitioned table without rewriting the year). Uses Spark's
+    ``partitionOverwriteMode=dynamic`` so the partition set to
+    replace is discovered from the data, not declared; with the
+    default STATIC mode the same ``overwrite`` would wipe the whole
+    table — the classic footgun this wrapper exists to fence off.
+    The conf is set per-write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

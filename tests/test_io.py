@@ -484,3 +484,30 @@ def test_write_clustered_produces_disjoint_key_ranges(spark, tmp_path):
     # a selective filter reads correctly from the clustered layout
     out = spark.read.parquet(path).where(F.col("k").between(100, 110))
     assert out.count() == 11
+
+
+def test_overwrite_partitions_touches_only_batch_partitions(spark, tmp_path):
+    from sftp_data_ingestion_spark.io.sinks import overwrite_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v int",
+    )
+    overwrite_partitions(base, path, ["day"])
+    # re-land ONLY day 2 with different contents
+    batch = spark.createDataFrame(
+        [("2024-01-02", 99)], "day string, v int"
+    )
+    overwrite_partitions(batch, path, ["day"])
+    # partition-dir values read back type-inferred (DATE here)
+    got = sorted(
+        (str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    # day 1 untouched, day 2 replaced (not appended)
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]
+    # static mode would have wiped day 1 — assert the conf was restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )

@@ -1182,3 +1182,91 @@ def z_mv_cdc_retraction(spark, sf_dir):
     return out.select(
         "event_type", "n", F.round("total", 4).alias("total")
     )
+
+
+@query(
+    "z_pseudonymized_join",
+    oracle="""
+WITH ev AS (
+  SELECT sha256('u' || CAST(user_id AS VARCHAR)) AS user_token, event_type
+  FROM events
+), latest AS (
+  SELECT sha256('u' || CAST(user_id AS VARCHAR)) AS user_token,
+         max(ts) AS last_seen
+  FROM events GROUP BY user_id
+)
+SELECT e.user_token, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       l.last_seen
+FROM ev e JOIN latest l ON e.user_token = l.user_token
+GROUP BY e.user_token, l.last_seen
+""",
+)
+def z_pseudonymized_join(spark, sf_dir):
+    """Privacy-preserving analytics: the raw user id never appears in
+    the output — both sides tokenize it with the same deterministic
+    keyed digest (sha2 over a salted rendering; swap in HMAC with a
+    managed key in production) and JOIN ON THE TOKEN, proving
+    pseudonyms stay consistent across tables so analytics survive the
+    masking. The complement of z_forget_users on the GDPR surface:
+    erasure removes, pseudonymization lets the rest keep working."""
+    e = table(spark, sf_dir, "events")
+    token = F.sha2(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")), 256
+    ).alias("user_token")
+    ev = e.select(token, "event_type")
+    latest = e.groupBy("user_id").agg(F.max("ts").alias("last_seen")).select(
+        token, "last_seen"
+    )
+    return (
+        ev.join(latest, "user_token")
+        .groupBy("user_token", "last_seen")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .select("user_token", "n_events", "n_types", "last_seen")
+    )
+
+
+@query(
+    "z_rolling_active_users",
+    oracle="""
+WITH presence AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), anchors AS (SELECT DISTINCT day FROM presence)
+SELECT a.day,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+FROM anchors a JOIN presence p
+  ON p.day BETWEEN a.day - 6 AND a.day
+GROUP BY a.day
+""",
+)
+def z_rolling_active_users(spark, sf_dir):
+    """Trailing-7-day active users per day (WAU curve): raw events
+    reduce to a (day, user) presence set FIRST — the expensive
+    distinct happens once, at day granularity — and the rolling
+    window is then a bounded 7x fan-out join over that tiny presence
+    table, never over raw events. Exact distinct across a sliding
+    window cannot use a plain window function (distinct doesn't
+    decompose); this anchor-join shape is the standard exact form,
+    with HLL sketch union (z_mv_distinct_users_hll) as the
+    approximate alternative when even presence is too big."""
+    e = table(spark, sf_dir, "events")
+    presence = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    anchors = presence.select("day").distinct().select(
+        F.col("day").alias("anchor_day")
+    )
+    return (
+        anchors.join(
+            presence,
+            (F.col("day") >= F.date_sub(F.col("anchor_day"), 6))
+            & (F.col("day") <= F.col("anchor_day")),
+        )
+        .groupBy(F.col("anchor_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

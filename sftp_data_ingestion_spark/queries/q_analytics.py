@@ -1270,3 +1270,62 @@ def z_rolling_active_users(spark, sf_dir):
         .groupBy(F.col("anchor_day").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "z_chunk_documents",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+)
+SELECT doc_id, u.i AS chunk_idx,
+       array_to_string(l[u.i * 12 + 1 : u.i * 12 + 16], ' ') AS chunk,
+       CAST(length(l[u.i * 12 + 1 : u.i * 12 + 16]) AS INTEGER)
+         AS n_tokens
+FROM t, unnest(range(greatest(1,
+         CAST(ceil((length(l) - 4) / 12.0) AS BIGINT)))) AS u(i)
+""",
+)
+def z_chunk_documents(spark, sf_dir):
+    """Overlapping-window document chunking (size 16, stride 12 —
+    4-token overlap): the retrieval/embedding prep step that sits
+    between raw documents and the ANN index. Pure Column work — one
+    tokenize, one sequence explode, one slice per chunk; no shuffle
+    at all, so chunking runs at scan speed and parallelism at any
+    corpus size. Short documents still emit their single (possibly
+    sub-size) chunk; chunk_idx makes downstream embedding rows
+    addressable back to (doc, offset)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    t = d.select("doc_id", F.split(norm, " ").alias("l"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("l") - F.lit(4)) / F.lit(12.0)).cast("long"),
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "l", (F.col("chunk_idx") * 12 + 1).cast("int"), 16
+                ),
+                " ",
+            ).alias("chunk"),
+            F.size(
+                F.slice(
+                    "l", (F.col("chunk_idx") * 12 + 1).cast("int"), 16
+                )
+            ).alias("n_tokens"),
+        )
+    )

@@ -1329,3 +1329,110 @@ def z_chunk_documents(spark, sf_dir):
             ).alias("n_tokens"),
         )
     )
+
+
+def _probe_vec() -> list[float]:
+    """The query vector: the same deterministic sha256 featurizer the
+    multimodal kernel uses (ext/multimodal._fake_features), computed
+    in plain Python over a fixed probe string — identical literals
+    reach both engines."""
+    from sftp_data_ingestion_spark.ext.multimodal import _fake_features
+
+    return _fake_features(b"retrieval probe: join order hash", 16)
+
+
+_CHUNK_FEATURE_SQL = """CAST(CAST(CAST(concat('0x', substr(
+    sha256(chunk || chr(0) || chr(0) || chr(0)
+                 || CASE WHEN i < 8 THEN chr(0) ELSE chr(1) END),
+    (i % 8) * 8 + 1, 8)) AS UBIGINT) AS DOUBLE) / 2147483648 - 1.0
+  AS FLOAT)"""
+
+
+@query(
+    "z_rag_retrieval",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+), chunks AS (
+  SELECT doc_id, u.i AS chunk_idx,
+         array_to_string(l[u.i * 12 + 1 : u.i * 12 + 16], ' ') AS chunk
+  FROM t, unnest(range(greatest(1,
+           CAST(ceil((length(l) - 4) / 12.0) AS BIGINT)))) AS u(i)
+), scored AS (
+  SELECT doc_id, chunk_idx,
+         round(list_sum(list_transform(range(16), i ->
+           ({{probe}})[i + 1] * {_CHUNK_FEATURE_SQL})), 6) AS score
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, score, rnk FROM (
+  SELECT doc_id, chunk_idx, score,
+         row_number() OVER (ORDER BY score DESC, doc_id, chunk_idx) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""".replace("{probe}", "[" + ", ".join(repr(v) for v in _probe_vec()) + "]"),
+)
+def z_rag_retrieval(spark, sf_dir):
+    """RAG retrieval end-to-end: documents are chunked (same 16/12
+    windows as z_chunk_documents), each chunk is embedded with the
+    deterministic sha256 featurizer (the multimodal kernel's math as
+    pure Column expressions — JVM-side, no Python in the scoring
+    path), and the fixed probe vector retrieves the top-10 chunks by
+    dot product. One scan, zero shuffles until the TakeOrdered top-k;
+    at scale the exact scorer swaps for the ANN family
+    (ext/similarity) over the same chunk features — this query grades
+    the glue: chunking offsets, embedding math, and ranking all
+    hash-checked against the oracle's independent replay."""
+    probe = _probe_vec()
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    t = d.select("doc_id", F.split(norm, " ").alias("l"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("l") - F.lit(4)) / F.lit(12.0)).cast("long"),
+    )
+    chunks = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+        "l",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice("l", (F.col("chunk_idx") * 12 + 1).cast("int"), 16), " "
+        ).alias("chunk"),
+    )
+
+    def feature(i: int):
+        counter = "\x00" if i < 8 else "\x01"
+        hexstr = F.sha2(
+            F.encode(
+                F.concat(
+                    F.col("chunk"), F.lit("\x00\x00\x00" + counter)
+                ),
+                "utf-8",
+            ),
+            256,
+        )
+        v = F.conv(
+            F.substring(hexstr, (i % 8) * 8 + 1, 8), 16, 10
+        ).cast("double")
+        return (v / F.lit(2147483648.0) - 1.0).cast("float")
+
+    score = F.lit(0.0)
+    for i in range(16):
+        score = score + F.lit(probe[i]) * feature(i).cast("double")
+    scored = chunks.select(
+        "doc_id", "chunk_idx", F.round(score, 6).alias("score")
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), "doc_id", "chunk_idx"
+    ).limit(10)
+    w = Window.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "chunk_idx", "score", "rnk"
+    )

@@ -36,6 +36,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _VDIR = "_versions"
 
@@ -327,3 +328,24 @@ def optimize(
     # clustering makes per-file ranges disjoint, so record the stats
     # that let read(prune=...) skip files on those columns
     return commit(df, root, mode="overwrite", stats_cols=cluster_cols)
+
+
+def table_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Change data feed between two snapshots, COMPUTED from the
+    immutable versions (Delta-style CDF without storing change
+    files): rows only in ``v_to`` surface as ``insert``, rows only in
+    ``v_from`` as ``delete`` — an update appears as its delete+insert
+    pair. Multiset semantics (``exceptAll``), so duplicate rows diff
+    correctly. Cost is one shuffle of each snapshot; a stored CDF
+    trades that read cost for write-side bookkeeping — this form
+    needs zero cooperation from writers and works across ANY two
+    retained versions, including rollbacks."""
+    new = read(spark, root, v_to)
+    old = read(spark, root, v_from)
+    return new.exceptAll(old).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    )

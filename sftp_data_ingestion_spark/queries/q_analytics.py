@@ -1436,3 +1436,71 @@ def z_rag_retrieval(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "chunk_idx", "score", "rnk"
     )
+
+
+@query(
+    "z_last_touch_attribution",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts FROM (
+    SELECT user_id, ts, row_number() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), joined AS (
+  SELECT p.ts, p.value,
+         CASE WHEN c.ts >= p.ts - INTERVAL 6 HOUR THEN c.ts END AS click_ts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       round(sum(CASE WHEN click_ts IS NOT NULL THEN value ELSE 0 END), 4)
+         AS attributed_revenue,
+       round(sum(CASE WHEN click_ts IS NULL THEN value ELSE 0 END), 4)
+         AS unattributed_revenue,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM joined GROUP BY day
+""",
+)
+def z_last_touch_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click within a 6-hour lookback (the as-of join
+    running purchase->click, the mirror of the attribution stream
+    join), rolled up to attributed vs unattributed revenue per day.
+    Same union-sort as-of engine — one shuffle on user_id, no join
+    node, tolerance as post-filter — against DuckDB's native ASOF
+    LEFT JOIN as the oracle."""
+    from sftp_data_ingestion_spark.operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], tolerance="6 hours"
+    )
+    attributed = F.col("r_ts").isNotNull()
+    return (
+        j.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(attributed, F.col("value")).otherwise(0)), 4
+            ).alias("attributed_revenue"),
+            F.round(
+                F.sum(F.when(~attributed, F.col("value")).otherwise(0)), 4
+            ).alias("unattributed_revenue"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )

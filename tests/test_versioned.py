@@ -212,3 +212,17 @@ def test_pruned_read_skips_files_but_loses_no_rows(spark, tmp_path):
     # fully-out-of-range prune: empty frame, schema preserved
     none = vt.read(spark, root, v, prune=("id", 5000, 6000))
     assert none.count() == 0 and none.columns == ["id"]
+
+
+def test_table_changes_reports_insert_delete_pairs(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "a"), (2, "b"), (2, "b")]), root)   # dup row
+    vt.commit(_df(spark, [(1, "a2"), (2, "b")]), root)            # update 1, drop one dup
+    ch = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in vt.table_changes(spark, root, 1, 2).collect()
+    }
+    assert ch == {
+        (1, "a", "delete"), (1, "a2", "insert"),  # update = delete+insert
+        (2, "b", "delete"),                        # multiset: one dup removed
+    }

@@ -1,17 +1,20 @@
 """Round-5 curation / warehouse-consumer queries: point-in-time SCD2
-lookup, per-source token heavy hitters, per-key z-score outliers, and
-a deterministic training-shard manifest.
+lookup, incremental SCD2 maintenance, per-source token heavy
+hitters, per-key z-score outliers, a deterministic training-shard
+manifest, and the left-outer stream-stream join.
 
 These are the operations a consumer of the warehouse (or of the
 curated document corpus) runs next: "what was the state at time T"
-(PIT lookup), "what boilerplate dominates each source" (heavy
-hitters), "which measurements are anomalous" (z-score), and "export
-the corpus as N reproducible shards with verifiable manifests"
-(shard manifest). No reference equivalent — extension surface
+(PIT lookup), "apply today's batch without rebuilding history"
+(incremental SCD2), "what boilerplate dominates each source" (heavy
+hitters), "which measurements are anomalous" (z-score), "export the
+corpus as N reproducible shards with verifiable manifests" (shard
+manifest), and "which clicks never converted" (watermark-exact
+left-outer stream join). No reference equivalent — extension surface
 (SURVEY.md §2.11); the reference stops at latest-state upsert
 (``/root/reference/python/03_upsert_dw_pedidos.py``).
 
-Registered LAST (queries/__init__.py ordering policy).
+Registered near the END (queries/__init__.py ordering policy).
 """
 
 from __future__ import annotations

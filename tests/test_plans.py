@@ -456,3 +456,13 @@ def test_q3_filters_push_to_scans_and_topk_is_take_ordered(spark):
     assert "PushedFilters" in p
     assert "TakeOrderedAndProject" in p
     assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_rag_retrieval_scoring_stays_jvm_side(spark):
+    # the docstring claims the embed+score path never leaves the JVM:
+    # no Python evaluation nodes anywhere in the plan, and the top-10
+    # is a TakeOrderedAndProject over the scored scan
+    df = q.QUERIES["z_rag_retrieval"](spark, SF)
+    p = plan(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "TakeOrderedAndProject" in p

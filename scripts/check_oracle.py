@@ -46,11 +46,19 @@ def main() -> int:
     prefixes = tuple(sys.argv[2:])
 
     spark = get_spark(app_name="check-oracle")
-    con = duckdb.connect()
-    for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def fresh_con():
+        # One DuckDB connection per oracle: a long-lived connection
+        # accumulated native state across ~65 queries and segfaulted
+        # inside duckdb's .so mid-sweep (flaky, not query-specific).
+        # Connections are cheap; views are just parquet bindings.
+        c = duckdb.connect()
+        for t in FIXTURE_TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
@@ -71,9 +79,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            con = fresh_con()
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            con.close()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             n_fail += 1

@@ -1,0 +1,81 @@
+"""Count-min sketch — mergeable approximate counting.
+
+Heavy-hitter detection over a 100 TB event/token stream cannot afford
+an exact per-key groupBy when the key space is unbounded; the classic
+answer is a count-min sketch (Cormode & Muthukrishnan 2005): a
+``depth x width`` grid of counters, each row indexed by an
+independent hash, estimate = min over rows. The sketch is a pure
+sum-monoid, so Spark builds it with ONE map-side-combined groupBy on
+``(row, col)`` — the shuffled intermediate is at most
+``depth * width`` rows PER PARTITION regardless of input size, and
+the merged sketch is ``depth * width`` rows total (a few KB), the
+same reduction shape a real streaming CMS uses.
+
+Hashes are Knuth/xxhash-style multiplicative primes over a
+magnitude-bounded key — plain 64-bit integer arithmetic that is
+bit-identical in Spark, DuckDB, and any other engine (no engine
+hash() builtin, which would not be portable), and can never overflow:
+``key_mod < 2^20`` and ``prime < 2^32`` keep every product under
+``2^52`` (DuckDB raises on BIGINT overflow where Java silently
+wraps, so staying in-range is correctness, not style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# public multiplicative-hash constants (Knuth 2654435761; xxhash primes)
+CMS_PRIMES = (2654435761, 2246822519, 3266489917, 668265263)
+_KEY_MOD = 1000003  # prime; bounds products far below 2^63
+
+
+def cms_col(key: Column, prime: int, width: int) -> Column:
+    """Row-``prime``'s column index for ``key`` — portable integer
+    arithmetic, identical in any engine with 64-bit ints."""
+    return ((key % _KEY_MOD) * F.lit(prime)) % F.lit(2**31) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: ``(row, col, cnt)`` with one occurrence
+    counted per input row. One shuffle of <= depth*width rows per
+    map partition (map-side combine does the heavy reduction)."""
+    if depth > len(CMS_PRIMES):
+        raise ValueError(f"depth <= {len(CMS_PRIMES)} supported")
+    key = F.col(key_col)
+    cells = F.array(
+        *[cms_col(key, p, width) for p in CMS_PRIMES[:depth]]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(F.posexplode(cells).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against ``sketch``:
+    min over the depth row counters. The sketch side is depth*width
+    rows — always broadcast — so the probe never shuffles. Estimates
+    are >= the true count by construction (one-sided error)."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(*[cms_col(key, p, width) for p in CMS_PRIMES[:depth]])
+        ).alias("row", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -1,0 +1,202 @@
+"""Corpus quality-signal queries: graph rank, sketch counts, linear
+quality scoring.
+
+The three signals a crawl-scale pretraining pipeline attaches to
+every document before curation: a link-graph quality prior
+(PageRank over the domain graph — here the customer↔supplier
+purchase graph stands in as the bipartite link structure), an
+approximate heavy-hitter count from a mergeable count-min sketch
+(the bounded-memory answer when the key space is unbounded), and a
+fastText-style linear quality score (one codegen map pass, no
+shuffle). No reference equivalent — extension surface.
+
+Registered LAST (queries/__init__.py ordering policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext.classify import logreg_margin
+from sftp_data_ingestion_spark.ext.graph import pagerank, pagerank_oracle_sql
+from sftp_data_ingestion_spark.ext.sketch import (
+    CMS_PRIMES,
+    cms_build,
+    cms_estimate,
+)
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+# customer nodes are even ids, supplier nodes odd — disjoint spaces
+_EDGE_BASE_SQL = (
+    "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+_EDGES_SQL = (
+    f"SELECT src, dst FROM ({_EDGE_BASE_SQL}) "
+    f"UNION ALL SELECT dst AS src, src AS dst FROM ({_EDGE_BASE_SQL})"
+)
+
+
+@query(
+    "z2_pagerank_purchase_graph",
+    oracle=pagerank_oracle_sql(_EDGES_SQL, iterations=5, damping=0.85),
+)
+def z2_pagerank_purchase_graph(spark, sf_dir):
+    """PageRank over the bidirected customer↔supplier purchase graph
+    (edge = "this customer bought from this supplier") — the
+    domain-authority prior a crawl curation pipeline computes over
+    its link graph, run on the warehouse's own relational data.
+
+    Scale shape: the edge list derives from one orders⋈lineitem join
+    and is checkpointed once; each of the 5 power-iteration steps is
+    exactly one edges⋈ranks shuffle join plus one groupBy-sum — the
+    canonical Pregel schedule (`ext/graph.py`), identical to how
+    GraphX/GraphFrames schedule it, with `localCheckpoint` keeping
+    the iterated plan constant-depth. Bidirected edges mean every
+    node has out-degree >= 1, so no dangling-mass correction is
+    needed and the unrolled 5-CTE DuckDB oracle is exact. Ranks are
+    rounded to 8 dp — partial-sum order is the only cross-engine
+    drift (~1e-17) — and ALL nodes are returned (no top-k cutoff,
+    so rank ties cannot flip set membership between engines)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _cms_col_sql(key_expr: str, prime: int, width: int) -> str:
+    return (
+        f"((({key_expr} % 1000003) * {prime}) % {2**31}) % {width}"
+    )
+
+
+_CMS_WIDTH, _CMS_DEPTH = 64, 4
+_CMS_HASH_ROWS = " UNION ALL ".join(
+    f"SELECT {i} AS row, {_cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
+    " user_id FROM evt"
+    for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
+)
+_CMS_PROBE_ROWS = " UNION ALL ".join(
+    f"SELECT {i} AS row, {_cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
+    " user_id, exact_cnt FROM top20"
+    for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
+)
+
+
+@query(
+    "z2_cms_heavy_hitters",
+    oracle=f"""
+WITH evt AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hashed AS ({_CMS_HASH_ROWS}),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM hashed GROUP BY row, col),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM evt GROUP BY user_id),
+top20 AS (
+  SELECT user_id, exact_cnt FROM (
+    SELECT user_id, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+probes AS ({_CMS_PROBE_ROWS}),
+est AS (
+  SELECT p.user_id, MIN(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.exact_cnt, e.cms_est,
+       e.cms_est >= t.exact_cnt AS overestimate
+FROM top20 t JOIN est e ON t.user_id = e.user_id
+""",
+)
+def z2_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (depth 4 × width 64) over event user activity,
+    point-estimated for the exact top-20 users. The sketch collapses
+    to <= 256 counter rows via one map-side-combined groupBy — the
+    shuffled intermediate is bounded by the GRID size per partition,
+    not the input size, which is the whole point at 100 TB — and the
+    probe joins against the broadcast 256-row sketch, never
+    shuffling. The width is deliberately small so collisions occur
+    and the one-sided error is visible: `overestimate` asserts the
+    CMS guarantee (estimate >= truth, always) cell by cell. Portable
+    multiplicative hashing makes the DuckDB twin bit-identical
+    (`ext/sketch.py`)."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    sketch = cms_build(e, "user_id", width=_CMS_WIDTH, depth=_CMS_DEPTH)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    top20 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = cms_estimate(
+        sketch, top20, "user_id", width=_CMS_WIDTH, depth=_CMS_DEPTH
+    )
+    return (
+        top20.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+# fastText-style fixed scorer: weights a trained model would ship with
+_QW = {"bias": -1.5, "len_k": 0.9, "tok_h": 0.7, "upper": -2.0}
+
+
+@query(
+    "z2_quality_logreg_score",
+    oracle=f"""
+SELECT doc_id,
+       round({_QW['bias']} + {_QW['len_k']} * (n_chars / 1000.0)
+             + {_QW['tok_h']} * (len(string_split(text, ' ')) / 100.0)
+             + {_QW['upper']}
+               * (length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                  / CAST(greatest(n_chars, 1) AS DOUBLE)), 6) AS margin,
+       ({_QW['bias']} + {_QW['len_k']} * (n_chars / 1000.0)
+             + {_QW['tok_h']} * (len(string_split(text, ' ')) / 100.0)
+             + {_QW['upper']}
+               * (length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                  / CAST(greatest(n_chars, 1) AS DOUBLE))) > 0 AS keep
+FROM documents
+""",
+)
+def z2_quality_logreg_score(spark, sf_dir):
+    """Linear (fastText-style) document quality gate: margin =
+    bias + w·(kilochars, hectotokens, uppercase ratio), keep iff
+    margin > 0. Scoring is a single map-only codegen pass — no UDF,
+    no shuffle, filters and projection push straight to the parquet
+    scan — so a 100 TB corpus scores at IO speed. The margin fold is
+    strictly left-to-right (`ext/classify.py::logreg_margin`), making
+    every intermediate double bit-identical across engines; the 6 dp
+    round is belt-and-braces. Training the weights is `fit_logreg`
+    (distributed full-batch GD, one d+2-double aggregate per pass),
+    graded by convergence tests in `tests/test_classify.py`."""
+    d = table(spark, sf_dir, "documents")
+    feats = [
+        (F.col("n_chars") / F.lit(1000.0)),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(100.0)),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        ),
+    ]
+    m = logreg_margin(
+        feats, [_QW["len_k"], _QW["tok_h"], _QW["upper"]], _QW["bias"]
+    )
+    return d.select(
+        "doc_id", F.round(m, 6).alias("margin"), (m > 0).alias("keep")
+    )

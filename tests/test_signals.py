@@ -1,0 +1,150 @@
+"""Tests for the quality-signal extensions: PageRank, count-min
+sketch, linear classifier (ext/graph.py, ext/sketch.py,
+ext/classify.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext.classify import (
+    fit_logreg,
+    logreg_predict,
+)
+from sftp_data_ingestion_spark.ext.graph import pagerank
+from sftp_data_ingestion_spark.ext.sketch import cms_build, cms_estimate
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_model(edges, iterations=5, damping=0.85):
+    """Driver-side reference implementation."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / deg[a]
+        r = {v: (1 - damping) / n + damping * contrib[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_model(spark):
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3),
+        (4, 1), (1, 4), (5, 4), (4, 5),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    want = _pagerank_model(edges, iterations=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved_on_bidirected_graph(spark):
+    edges = [(i, (i * 3) % 7 + 10) for i in range(7)]
+    edges = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = pagerank(df, iterations=6)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    # bidirected => no dangling nodes => total rank mass stays 1
+    assert total == pytest.approx(1.0, abs=1e-9)
+    assert ranks.where(F.col("rank") <= 0).count() == 0
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # star graph: hub 0 linked by all leaves (bidirected)
+    edges = [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = {x["node"]: x["rank"] for x in pagerank(df).collect()}
+    assert r[0] > max(v for k, v in r.items() if k != 0) * 3
+
+
+# ---------------------------------------------------------------- sketch
+
+
+def test_cms_estimate_never_underestimates(spark):
+    rows = [(i % 17,) for i in range(500)] + [(99,)] * 120
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_build(df, "k", width=16, depth=4)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["cms_est"] for r in
+           cms_estimate(sketch, keys, "k", width=16, depth=4).collect()}
+    exact = {r["k"]: r["cnt"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c
+
+
+def test_cms_heavy_hitter_estimate_is_tight_at_reasonable_width(spark):
+    rows = [(i % 50,) for i in range(200)] + [(777,)] * 300
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_build(df, "k", width=1024, depth=4)
+    keys = spark.createDataFrame([(777,)], ["k"])
+    est = cms_estimate(sketch, keys, "k", width=1024, depth=4).first()
+    # wide sketch, 51 keys: the heavy hitter is exact w.h.p.
+    assert est["cms_est"] == 300
+
+
+def test_cms_sketch_size_is_bounded_by_grid(spark):
+    df = spark.range(0, 100000).select(F.col("id").alias("k"))
+    sketch = cms_build(df, "k", width=32, depth=4)
+    assert sketch.count() <= 32 * 4
+
+
+# ---------------------------------------------------------------- classify
+
+
+def _toy_docs(spark, n=400):
+    # separable: label = long doc (planted margin on feature 0).
+    # features pre-scaled to [0,1] — the same convention the graded
+    # scorer uses (kilochars/hectotokens), and what makes a single
+    # global learning rate behave for full-batch GD.
+    rows = [
+        (
+            i,
+            (i % 20) / 20.0,
+            ((i * 7) % 13) / 13.0,
+            1 if (i % 20) >= 10 else 0,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["id", "f_len", "f_noise", "label"])
+
+
+def test_fit_logreg_loss_decreases_and_separates(spark):
+    df = _toy_docs(spark).cache()
+    w, b, losses = fit_logreg(
+        df, ["f_len", "f_noise"], "label", iterations=120, lr=2.0
+    )
+    assert losses[-1] < losses[0] / 2
+    assert all(math.isfinite(x) for x in losses)
+    pred = logreg_predict(df, ["f_len", "f_noise"], w, b)
+    acc = (
+        pred.where(F.col("pred").cast("int") == F.col("label")).count()
+        / df.count()
+    )
+    assert acc >= 0.95
+    df.unpersist()
+
+
+def test_logreg_margin_is_fixed_order_fold(spark):
+    # same literals, same columns => same bits, independent of
+    # partitioning (fold order is pinned left-to-right)
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 0.1).alias("a"), (F.col("id") * 0.03).alias("b")
+    )
+    one = logreg_predict(df.coalesce(1), ["a", "b"], [0.3, -0.7], 0.11)
+    many = logreg_predict(df.repartition(13), ["a", "b"], [0.3, -0.7], 0.11)
+    assert sorted(r["margin"] for r in one.collect()) == sorted(
+        r["margin"] for r in many.collect()
+    )

@@ -62,16 +62,19 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed pass surfaces errors
 
-    # Best-of-2 per query: one-time costs (AQE-stage codegen at this
-    # SF, shuffle-file warmup) and transient host noise land in run 1;
-    # the min is the steady-state execution cost a cluster would see
-    # (observed: a single contended run inflated one query 6x while
-    # the repeat was normal).
+    # Best-of-3 per query: one-time costs (AQE-stage codegen at this
+    # SF, shuffle-file warmup) and transient host noise land in the
+    # early runs; the min is the steady-state execution cost a cluster
+    # would see. Measured motivation: the sf0.001 warmup does NOT warm
+    # the sf0.1 codegen cache (AQE shapes the physical plan
+    # differently at each SF), and d_minhash_lsh_near_dup showed
+    # 5.6 s / 9.1 s / 2.35 s / 2.32 s across four back-to-back runs —
+    # two runs can both land in the compile window, three don't.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -86,7 +89,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "agg": "min",
             }
         )

@@ -739,3 +739,127 @@ def text_wav_stats(
             )
 
     return docs.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def text_png_ahash(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+    size: int = 16,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) through the REAL PNG codec —
+    the image near-duplicate signature a vision-language curation
+    pipeline computes per frame/image.
+
+    Pipeline per row: text bytes -> ``size x size`` RGB pixels ->
+    real zlib/Paeth PNG encode -> production decode path
+    (:func:`_real_decode_image`) -> BT.601 luma -> ``grid x grid``
+    block sums -> bit b = (block_sum * n_blocks > total_sum), i.e.
+    block mean above global mean, in pure integers (no float, no
+    rounding anywhere — any engine replays it exactly). The 64-bit
+    hash ships as two non-negative 32-bit halves (``h_hi``/``h_lo``)
+    so SQL engines that RAISE on BIGINT overflow (DuckDB) can
+    reproduce it — bit 63 of a packed single long would be the sign
+    bit. PNG is lossless, so a SQL oracle replays the hash with byte
+    arithmetic on the text while this path exercises the actual
+    codec.
+    """
+    from pyspark.sql import types as T
+
+    n_px = size * size
+    n_bytes = n_px * 3
+    blk = size // grid
+    n_blocks = grid * grid
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("h_hi", T.LongType()),
+            T.StructField("h_lo", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(text: str) -> tuple[int, int]:
+            data = (text or "\x00").encode("utf-8")
+            rgb = (data * (n_bytes // len(data) + 1))[:n_bytes]
+            png = encode_png(size, size, rgb, filter_type=4)
+            w, h, back = _real_decode_image(png)
+            assert (w, h) == (size, size) and back == rgb
+            lum = _luma(back)
+            total = sum(lum)
+            ah = 0
+            for b in range(n_blocks):
+                r0, c0 = (b // grid) * blk, (b % grid) * blk
+                bs = sum(
+                    lum[(r0 + dr) * size + (c0 + dc)]
+                    for dr in range(blk)
+                    for dc in range(blk)
+                )
+                # block mean > global mean, cross-multiplied to ints:
+                # bs / blk^2 > total / n_px  <=>  bs * n_blocks > total
+                if bs * n_blocks > total:
+                    ah |= 1 << b
+            return ah >> 32, ah & 0xFFFFFFFF
+
+        for pdf in batches:
+            hashes = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "h_hi": [x[0] for x in hashes],
+                    "h_lo": [x[1] for x in hashes],
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(fn, out_schema)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs from aHash signatures by banded
+    self-join: the 64-bit hash splits into four 16-bit bands, and by
+    pigeonhole any pair within Hamming distance 3 agrees exactly on
+    at least one band — so candidates come from four equi-joins on
+    (band_idx, band_value), never an all-pairs scan (the same scale
+    shape as :func:`ext.dedup.simhash_near_dup_pairs`). Hamming is
+    verified exactly on both 32-bit halves of the candidates."""
+    from sftp_data_ingestion_spark.ext.dedup import hamming64
+
+    bands = hashes.select(
+        "media_id",
+        "h_hi",
+        "h_lo",
+        F.posexplode(
+            F.array(
+                F.col("h_lo").bitwiseAND(65535),
+                F.shiftright(F.col("h_lo"), 16).bitwiseAND(65535),
+                F.col("h_hi").bitwiseAND(65535),
+                F.shiftright(F.col("h_hi"), 16).bitwiseAND(65535),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    dist = hamming64(
+        F.col("a.h_hi"), F.col("b.h_hi")
+    ) + hamming64(F.col("a.h_lo"), F.col("b.h_lo"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .distinct()
+        .where(F.col("dist") <= max_distance)
+    )

@@ -200,3 +200,85 @@ def z2_quality_logreg_score(spark, sf_dir):
     return d.select(
         "doc_id", F.round(m, 6).alias("margin"), (m > 0).alias("keep")
     )
+
+
+_AHASH_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS media_id,
+         upper(substr(text, 1, 1)) || substr(text, 2) AS text
+  FROM documents WHERE doc_id % 3 = 0
+),
+lumas AS (
+  SELECT media_id,
+    list_transform(range(256), i ->
+      (299 * ascii(substr(text, ((3*i) % length(text)) + 1, 1))
+     + 587 * ascii(substr(text, ((3*i+1) % length(text)) + 1, 1))
+     + 114 * ascii(substr(text, ((3*i+2) % length(text)) + 1, 1))) // 1000
+    ) AS px
+  FROM imgs
+),
+blocks AS (
+  SELECT media_id,
+    list_transform(range(64), b ->
+        px[((b // 8) * 2 + 0) * 16 + (b % 8) * 2 + 1]
+      + px[((b // 8) * 2 + 0) * 16 + (b % 8) * 2 + 2]
+      + px[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 1]
+      + px[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]
+    ) AS bs,
+    list_sum(px) AS total
+  FROM lumas
+),
+hashes AS (
+  SELECT media_id,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 33] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_hi,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 1] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo
+  FROM blocks
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+
+
+@query("z2_image_ahash_near_dup", oracle=_AHASH_ORACLE)
+def z2_image_ahash_near_dup(spark, sf_dir):
+    """Perceptual image near-duplicate detection through the REAL PNG
+    codec: every third document's bytes become a 16x16 image, a
+    retouched copy (first character upper-cased — a ≤32-luma dent in
+    a handful of pixels) is planted beside it, and pairs are found by
+    average-hash signatures within Hamming distance 3.
+
+    The Spark path exercises the production pipeline end-to-end —
+    zlib/Paeth PNG encode, the stdlib decode path, BT.601 luma, 8x8
+    integer block-mean hash (`ext/multimodal.text_png_ahash`), then a
+    pigeonhole-banded self-join on 16-bit hash quarters
+    (`ahash_near_dup_pairs`) so candidates never come from an
+    all-pairs scan. The DuckDB oracle replays the hash with pure byte
+    arithmetic on the text (PNG is lossless; the hash is all-integer,
+    so equality is exact) and verifies pairs with a brute-force
+    Hamming join — banding is provably lossless at distance <= 3
+    (4 bands x 16 bits: 3 flipped bits cannot touch all 4 bands), so
+    the two pair sets must match exactly."""
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    orig = d.select(F.col("doc_id").alias("media_id"), "text")
+    retouched = d.select(
+        (F.col("doc_id") + 10000000).alias("media_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    hashes = mm.text_png_ahash(orig.unionAll(retouched))
+    return mm.ahash_near_dup_pairs(hashes, max_distance=3).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )

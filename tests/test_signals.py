@@ -148,3 +148,71 @@ def test_logreg_margin_is_fixed_order_fold(spark):
     assert sorted(r["margin"] for r in one.collect()) == sorted(
         r["margin"] for r in many.collect()
     )
+
+
+# ---------------------------------------------------------------- ahash
+
+
+def test_ahash_identical_images_pair_at_distance_zero(spark):
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, "ZZZZ completely different content 0123456789 " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "text"])
+    hashes = mm.text_png_ahash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in mm.ahash_near_dup_pairs(hashes, max_distance=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ahash_halves_are_unsigned_32bit(spark):
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(i, f"text payload number {i} with some variety " * 3)
+         for i in range(20)],
+        ["media_id", "text"],
+    )
+    for r in mm.text_png_ahash(df).collect():
+        assert 0 <= r["h_hi"] < 2**32
+        assert 0 <= r["h_lo"] < 2**32
+
+
+def test_ahash_banding_is_lossless_at_distance_3(spark):
+    # brute-force all pairs vs banded pairs on a corpus with planted
+    # 1-3 bit perturbations: sets must be identical (pigeonhole)
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+    from sftp_data_ingestion_spark.ext.dedup import hamming64
+
+    df = spark.createDataFrame(
+        [(i, ("word%d " % (i // 2)) * 40) for i in range(30)],
+        ["media_id", "text"],
+    )
+    hashes = mm.text_png_ahash(df).cache()
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in mm.ahash_near_dup_pairs(hashes, max_distance=3).collect()
+    }
+    a, b = hashes.alias("a"), hashes.alias("b")
+    dist = hamming64(F.col("a.h_hi"), F.col("b.h_hi")) + hamming64(
+        F.col("a.h_lo"), F.col("b.h_lo")
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    hashes.unpersist()

@@ -466,3 +466,33 @@ def test_rag_retrieval_scoring_stays_jvm_side(spark):
     p = plan(df)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_logreg_score_is_map_only_codegen(spark):
+    """Linear quality scoring must stay a shuffle-free, UDF-free map
+    pass — the whole point of a 100 TB-rate quality gate."""
+    df = q.QUERIES["z2_quality_logreg_score"](spark, SF)
+    p = plan(df)
+    assert n_exchanges(p) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # "*(1)" prefix = whole-stage-codegen stage 1 in executedPlan text
+    assert "*(1) Project" in p
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    """The count-min probe joins the depth*width-row sketch — always
+    broadcast; the probe side must never shuffle for the join."""
+    df = q.QUERIES["z2_cms_heavy_hitters"](spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_ahash_pairs_join_is_banded_equi_join(spark):
+    """aHash near-dup candidates come from an equi-join on
+    (band_idx, band_val) — never a nested-loop all-pairs scan."""
+    df = q.QUERIES["z2_image_ahash_near_dup"](spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band_idx" in p and "band_val" in p

@@ -282,3 +282,53 @@ def z2_image_ahash_near_dup(spark, sf_dir):
     return mm.ahash_near_dup_pairs(hashes, max_distance=3).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "z2_unigram_cross_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts)
+SELECT doc_id,
+       round(AVG(-ln(cnt / (SELECT total FROM total))), 6) AS xent,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks JOIN counts USING (tok)
+GROUP BY doc_id
+""",
+)
+def z2_unigram_cross_entropy(spark, sf_dir):
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet-style perplexity filter that ranks documents by how
+    "language-like" they are (gibberish and boilerplate land in the
+    tails). Three stages, each the scale-correct shape: token counts
+    by one map-side-combined groupBy; the corpus total as a one-row
+    aggregate broadcast into the probability expression; a
+    tokens⋈vocabulary shuffle join (the vocabulary of a 100 TB corpus
+    is NOT broadcastable — this is deliberately a shuffle join, with
+    AQE free to demote it when the vocab is small) and a final
+    per-doc average. -ln(p) is computed identically in both engines
+    (exact IEEE division, libm log within 1 ulp); the 6 dp round
+    absorbs both log rounding and partial-sum order (~1e-13 worst
+    case, 7 orders of magnitude inside the tolerance)."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    neg_log_p = -F.log(F.col("cnt") / F.col("total"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(neg_log_p), 6).alias("xent"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -32,7 +32,11 @@ _KEY_MOD = 1000003  # prime; bounds products far below 2^63
 
 def cms_col(key: Column, prime: int, width: int) -> Column:
     """Row-``prime``'s column index for ``key`` — portable integer
-    arithmetic, identical in any engine with 64-bit ints."""
+    arithmetic, identical in any engine with 64-bit ints. Negative
+    keys map to negative "columns": both Spark and DuckDB keep the
+    dividend's sign for ``%``, so the buckets stay consistent across
+    engines (they are hash buckets, not array offsets — a negative
+    label is as good as a positive one)."""
     return ((key % _KEY_MOD) * F.lit(prime)) % F.lit(2**31) % F.lit(width)
 
 

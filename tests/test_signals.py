@@ -216,3 +216,60 @@ def test_ahash_banding_is_lossless_at_distance_3(spark):
     }
     assert banded == brute
     hashes.unpersist()
+
+
+# ----------------------------------------------------- property tests
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_cms_one_sided_error_property(spark, keys):
+    """CMS guarantee: estimate >= exact count for EVERY key, for any
+    multiset (one batched frame per example)."""
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sketch = cms_build(df, "k", width=8, depth=3)
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", width=8, depth=3
+        ).collect()
+    }
+    exact: dict[int, int] = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_model_property(spark, raw_edges):
+    """PageRank equals the driver-side model on arbitrary bidirected
+    graphs (self-loops dropped, duplicates collapsed)."""
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    edges = sorted(set(edges) | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    want = _pagerank_model(edges, iterations=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)

@@ -748,3 +748,67 @@ def neardup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated n-gram spans: substring-level dedup signal
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_repeats: int = 5,
+) -> DataFrame:
+    """Token-span detection for corpus-wide repeated n-grams — the
+    practical Spark shape of substring-level training-data dedup
+    (Lee et al. 2021 use a suffix array; the n-gram/position
+    formulation below finds the same boilerplate mass with only
+    groupBy/join/window primitives and is the standard
+    map-reduce-friendly approximation).
+
+    Returns ``(id, span_start, span_end, n_grams)``: maximal merged
+    token spans ``[span_start, span_end)`` in which EVERY position
+    starts an n-gram occurring >= ``min_repeats`` times corpus-wide.
+
+    Scale shape: positions shuffle once, keyed by the n-gram's md5
+    (fixed 32-byte key — shingle TEXT never crosses the wire); the
+    surviving repeated-gram set is corpus-boilerplate-sized, so the
+    flag-back join broadcasts it; span merging is one gaps-and-
+    islands window per document partition. Nothing is all-pairs and
+    no stage's width depends on document length beyond the initial
+    per-doc shingle explode (bounded by token count, the same cost
+    as any shingling pass in this module)."""
+    a = F.split(F.col(text_col), " ")
+    seq = F.sequence(F.lit(0), F.size(a) - n)
+    grams = F.transform(
+        seq, lambda i: F.md5(F.array_join(F.slice(a, i + 1, n), " "))
+    )
+    sh = (
+        docs.where(F.size(a) >= n)
+        .select(id_col, F.posexplode(grams).alias("pos", "g"))
+    )
+    counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    rep = counts.where(F.col("c") >= min_repeats).select("g")
+    flagged = sh.join(F.broadcast(rep), "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn(
+        "flag",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + n),
+            1,
+        ).otherwise(0),
+    )
+    grp = isl.withColumn("island", F.sum("flag").over(w))
+    return (
+        grp.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("island")
+    )

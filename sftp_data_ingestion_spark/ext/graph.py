@@ -35,6 +35,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)``
     for every node that appears as a source or destination.
@@ -51,11 +52,27 @@ def pagerank(
     standard curation-pipeline setting) — fixed count keeps the
     result deterministic and the oracle expressible as K unrolled
     SQL CTEs.
+
+    ``weight_col`` makes the walk weighted: a step leaves ``src``
+    along each edge with probability ``w / sum(w over src's edges)``
+    (e.g. purchase counts, link multiplicity). Unweighted is the
+    ``w = 1.0`` special case and is arithmetically identical to the
+    count-based form (``rank * 1.0 / deg`` is bit-equal to
+    ``rank / deg``), so the unweighted oracle generator below stays
+    exact; the weighted path is verified against the driver-side
+    model in ``tests/test_signals.py``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # out-degree rides along each edge row so the per-iteration join
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    # out-strength rides along each edge row so the per-iteration join
     # is edges-to-ranks only (degree never re-joins inside the loop).
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     e = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select("src").withColumnsRenamed({"src": "node"})
@@ -71,7 +88,9 @@ def pagerank(
             e.join(ranks, e.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias(
+                    "contrib"
+                ),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("contrib"))

@@ -332,3 +332,69 @@ def z2_unigram_cross_entropy(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+_BOILER = (
+    "all rights reserved contact us for more information "
+    "subscribe to our newsletter"
+)
+
+
+@query(
+    "z2_repeated_ngram_spans",
+    oracle=f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, '{_BOILER} ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM docs2),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(len(a) - 7), i ->
+      {{'pos': i, 'g': md5(array_to_string(a[i+1:i+8], ' '))}}),
+    recursive := true)
+  FROM arrs WHERE len(a) >= 8
+),
+counts AS (SELECT g, COUNT(*) AS c FROM sh GROUP BY g),
+rep AS (SELECT g FROM counts WHERE c >= 5),
+flagged AS (SELECT doc_id, pos FROM sh JOIN rep USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+              THEN 1 ELSE 0 END AS flag
+  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, island
+""",
+)
+def z2_repeated_ngram_spans(spark, sf_dir):
+    """Substring-level dedup signal: maximal token spans whose every
+    position starts an 8-gram repeated >= 5 times corpus-wide — the
+    boilerplate detector of Lee et al.-style training-data dedup, in
+    its shuffle-friendly n-gram/position form
+    (`ext/dedup.repeated_ngram_spans`). A 12-token boilerplate banner
+    is planted onto every fifth document (100 copies), so the spans
+    must pin exactly its interior 8-grams ([0, 12), 5 grams) on each
+    planted doc; organic repeats in the fixture are graded
+    identically by both engines. Scale: positions shuffle once keyed
+    by gram md5 (shingle text never crosses the wire), the repeated
+    set broadcasts back, and span merging is one gaps-and-islands
+    window per doc."""
+    from sftp_data_ingestion_spark.ext.dedup import repeated_ngram_spans
+
+    d = table(spark, sf_dir, "documents")
+    planted = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.lit(_BOILER + " "), F.col("text")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(planted)
+    return repeated_ngram_spans(corpus, n=8, min_repeats=5)

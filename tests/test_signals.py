@@ -273,3 +273,47 @@ def test_pagerank_matches_model_property(spark, raw_edges):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_weighted_pagerank_matches_model(spark):
+    # weighted walk: heavier edges carry proportionally more rank
+    edges = [
+        (1, 2, 3.0), (2, 1, 1.0), (1, 3, 1.0), (3, 1, 1.0),
+        (2, 3, 2.0), (3, 2, 2.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=6, weight_col="w").collect()
+    }
+    # driver-side weighted model
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    strength = {}
+    for a, _, w in edges:
+        strength[a] = strength.get(a, 0.0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b, w in edges:
+            contrib[b] += r[a] * w / strength[a]
+        r = {v: 0.15 / n + 0.85 * contrib[v] for v in nodes}
+    for v in r:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+    # edge 1->2 is 3x heavier than 1->3: node 2 must outrank node 3
+    assert got[2] > got[3]
+
+
+def test_repeated_ngram_spans_merges_adjacent_and_pins_boilerplate(spark):
+    from sftp_data_ingestion_spark.ext.dedup import repeated_ngram_spans
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"  # 10 tokens
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(6)]
+    rows.append((100, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = repeated_ngram_spans(df, n=8, min_repeats=5).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+           for r in spans}
+    # 10-token boilerplate: interior 8-grams at pos 0..2 repeat 6x ->
+    # one merged span [0, 10) with 3 grams, on each of the 6 docs
+    assert got == {(i, 0, 10, 3) for i in range(6)}

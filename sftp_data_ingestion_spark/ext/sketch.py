@@ -40,21 +40,32 @@ def cms_col(key: Column, prime: int, width: int) -> Column:
     return ((key % _KEY_MOD) * F.lit(prime)) % F.lit(2**31) % F.lit(width)
 
 
-def cms_build(
+def cms_cells(
     df: DataFrame, key_col: str, width: int = 64, depth: int = 4
 ) -> DataFrame:
-    """Build the sketch: ``(row, col, cnt)`` with one occurrence
-    counted per input row. One shuffle of <= depth*width rows per
-    map partition (map-side combine does the heavy reduction)."""
+    """One ``(row, col)`` cell per key occurrence per hash row — the
+    pre-aggregation form. This is what a streaming maintainer feeds
+    its per-batch partial count (see ``st_stream_cms_topk``); batch
+    callers want :func:`cms_build`, which reduces it."""
     if depth > len(CMS_PRIMES):
         raise ValueError(f"depth <= {len(CMS_PRIMES)} supported")
     key = F.col(key_col)
     cells = F.array(
         *[cms_col(key, p, width) for p in CMS_PRIMES[:depth]]
     )
+    return df.where(key.isNotNull()).select(
+        F.posexplode(cells).alias("row", "col")
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: ``(row, col, cnt)`` with one occurrence
+    counted per input row. One shuffle of <= depth*width rows per
+    map partition (map-side combine does the heavy reduction)."""
     return (
-        df.where(key.isNotNull())
-        .select(F.posexplode(cells).alias("row", "col"))
+        cms_cells(df, key_col, width, depth)
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -83,3 +94,8 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def cms_col_sql(key_expr: str, prime: int, width: int) -> str:
+    """The ANSI-SQL twin of :func:`cms_col`, for building oracles."""
+    return f"((({key_expr} % {_KEY_MOD}) * {prime}) % {2**31}) % {width}"

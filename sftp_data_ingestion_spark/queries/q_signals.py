@@ -23,6 +23,7 @@ from sftp_data_ingestion_spark.ext.graph import pagerank, pagerank_oracle_sql
 from sftp_data_ingestion_spark.ext.sketch import (
     CMS_PRIMES,
     cms_build,
+    cms_col_sql,
     cms_estimate,
 )
 from sftp_data_ingestion_spark.queries.registry import query, table
@@ -74,20 +75,14 @@ def z2_pagerank_purchase_graph(spark, sf_dir):
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
-def _cms_col_sql(key_expr: str, prime: int, width: int) -> str:
-    return (
-        f"((({key_expr} % 1000003) * {prime}) % {2**31}) % {width}"
-    )
-
-
 _CMS_WIDTH, _CMS_DEPTH = 64, 4
 _CMS_HASH_ROWS = " UNION ALL ".join(
-    f"SELECT {i} AS row, {_cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
+    f"SELECT {i} AS row, {cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
     " user_id FROM evt"
     for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
 )
 _CMS_PROBE_ROWS = " UNION ALL ".join(
-    f"SELECT {i} AS row, {_cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
+    f"SELECT {i} AS row, {cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
     " user_id, exact_cnt FROM top20"
     for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
 )

@@ -223,3 +223,105 @@ def st_stream_dedup_keys(spark, sf_dir):
         _events_stream(spark, sf_dir), ["user_id", "event_type"]
     )
     return _drain(stream, "st_dedup", "append").select("user_id", "event_type")
+
+
+def _cms_topk_oracle() -> str:
+    from sftp_data_ingestion_spark.ext.sketch import CMS_PRIMES, cms_col_sql
+
+    width, depth = 64, 4
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_col_sql('user_id', p, width)} AS col,"
+        " user_id FROM evt"
+        for i, p in enumerate(CMS_PRIMES[:depth])
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_col_sql('user_id', p, width)} AS col,"
+        " user_id, exact_cnt FROM top20"
+        for i, p in enumerate(CMS_PRIMES[:depth])
+    )
+    return f"""
+WITH evt AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hashed AS ({hash_rows}),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM hashed GROUP BY row, col),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM evt GROUP BY user_id),
+top20 AS (
+  SELECT user_id, exact_cnt FROM (
+    SELECT user_id, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rn
+    FROM exact
+  ) WHERE rn <= 20
+),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.user_id, MIN(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.exact_cnt, e.cms_est
+FROM top20 t JOIN est e ON t.user_id = e.user_id
+"""
+
+
+@query("st_stream_cms_topk", oracle=_cms_topk_oracle())
+def st_stream_cms_topk(spark, sf_dir):
+    """Continuously-maintained count-min sketch: the events fixture
+    arrives as four files drained one per trigger; INSIDE each
+    micro-batch the per-occurrence (row, col) cells are derived
+    (``stream_mv_merge``'s transform hook) and partial-counted, then
+    merged additively into the parquet sketch state with the batch-id
+    replay guard. A CMS is a pure sum-monoid, so the drained state
+    must equal the batch-built sketch cell for cell — which the
+    oracle rebuilds from scratch — proving sketch mergeability across
+    real micro-batch boundaries (the property that lets 1000
+    executors maintain one bounded-size sketch forever). Estimates
+    for the exact top-20 users are probed from the final 256-row
+    state."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.ext.sketch import cms_cells, cms_estimate
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    width, depth = 64, 4
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    chunk_dir = tempfile.mkdtemp(prefix="cms_chunks_")
+    e.repartition(4).write.mode("overwrite").parquet(chunk_dir)
+    state_path = tempfile.mkdtemp(prefix="cms_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        q = st.stream_mv_merge(
+            spark,
+            chunk_dir,
+            state_path,
+            ckpt,
+            keys=["row", "col"],
+            specs={"cnt": ("count", "row")},
+            max_files_per_trigger=1,
+            # one (row, col) cell per occurrence; the MV partial-agg
+            # counts them per batch and the merge adds across batches
+            transform=lambda df: cms_cells(df, "user_id", width, depth),
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(key, prev)
+    sketch = spark.read.parquet(state_path).select("row", "col", "cnt")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    top20 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    est = cms_estimate(sketch, top20, "user_id", width=width, depth=depth)
+    return top20.join(est, "user_id").select(
+        "user_id", "exact_cnt", "cms_est"
+    )

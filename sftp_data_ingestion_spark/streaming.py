@@ -331,6 +331,7 @@ def stream_mv_merge(
     specs: dict,
     schema=None,
     max_files_per_trigger: int = 100,
+    transform=None,
 ):
     """Continuous materialized-view maintenance: each micro-batch is
     partial-aggregated alone and merged into the parquet MV state via
@@ -358,6 +359,11 @@ def stream_mv_merge(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            # per-batch derivation (e.g. sketch hashing) runs INSIDE
+            # the micro-batch, before the partial aggregate — the
+            # arriving files stay raw
+            batch_df = transform(batch_df)
         mv_merge_batch(batch_df, batch_id, state_path, keys, specs)
 
     return (

@@ -317,3 +317,29 @@ def test_repeated_ngram_spans_merges_adjacent_and_pins_boilerplate(spark):
     # 10-token boilerplate: interior 8-grams at pos 0..2 repeat 6x ->
     # one merged span [0, 10) with 3 grams, on each of the 6 docs
     assert got == {(i, 0, 10, 3) for i in range(6)}
+
+
+def test_cms_partial_grids_merge_to_batch_sketch(spark):
+    """Sum-monoid property: per-chunk partial grids added cell-wise
+    equal the sketch built over the whole input — the invariant the
+    streaming maintainer (st_stream_cms_topk) relies on."""
+    from sftp_data_ingestion_spark.ext.sketch import cms_build, cms_cells
+
+    rows = [(i % 37,) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k"])
+    half1 = df.where(F.col("k") % 2 == 0)
+    half2 = df.where(F.col("k") % 2 == 1)
+    merged = (
+        cms_cells(half1, "k", 32, 4)
+        .groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+        .unionAll(
+            cms_cells(half2, "k", 32, 4)
+            .groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch = cms_build(df, "k", 32, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

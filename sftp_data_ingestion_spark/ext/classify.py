@@ -82,6 +82,8 @@ def fit_logreg(
     w = [0.0] * len(feats)
     b = 0.0
     n = df.count()
+    if n == 0:
+        raise ValueError("fit_logreg: empty training frame")
     losses: list[float] = []
     eps = 1e-12
     for _ in range(iterations):

@@ -81,6 +81,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one scalar to the driver; folds into literals
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

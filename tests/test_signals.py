@@ -343,3 +343,14 @@ def test_cms_partial_grids_merge_to_batch_sketch(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_empty_inputs_raise_clear_errors(spark):
+    from sftp_data_ingestion_spark.ext.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty)
+    empty_docs = spark.createDataFrame([], "f double, label int")
+    with pytest.raises(ValueError, match="empty training frame"):
+        fit_logreg(empty_docs, ["f"], "label", iterations=1)

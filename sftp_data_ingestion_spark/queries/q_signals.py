@@ -1,15 +1,22 @@
-"""Corpus quality-signal queries: graph rank, sketch counts, linear
-quality scoring.
+"""Corpus quality-signal queries — the signals a crawl-scale
+pretraining pipeline attaches to documents before curation:
 
-The three signals a crawl-scale pretraining pipeline attaches to
-every document before curation: a link-graph quality prior
-(PageRank over the domain graph — here the customer↔supplier
-purchase graph stands in as the bipartite link structure), an
-approximate heavy-hitter count from a mergeable count-min sketch
-(the bounded-memory answer when the key space is unbounded), and a
-fastText-style linear quality score (one codegen map pass, no
-shuffle). No reference equivalent — extension surface.
+- ``z2_pagerank_purchase_graph`` — link-graph quality prior
+  (PageRank; the customer↔supplier purchase graph stands in for the
+  bipartite link structure)
+- ``z2_cms_heavy_hitters`` — mergeable count-min sketch counts (the
+  bounded-memory answer when the key space is unbounded; the
+  streaming-maintained twin ``st_stream_cms_topk`` lives in
+  q_streaming inside the driver window)
+- ``z2_quality_logreg_score`` — fastText-style linear quality gate
+  (one codegen map pass, no shuffle)
+- ``z2_image_ahash_near_dup`` — perceptual image near-dup through
+  the real PNG codec
+- ``z2_unigram_cross_entropy`` — CCNet-style LM perplexity filter
+- ``z2_repeated_ngram_spans`` — substring-level boilerplate dedup
+  (Lee et al. shape)
 
+No reference equivalent — extension surface.
 Registered LAST (queries/__init__.py ordering policy).
 """
 

@@ -78,16 +78,19 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
+        con = None
         try:
             con = fresh_con()
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
-            con.close()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             n_fail += 1
             continue
+        finally:
+            if con is not None:
+                con.close()  # close on failure too, not just success
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")

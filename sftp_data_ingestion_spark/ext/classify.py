@@ -77,13 +77,21 @@ def fit_logreg(
     k-means centroid update. The input should be cached by the caller
     if it is the output of an expensive pipeline; the loop itself adds
     no lineage (weights are literals, the plan depth is constant)."""
+    # NULL features/labels would drop out of F.sum while still being
+    # counted in n — every gradient silently scaled by the wrong
+    # denominator (and an all-NULL column crashes the update). Train
+    # on complete rows only, and size n to what the sums actually see.
+    df = df.na.drop(subset=[*feature_cols, label_col])
     feats = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
     w = [0.0] * len(feats)
     b = 0.0
     n = df.count()
     if n == 0:
-        raise ValueError("fit_logreg: empty training frame")
+        raise ValueError(
+            "fit_logreg: empty training frame (after dropping rows "
+            "with NULL features/labels)"
+        )
     losses: list[float] = []
     eps = 1e-12
     for _ in range(iterations):

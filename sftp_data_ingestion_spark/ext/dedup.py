@@ -770,8 +770,15 @@ def repeated_ngram_spans(
     map-reduce-friendly approximation).
 
     Returns ``(id, span_start, span_end, n_grams)``: maximal merged
-    token spans ``[span_start, span_end)`` in which EVERY position
-    starts an n-gram occurring >= ``min_repeats`` times corpus-wide.
+    token spans ``[span_start, span_end)`` such that every token in
+    the span is COVERED by at least one n-gram occurring >=
+    ``min_repeats`` times corpus-wide, and ``n_grams`` counts the
+    flagged start positions. (Positions merge into one island when
+    their n-gram windows overlap or touch — ``pos <= prev + n`` — so
+    interior positions need not each START a repeated gram; coverage,
+    not start-density, is the invariant. Callers trimming
+    "boilerplate spans" should treat the span as repeated-CONTENT
+    extent, not as a guarantee that every suffix inside it repeats.)
 
     Scale shape: positions shuffle once, keyed by the n-gram's md5
     (fixed 32-byte key — shingle TEXT never crosses the wire); the

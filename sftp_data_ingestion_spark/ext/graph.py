@@ -70,6 +70,16 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    if weight_col is not None:
+        # NULL or negative weights would silently propagate NaN/null
+        # ranks through every superstep; zero-weight edges are "no
+        # edge" and are dropped so no src can have zero out-strength.
+        bad = e.where(F.col("w").isNull() | (F.col("w") < 0)).count()
+        if bad:
+            raise ValueError(
+                f"pagerank: {bad} edge(s) with NULL/negative weight"
+            )
+        e = e.where(F.col("w") > 0)
     # out-strength rides along each edge row so the per-iteration join
     # is edges-to-ranks only (degree never re-joins inside the loop).
     deg = e.groupBy("src").agg(F.sum("w").alias("deg"))

@@ -81,7 +81,13 @@ def cms_estimate(
     """Point-estimate each key in ``keys`` against ``sketch``:
     min over the depth row counters. The sketch side is depth*width
     rows — always broadcast — so the probe never shuffles. Estimates
-    are >= the true count by construction (one-sided error)."""
+    are >= the true count by construction (one-sided error).
+
+    The sketch is stored sparsely (empty cells have no row), so the
+    probe LEFT-joins and treats an absent cell as 0 — a key the
+    sketch never saw estimates 0, the canonical CMS answer for the
+    membership/frequency-filter use case (an inner join would either
+    drop such keys or, worse, min only over their colliding cells)."""
     key = F.col(key_col)
     probes = keys.select(
         key_col,
@@ -90,12 +96,62 @@ def cms_estimate(
         ).alias("row", "col"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "col"])
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
 def cms_col_sql(key_expr: str, prime: int, width: int) -> str:
     """The ANSI-SQL twin of :func:`cms_col`, for building oracles."""
     return f"((({key_expr} % {_KEY_MOD}) * {prime}) % {2**31}) % {width}"
+
+
+def cms_topk_oracle_sql(
+    key: str = "user_id",
+    source: str = "SELECT user_id FROM events WHERE user_id IS NOT NULL",
+    width: int = 64,
+    depth: int = 4,
+    k: int = 20,
+    include_overestimate: bool = False,
+) -> str:
+    """One oracle builder for every CMS top-k grading query (batch
+    ``z2_cms_heavy_hitters`` and streaming ``st_stream_cms_topk``
+    share it), so the hashing scheme, width/depth, and tie-break can
+    never drift between the batch and streaming oracles."""
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_col_sql(key, p, width)} AS col,"
+        f" {key} FROM evt"
+        for i, p in enumerate(CMS_PRIMES[:depth])
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cms_col_sql(key, p, width)} AS col,"
+        f" {key}, exact_cnt FROM topk"
+        for i, p in enumerate(CMS_PRIMES[:depth])
+    )
+    over = (
+        f",\n       e.cms_est >= t.exact_cnt AS overestimate"
+        if include_overestimate
+        else ""
+    )
+    return f"""
+WITH evt AS ({source}),
+hashed AS ({hash_rows}),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM hashed GROUP BY row, col),
+exact AS (SELECT {key}, COUNT(*) AS exact_cnt FROM evt GROUP BY {key}),
+topk AS (
+  SELECT {key}, exact_cnt FROM (
+    SELECT {key}, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, {key}) AS rn
+    FROM exact
+  ) WHERE rn <= {k}
+),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.{key}, MIN(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
+  GROUP BY p.{key}
+)
+SELECT t.{key}, t.exact_cnt, e.cms_est{over}
+FROM topk t JOIN est e ON t.{key} = e.{key}
+"""

@@ -28,10 +28,9 @@ from pyspark.sql import functions as F
 from sftp_data_ingestion_spark.ext.classify import logreg_margin
 from sftp_data_ingestion_spark.ext.graph import pagerank, pagerank_oracle_sql
 from sftp_data_ingestion_spark.ext.sketch import (
-    CMS_PRIMES,
     cms_build,
-    cms_col_sql,
     cms_estimate,
+    cms_topk_oracle_sql,
 )
 from sftp_data_ingestion_spark.queries.registry import query, table
 
@@ -83,42 +82,13 @@ def z2_pagerank_purchase_graph(spark, sf_dir):
 
 
 _CMS_WIDTH, _CMS_DEPTH = 64, 4
-_CMS_HASH_ROWS = " UNION ALL ".join(
-    f"SELECT {i} AS row, {cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
-    " user_id FROM evt"
-    for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
-)
-_CMS_PROBE_ROWS = " UNION ALL ".join(
-    f"SELECT {i} AS row, {cms_col_sql('user_id', p, _CMS_WIDTH)} AS col,"
-    " user_id, exact_cnt FROM top20"
-    for i, p in enumerate(CMS_PRIMES[:_CMS_DEPTH])
-)
 
 
 @query(
     "z2_cms_heavy_hitters",
-    oracle=f"""
-WITH evt AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
-hashed AS ({_CMS_HASH_ROWS}),
-sketch AS (SELECT row, col, COUNT(*) AS cnt FROM hashed GROUP BY row, col),
-exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM evt GROUP BY user_id),
-top20 AS (
-  SELECT user_id, exact_cnt FROM (
-    SELECT user_id, exact_cnt,
-           row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rn
-    FROM exact
-  ) WHERE rn <= 20
-),
-probes AS ({_CMS_PROBE_ROWS}),
-est AS (
-  SELECT p.user_id, MIN(s.cnt) AS cms_est
-  FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
-  GROUP BY p.user_id
-)
-SELECT t.user_id, t.exact_cnt, e.cms_est,
-       e.cms_est >= t.exact_cnt AS overestimate
-FROM top20 t JOIN est e ON t.user_id = e.user_id
-""",
+    oracle=cms_topk_oracle_sql(
+        width=_CMS_WIDTH, depth=_CMS_DEPTH, include_overestimate=True
+    ),
 )
 def z2_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch (depth 4 × width 64) over event user activity,
@@ -379,8 +349,9 @@ FROM grp GROUP BY doc_id, island
 """,
 )
 def z2_repeated_ngram_spans(spark, sf_dir):
-    """Substring-level dedup signal: maximal token spans whose every
-    position starts an 8-gram repeated >= 5 times corpus-wide — the
+    """Substring-level dedup signal: maximal token spans covered by
+    8-grams repeated >= 5 times corpus-wide (overlapping-or-touching
+    windows merge; see `ext/dedup.repeated_ngram_spans`) — the
     boilerplate detector of Lee et al.-style training-data dedup, in
     its shuffle-friendly n-gram/position form
     (`ext/dedup.repeated_ngram_spans`). A 12-token boilerplate banner

@@ -226,40 +226,9 @@ def st_stream_dedup_keys(spark, sf_dir):
 
 
 def _cms_topk_oracle() -> str:
-    from sftp_data_ingestion_spark.ext.sketch import CMS_PRIMES, cms_col_sql
+    from sftp_data_ingestion_spark.ext.sketch import cms_topk_oracle_sql
 
-    width, depth = 64, 4
-    hash_rows = " UNION ALL ".join(
-        f"SELECT {i} AS row, {cms_col_sql('user_id', p, width)} AS col,"
-        " user_id FROM evt"
-        for i, p in enumerate(CMS_PRIMES[:depth])
-    )
-    probe_rows = " UNION ALL ".join(
-        f"SELECT {i} AS row, {cms_col_sql('user_id', p, width)} AS col,"
-        " user_id, exact_cnt FROM top20"
-        for i, p in enumerate(CMS_PRIMES[:depth])
-    )
-    return f"""
-WITH evt AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
-hashed AS ({hash_rows}),
-sketch AS (SELECT row, col, COUNT(*) AS cnt FROM hashed GROUP BY row, col),
-exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM evt GROUP BY user_id),
-top20 AS (
-  SELECT user_id, exact_cnt FROM (
-    SELECT user_id, exact_cnt,
-           row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rn
-    FROM exact
-  ) WHERE rn <= 20
-),
-probes AS ({probe_rows}),
-est AS (
-  SELECT p.user_id, MIN(s.cnt) AS cms_est
-  FROM probes p JOIN sketch s ON p.row = s.row AND p.col = s.col
-  GROUP BY p.user_id
-)
-SELECT t.user_id, t.exact_cnt, e.cms_est
-FROM top20 t JOIN est e ON t.user_id = e.user_id
-"""
+    return cms_topk_oracle_sql(width=64, depth=4)
 
 
 @query("st_stream_cms_topk", oracle=_cms_topk_oracle())

@@ -354,3 +354,48 @@ def test_empty_inputs_raise_clear_errors(spark):
     empty_docs = spark.createDataFrame([], "f double, label int")
     with pytest.raises(ValueError, match="empty training frame"):
         fit_logreg(empty_docs, ["f"], "label", iterations=1)
+
+
+def test_cms_unseen_key_estimates_zero(spark):
+    # sparse sketch: an unseen key whose cells are all empty must
+    # estimate 0, not vanish or min over colliding cells only
+    from sftp_data_ingestion_spark.ext.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(1,)] * 10, ["k"])
+    sketch = cms_build(df, "k", width=1024, depth=4)
+    probe = spark.createDataFrame([(1,), (999999,)], ["k"])
+    est = {r["k"]: r["cms_est"] for r in
+           cms_estimate(sketch, probe, "k", width=1024, depth=4).collect()}
+    assert est[1] == 10
+    assert est[999999] == 0
+
+
+def test_weighted_pagerank_rejects_null_and_negative_weights(spark):
+    from sftp_data_ingestion_spark.ext.graph import pagerank
+
+    bad = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, -3.0)], ["src", "dst", "w"]
+    )
+    with pytest.raises(ValueError, match="NULL/negative weight"):
+        pagerank(bad, weight_col="w")
+    # zero-weight edges are "no edge": must not create a 0-strength src
+    zero = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0), (1, 3, 1.0)],
+        ["src", "dst", "w"],
+    )
+    ranks = pagerank(zero, iterations=3, weight_col="w")
+    assert ranks.where(F.isnan("rank") | F.col("rank").isNull()).count() == 0
+
+
+def test_fit_logreg_drops_null_rows_from_denominator(spark):
+    rows = [(float(i % 2), float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["f", "label"])
+    nulls = spark.createDataFrame(
+        [(None, 1.0), (0.5, None)], "f double, label double"
+    )
+    w_clean, b_clean, _ = fit_logreg(df, ["f"], "label", iterations=5, lr=1.0)
+    w_noisy, b_noisy, _ = fit_logreg(
+        df.unionByName(nulls), ["f"], "label", iterations=5, lr=1.0
+    )
+    assert w_clean == pytest.approx(w_noisy, abs=1e-12)
+    assert b_clean == pytest.approx(b_noisy, abs=1e-12)

@@ -863,3 +863,67 @@ def ahash_near_dup_pairs(
         .distinct()
         .where(F.col("dist") <= max_distance)
     )
+
+
+def text_wav_ahash(
+    docs: DataFrame,
+    id_col: str = "media_id",
+    text_col: str = "text",
+    n_samples: int = 256,
+    n_blocks: int = 64,
+    framerate: int = 8000,
+) -> DataFrame:
+    """Perceptual audio signature through the REAL WAV codec — the
+    audio twin of :func:`text_png_ahash`. Text bytes become int16 PCM
+    (``(byte - 100) * 256``, tiled), round-trip through a real
+    RIFF/WAVE encode/decode, and reduce to a 64-bit energy signature:
+    the samples split into ``n_blocks`` equal blocks, bit b set iff
+    block b's magnitude sum, cross-multiplied to integers
+    (``block_sum * n_blocks > total_sum``), exceeds the global mean.
+    All-integer, so any engine replays it exactly from byte
+    arithmetic; the hash ships as two unsigned 32-bit halves for
+    engines that raise on BIGINT overflow. Pair finding reuses
+    :func:`ahash_near_dup_pairs` (the banded join is signature-
+    agnostic)."""
+    from pyspark.sql import types as T
+
+    blk = n_samples // n_blocks
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("h_hi", T.LongType()),
+            T.StructField("h_lo", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(text: str) -> tuple[int, int]:
+            data = (text or "\x00").encode("utf-8")
+            samples = [
+                (data[i % len(data)] - 100) * 256 for i in range(n_samples)
+            ]
+            wav = encode_wav_pcm16(framerate, samples)
+            fr, back = decode_wav(wav)
+            assert fr == framerate and back == samples
+            mags = [abs(s) for s in back]
+            total = sum(mags)
+            ah = 0
+            for b in range(n_blocks):
+                bs = sum(mags[b * blk : (b + 1) * blk])
+                if bs * n_blocks > total:
+                    ah |= 1 << b
+            return ah >> 32, ah & 0xFFFFFFFF
+
+        for pdf in batches:
+            hashes = [one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "h_hi": [x[0] for x in hashes],
+                    "h_lo": [x[1] for x in hashes],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -15,6 +15,8 @@ pretraining pipeline attaches to documents before curation:
 - ``z2_unigram_cross_entropy`` — CCNet-style LM perplexity filter
 - ``z2_repeated_ngram_spans`` — substring-level boilerplate dedup
   (Lee et al. shape)
+- ``z2_audio_sig_near_dup`` — perceptual audio near-dup through the
+  real WAV codec (block-energy signature)
 
 No reference equivalent — extension surface.
 Registered LAST (queries/__init__.py ordering policy).
@@ -371,3 +373,75 @@ def z2_repeated_ngram_spans(spark, sf_dir):
     )
     corpus = d.select("doc_id", "text").unionAll(planted)
     return repeated_ngram_spans(corpus, n=8, min_repeats=5)
+
+
+_AUDIO_SIG_ORACLE = """
+WITH auds AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 10000000 AS media_id,
+         upper(substr(text, 1, 1)) || substr(text, 2) AS text
+  FROM documents WHERE doc_id % 3 = 1
+),
+mags AS (
+  SELECT media_id,
+    list_transform(range(256), i ->
+      abs((ascii(substr(text, (i % length(text)) + 1, 1)) - 100) * 256)
+    ) AS m
+  FROM auds
+),
+blocks AS (
+  SELECT media_id,
+    list_transform(range(64), b ->
+      m[4*b + 1] + m[4*b + 2] + m[4*b + 3] + m[4*b + 4]) AS bs,
+    list_sum(m) AS total
+  FROM mags
+),
+hashes AS (
+  SELECT media_id,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 33] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_hi,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 1] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo
+  FROM blocks
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+
+
+@query("z2_audio_sig_near_dup", oracle=_AUDIO_SIG_ORACLE)
+def z2_audio_sig_near_dup(spark, sf_dir):
+    """Perceptual AUDIO near-duplicate detection through the real WAV
+    codec — the audio twin of `z2_image_ahash_near_dup`, closing the
+    perceptual-dedup story across both decodable modalities. Every
+    third document's bytes become 256 int16 PCM samples round-tripped
+    through a real RIFF/WAVE encode/decode
+    (`ext/multimodal.text_wav_ahash`), reduced to a 64-bit block-
+    energy signature (all-integer: block magnitude sum vs global
+    mean, cross-multiplied), and a retouched copy (first character
+    upper-cased — a one-sample dent) is planted beside each original.
+    Pairs come from the same pigeonhole-banded self-join as the image
+    path (`ahash_near_dup_pairs` is signature-agnostic); the oracle
+    replays the signature with pure byte arithmetic and brute-force
+    Hamming, which banding provably reproduces at distance <= 3."""
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    orig = d.select(F.col("doc_id").alias("media_id"), "text")
+    retouched = d.select(
+        (F.col("doc_id") + 10000000).alias("media_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    hashes = mm.text_wav_ahash(orig.unionAll(retouched))
+    return mm.ahash_near_dup_pairs(hashes, max_distance=3).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )

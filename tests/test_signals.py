@@ -399,3 +399,21 @@ def test_fit_logreg_drops_null_rows_from_denominator(spark):
     )
     assert w_clean == pytest.approx(w_noisy, abs=1e-12)
     assert b_clean == pytest.approx(b_noisy, abs=1e-12)
+
+
+def test_wav_signature_identical_audio_pairs_at_zero(spark):
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    rows = [
+        (1, "repeat me exactly please " * 8),
+        (2, "repeat me exactly please " * 8),
+        (3, "totally different audio waveform content here " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "text"])
+    hashes = mm.text_wav_ahash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in mm.ahash_near_dup_pairs(hashes, max_distance=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

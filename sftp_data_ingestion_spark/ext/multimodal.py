@@ -675,6 +675,26 @@ def text_png_histogram(
     return docs.select(id_col, text_col).mapInPandas(fn, out_schema)
 
 
+def _text_pcm_roundtrip(
+    text: str, n_samples: int, framerate: int, center: int
+) -> list[int]:
+    """Text bytes -> int16 PCM (``(byte - center) * 256``, tiled to
+    ``n_samples``) through a REAL RIFF/WAVE encode/decode round trip.
+    Shared by :func:`text_wav_stats` (center=100 — keeps ASCII text
+    crossing zero for the zero-crossing stat; callers there document
+    the ASCII precondition) and :func:`text_wav_ahash` (center=128 —
+    total over all 256 byte values: max |(255-128)*256| = 32512 fits
+    int16, so non-ASCII bytes can never overflow the packer)."""
+    data = (text or "\x00").encode("utf-8")
+    samples = [
+        (data[i % len(data)] - center) * 256 for i in range(n_samples)
+    ]
+    wav = encode_wav_pcm16(framerate, samples)
+    fr, back = decode_wav(wav)
+    assert fr == framerate and back == samples
+    return back
+
+
 def text_wav_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -710,13 +730,7 @@ def text_wav_stats(
         import pandas as pd
 
         def one(text: str) -> tuple[int, int, int]:
-            data = (text or "\x00").encode("utf-8")
-            samples = [
-                (data[i % len(data)] - 100) * 256 for i in range(n_samples)
-            ]
-            wav = encode_wav_pcm16(framerate, samples)
-            fr, back = decode_wav(wav)
-            assert fr == framerate and back == samples
+            back = _text_pcm_roundtrip(text, n_samples, framerate, 100)
             sum_abs = sum(abs(s) for s in back)
             peak = max(abs(s) for s in back)
             zc = sum(
@@ -875,7 +889,8 @@ def text_wav_ahash(
 ) -> DataFrame:
     """Perceptual audio signature through the REAL WAV codec — the
     audio twin of :func:`text_png_ahash`. Text bytes become int16 PCM
-    (``(byte - 100) * 256``, tiled), round-trip through a real
+    (``(byte - 128) * 256``, tiled — total over all 256 byte values,
+    unlike the stats kernel's ASCII-centered 100), round-trip through a real
     RIFF/WAVE encode/decode, and reduce to a 64-bit energy signature:
     the samples split into ``n_blocks`` equal blocks, bit b set iff
     block b's magnitude sum, cross-multiplied to integers
@@ -887,6 +902,12 @@ def text_wav_ahash(
     agnostic)."""
     from pyspark.sql import types as T
 
+    if n_samples % n_blocks != 0:
+        raise ValueError(
+            "n_samples must be a multiple of n_blocks (otherwise the "
+            "trailing samples would count in the total but in no block, "
+            "biasing every bit low)"
+        )
     blk = n_samples // n_blocks
     out_schema = T.StructType(
         [
@@ -900,13 +921,8 @@ def text_wav_ahash(
         import pandas as pd
 
         def one(text: str) -> tuple[int, int]:
-            data = (text or "\x00").encode("utf-8")
-            samples = [
-                (data[i % len(data)] - 100) * 256 for i in range(n_samples)
-            ]
-            wav = encode_wav_pcm16(framerate, samples)
-            fr, back = decode_wav(wav)
-            assert fr == framerate and back == samples
+            # center=128: total over every byte value (see helper)
+            back = _text_pcm_roundtrip(text, n_samples, framerate, 128)
             mags = [abs(s) for s in back]
             total = sum(mags)
             ah = 0

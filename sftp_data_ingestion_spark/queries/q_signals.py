@@ -178,11 +178,12 @@ def z2_quality_logreg_score(spark, sf_dir):
 
 _AHASH_ORACLE = """
 WITH imgs AS (
-  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND length(text) > 0
   UNION ALL
   SELECT doc_id + 10000000 AS media_id,
          upper(substr(text, 1, 1)) || substr(text, 2) AS text
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
 ),
 lumas AS (
   SELECT media_id,
@@ -243,7 +244,12 @@ def z2_image_ahash_near_dup(spark, sf_dir):
     the two pair sets must match exactly."""
     from sftp_data_ingestion_spark.ext import multimodal as mm
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    # empty text is excluded in BOTH engines: the oracle's byte
+    # arithmetic tiles with `i % length(text)`, undefined at length 0
+    # (the kernel itself substitutes a NUL byte and stays total)
+    d = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+    )
     orig = d.select(F.col("doc_id").alias("media_id"), "text")
     retouched = d.select(
         (F.col("doc_id") + 10000000).alias("media_id"),
@@ -377,16 +383,17 @@ def z2_repeated_ngram_spans(spark, sf_dir):
 
 _AUDIO_SIG_ORACLE = """
 WITH auds AS (
-  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 1 AND length(text) > 0
   UNION ALL
   SELECT doc_id + 10000000 AS media_id,
          upper(substr(text, 1, 1)) || substr(text, 2) AS text
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
 ),
 mags AS (
   SELECT media_id,
     list_transform(range(256), i ->
-      abs((ascii(substr(text, (i % length(text)) + 1, 1)) - 100) * 256)
+      abs((ascii(substr(text, (i % length(text)) + 1, 1)) - 128) * 256)
     ) AS m
   FROM auds
 ),
@@ -432,7 +439,9 @@ def z2_audio_sig_near_dup(spark, sf_dir):
     Hamming, which banding provably reproduces at distance <= 3."""
     from sftp_data_ingestion_spark.ext import multimodal as mm
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    d = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
+    )
     orig = d.select(F.col("doc_id").alias("media_id"), "text")
     retouched = d.select(
         (F.col("doc_id") + 10000000).alias("media_id"),

@@ -417,3 +417,27 @@ def test_wav_signature_identical_audio_pairs_at_zero(spark):
     }
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_wav_signature_total_over_non_ascii_bytes(spark):
+    # center=128 mapping: every UTF-8 byte (incl. CJK lead bytes
+    # >= 228) stays inside int16 — the kernel must not crash
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "中文 emoji 😀 ÿ " * 10), (2, "中文 emoji 😀 ÿ " * 10)],
+        ["media_id", "text"],
+    )
+    hashes = mm.text_wav_ahash(df)
+    rows = hashes.collect()
+    assert len(rows) == 2
+    pairs = mm.ahash_near_dup_pairs(hashes, max_distance=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_wav_ahash_rejects_uneven_blocks(spark):
+    from sftp_data_ingestion_spark.ext import multimodal as mm
+
+    df = spark.createDataFrame([(1, "x")], ["media_id", "text"])
+    with pytest.raises(ValueError, match="multiple of n_blocks"):
+        mm.text_wav_ahash(df, n_samples=250, n_blocks=64)

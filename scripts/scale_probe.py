@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Scale probe: derive a ~10x dataset from sf0.1 and measure how each
+operator family's wall time scales.
+
+The graded fixtures stop at sf0.1, but the 100 TB question is the
+SLOPE, not any single point: a scan-bound or well-bucketed operator
+should scale ~linearly in input size; anything super-linear at 10x
+has a stage whose width grows faster than the data (the thing that
+kills a 1000-executor job). This script:
+
+1. materializes /tmp/spark_graft_sf1x/: the big tables (lineitem,
+   orders, events, documents, embeddings) unioned 10x with
+   key-offset copies (join keys offset consistently so orders x10
+   joins lineitem x10 exactly; dimension tables copied as-is —
+   dimensions grow slower than facts in every real warehouse);
+2. times a representative query per family at sf0.1 and at the 10x
+   derivation (warm min-of-2 each, same JVM);
+3. prints one JSON line {query: {t_small, t_big, ratio}} for
+   PERFORMANCE.md.
+
+Run: python scripts/scale_probe.py  (takes a few minutes)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark import queries as q
+from sftp_data_ingestion_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/spark_graft_sf1x"
+COPIES = 10
+
+# representative query per operator family (all read only the tables
+# scaled below)
+PROBES = [
+    "g_q1_pricing_summary",       # scan + agg (lineitem)
+    "j_revenue_by_nation",        # multi-join + agg
+    "w1_latest_event_per_user",   # window dedup (events)
+    "a_asof_join_backward",       # union-sort as-of (events)
+    "d_exact_dedup_survivors",    # sha2 + window (documents)
+    "d_minhash_lsh_near_dup",     # LSH banded join (documents)
+    "v_cosine_topk_bruteforce",   # flat-codegen ANN (embeddings)
+    "t_text_stats",               # pure-Column text kernels
+    "z2_cms_heavy_hitters",       # sketch groupBy (events)
+    "z2_unigram_cross_entropy",   # vocab join (documents)
+    "z2_pagerank_purchase_graph", # iterative graph (orders+lineitem)
+    "z2_repeated_ngram_spans",    # shingle explode + islands (docs)
+]
+
+
+def build_10x(spark) -> None:
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    # dims: copy as-is
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    def times10(df, offsets):
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for col, step in offsets.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    okey_step = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    times10(orders, {"o_orderkey": okey_step}).write.parquet(
+        f"{DST}/orders.parquet"
+    )
+    times10(lineitem, {"l_orderkey": okey_step}).write.parquet(
+        f"{DST}/lineitem.parquet"
+    )
+    events = spark.read.parquet(f"{SRC}/events.parquet")
+    ekey_step = events.agg(F.max("event_id")).first()[0] + 1
+    # ts stays put: 10x events in the same time range = denser
+    # streams, the realistic growth mode for event data
+    times10(events, {"event_id": ekey_step}).write.parquet(
+        f"{DST}/events.parquet"
+    )
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    dkey_step = docs.agg(F.max("doc_id")).first()[0] + 1
+    # perturb each copy's text so dedup families see 10x distinct
+    # docs, not 10 exact copies of the corpus (which would explode
+    # LSH buckets quadratically and measure a fixture artifact):
+    # prefix a copy tag token
+    docs10 = []
+    for i in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dkey_step))
+        if i > 0:
+            c = c.withColumn(
+                "text", F.concat(F.lit(f"copytag{i} "), F.col("text"))
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(9 + (i >= 10)))
+        docs10.append(c)
+    out = docs10[0]
+    for p in docs10[1:]:
+        out = out.unionAll(p)
+    out.write.parquet(f"{DST}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vkey_step = emb.agg(F.max("vec_id")).first()[0] + 1
+    times10(emb, {"vec_id": vkey_step}).write.parquet(
+        f"{DST}/embeddings.parquet"
+    )
+
+
+def time_query(spark, name, sf_dir, runs=2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe")
+    build_10x(spark)
+    results = {}
+    for name in PROBES:
+        t_small = time_query(spark, name, SRC)
+        t_big = time_query(spark, name, DST)
+        results[name] = {
+            "t_small": t_small,
+            "t_big": t_big,
+            "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
+        }
+        print(f"# {name}: {t_small}s -> {t_big}s", file=sys.stderr)
+    print(json.dumps({"copies": COPIES, "src": SRC, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -454,3 +454,71 @@ def z2_audio_sig_near_dup(spark, sf_dir):
     return mm.ahash_near_dup_pairs(hashes, max_distance=3).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "z2_token_rle_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_transform(range(len(parts)), i ->
+      {'pos': i, 'tok': parts[i + 1]}),
+    recursive := true)
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS parts
+    FROM documents
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok
+              THEN 1 ELSE 0 END AS new_run
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+runs AS (
+  SELECT doc_id, pos, tok,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+       MIN(tok) AS token, CAST(COUNT(*) AS INTEGER) AS run_len
+FROM runs GROUP BY doc_id, run_id
+""",
+)
+def z2_token_rle_udtf(spark, sf_dir):
+    """Run-length encoding of adjacent repeated tokens through
+    Spark 4's Python UDTF API — the one user-defined surface (scalar
+    UDF / pandas UDF / applyInPandas UDAF / UDTF) the engine had not
+    yet exercised, doing a job that genuinely wants sequential state:
+    stuck-token repetition spans ("a a a a") are a standard
+    generation/OCR artifact a corpus cleaner flags, and the UDTF
+    walks each token stream once, carrying the current run — no
+    window gymnastics, no shuffle (the LATERAL join expands rows
+    in place, Arrow-batched, one Python worker per partition).
+    The DuckDB oracle proves the same result the relational way:
+    gaps-and-islands (lag + running sum + group), so the query also
+    documents the equivalence of the two idioms."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_pos int, token string, run_len int")
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            if not toks:
+                return
+            start, cur = 0, toks[0]
+            for i in range(1, len(toks)):
+                if toks[i] != cur:
+                    yield start, cur, i - start
+                    start, cur = i, toks[i]
+            yield start, cur, len(toks) - start
+
+    spark.udtf.register("token_runs", TokenRuns)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.start_pos, s.token, s.run_len "
+        "FROM udtf_docs d, LATERAL token_runs(d.text) s"
+    )

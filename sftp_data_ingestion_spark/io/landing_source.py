@@ -1,0 +1,99 @@
+"""`landing_text` — a Spark 4 Python DataSource for messy landing
+directories.
+
+The reference engine's ingest stage walks an SFTP landing directory
+of heterogeneous CSVs (mixed encodings, separators, BOMs —
+`/root/reference/python/02_load_stage_pedidos.py`). This engine's
+batch path (`io/csv_robust.py`) already handles that with grouped
+`spark.read` scans, but the per-file encoding sniff runs on the
+DRIVER — at a million files that loop is the bottleneck. This module
+packages the same detection logic as a proper pluggable source:
+
+    spark.dataSource.register(LandingTextDataSource)
+    spark.read.format("landing_text").load("/path/to/landing")
+      -> (path string, line_no bigint, value string)
+
+Scale shape: one `InputPartition` per file, so the query planner
+schedules one task per file across the cluster and EVERYTHING —
+open, BOM strip, UTF-8-vs-Latin-1 detection, decode, line split —
+runs executor-side; the driver only lists the directory. Files with
+different encodings land in ONE DataFrame in one scan (the grouped
+batch reader needs one scan per encoding group). Downstream, the
+same Column-level robust-CSV parse (`csv_robust.parse_lines`)
+applies unchanged.
+
+Detection mirrors `csv_robust.decode_head`/`_is_utf8ish` byte for
+byte: UTF-8 BOM wins, then strict-UTF-8 validity over the whole file
+(the head-sniff ambiguity disappears because the executor holds the
+full bytes), else Latin-1 (which never fails — every byte decodes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_SCHEMA = "path string, line_no bigint, value string"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LandingTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("landing_text: .load(path) is required")
+        self.suffix = options.get("suffix", ".csv")
+
+    def partitions(self):
+        # driver does ONLY this listing; deterministic order (S5)
+        names = sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.endswith(self.suffix)
+            and not n.startswith(".")
+            and os.path.isfile(os.path.join(self.path, n))
+        )
+        return [_FilePartition(os.path.join(self.path, n)) for n in names]
+
+    def read(self, partition):
+        # executor-side: full-file decode with per-file encoding
+        # detection (BOM > strict UTF-8 > Latin-1 fallback)
+        with open(partition.path, "rb") as f:
+            raw = f.read()
+        if raw.startswith(b"\xef\xbb\xbf"):
+            text = raw[3:].decode("utf-8", errors="replace")
+        else:
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                text = raw.decode("latin-1")
+        lines = text.splitlines()
+        for i, line in enumerate(lines):
+            yield (partition.path, i, line)
+
+
+class LandingTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "landing_text"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> LandingTextReader:
+        return LandingTextReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source on a session (idempotent)."""
+    spark.dataSource.register(LandingTextDataSource)

@@ -1,0 +1,68 @@
+"""Tests for the `landing_text` Python DataSource
+(io/landing_source.py): per-file executor-side encoding detection,
+partition-per-file parallelism, mixed encodings in one scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.io import landing_source as ls
+
+
+@pytest.fixture()
+def landing_dir(tmp_path):
+    (tmp_path / "utf8.csv").write_bytes(
+        "id;name\n1;ação\n2;café\n".encode("utf-8")
+    )
+    (tmp_path / "latin1.csv").write_bytes(
+        "id;name\n3;ação\n".encode("latin-1")
+    )
+    (tmp_path / "bom.csv").write_bytes(
+        b"\xef\xbb\xbf" + "id;name\n4;plain\n".encode("utf-8")
+    )
+    (tmp_path / "ignored.txt").write_text("not a csv")
+    (tmp_path / ".hidden.csv").write_text("partial download")
+    return str(tmp_path)
+
+
+def test_mixed_encodings_in_one_scan(spark, landing_dir):
+    ls.register(spark)
+    df = spark.read.format("landing_text").load(landing_dir)
+    rows = df.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    # only *.csv, no hidden/partial files
+    assert set(by_file) == {"utf8.csv", "latin1.csv", "bom.csv"}
+    # accented text decodes correctly from BOTH encodings in ONE scan
+    utf8_vals = [r["value"] for r in sorted(by_file["utf8.csv"], key=lambda r: r["line_no"])]
+    assert utf8_vals == ["id;name", "1;ação", "2;café"]
+    lat_vals = [r["value"] for r in sorted(by_file["latin1.csv"], key=lambda r: r["line_no"])]
+    assert lat_vals == ["id;name", "3;ação"]
+    # BOM is stripped, not leaked into the first header cell
+    bom_vals = [r["value"] for r in sorted(by_file["bom.csv"], key=lambda r: r["line_no"])]
+    assert bom_vals[0] == "id;name"
+
+
+def test_one_task_per_file(spark, landing_dir):
+    ls.register(spark)
+    df = spark.read.format("landing_text").load(landing_dir)
+    # 3 csv files -> 3 planned partitions -> 3 tasks
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_line_numbers_and_lineage_columns(spark, landing_dir):
+    ls.register(spark)
+    df = spark.read.format("landing_text").load(landing_dir)
+    assert df.columns == ["path", "line_no", "value"]
+    n = df.where(F.col("line_no") == 0).count()
+    assert n == 3  # one header line per file
+
+
+def test_missing_path_raises(spark):
+    # the reader is constructed at planning time, which Spark defers
+    # to the first job — so the clear error surfaces on the action
+    ls.register(spark)
+    with pytest.raises(Exception, match="required"):
+        spark.read.format("landing_text").load().collect()

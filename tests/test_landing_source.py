@@ -66,3 +66,48 @@ def test_missing_path_raises(spark):
     ls.register(spark)
     with pytest.raises(Exception, match="required"):
         spark.read.format("landing_text").load().collect()
+
+
+def test_streaming_landing_source_incremental_batches(spark, tmp_path):
+    """The streaming flavor: offset = processed-file ledger. Drain,
+    add a file, drain again — the second micro-batch must contain
+    exactly the new file's lines (the reference's cron 'new files'
+    contract, engine-checkpointed)."""
+    import itertools
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("h\na1\n")
+    (land / "b.csv").write_text("h\nb1\nb2\n")
+    ckpt = str(tmp_path / "ckpt")
+
+    ls.register(spark)
+    name = f"landing_stream_{next(_seq)}"
+    q = (
+        spark.readStream.format("landing_text")
+        .load(str(land))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table(name).collect()
+        assert sorted(r["value"] for r in first) == ["a1", "b1", "b2", "h", "h"]
+
+        (land / "c.csv").write_text("h\nc1\n")
+        q.processAllAvailable()
+        both = spark.table(name).collect()
+        new = sorted(
+            r["value"] for r in both if r["path"].endswith("c.csv")
+        )
+        assert new == ["c1", "h"]
+        # nothing re-delivered: totals are old 5 + new 2
+        assert len(both) == 7
+    finally:
+        q.stop()
+
+
+_seq = __import__("itertools").count()

@@ -536,12 +536,28 @@ def s6_robust_csv_roundtrip(spark, sf_dir):
     conformed frame must contain; every quirk the reader handles is a
     hash mismatch if mishandled."""
     import os
-    import tempfile
 
     from sftp_data_ingestion_spark.io.csv_robust import (
         plan_file,
         read_csv_robust,
     )
+
+    path = write_s6_fixture(spark, sf_dir)
+    conformed = read_csv_robust(spark, plan_file(path))
+    return conformed.select(
+        "id", "data_insercao", "pedido", "data_nfe", "valor_nfe", "peso",
+        "qtd_volumes", "uf", "chave_nfe", "data_ultima_ocr", "status_prazo",
+    )
+
+
+def write_s6_fixture(spark, sf_dir) -> str:
+    """Write the S6 dirty-CSV fixture (quoted separators, ragged rows,
+    blank/;;; noise, BOM header) and return the file path. Shared by
+    the batch-reader round-trip above and the landing_text DataSource
+    round-trip (queries/q_signals.py) so both grade the IDENTICAL
+    file against the IDENTICAL oracle."""
+    import os
+    import tempfile
 
     o = table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
@@ -589,8 +605,4 @@ def s6_robust_csv_roundtrip(spark, sf_dir):
     part = next(
         f for f in sorted(os.listdir(out_dir)) if f.startswith("part-")
     )
-    conformed = read_csv_robust(spark, plan_file(os.path.join(out_dir, part)))
-    return conformed.select(
-        "id", "data_insercao", "pedido", "data_nfe", "valor_nfe", "peso",
-        "qtd_volumes", "uf", "chave_nfe", "data_ultima_ocr", "status_prazo",
-    )
+    return os.path.join(out_dir, part)

@@ -34,7 +34,7 @@ from sftp_data_ingestion_spark.ext.sketch import (
     cms_estimate,
     cms_topk_oracle_sql,
 )
-from sftp_data_ingestion_spark.queries.registry import query, table
+from sftp_data_ingestion_spark.queries.registry import ORACLES, query, table
 
 # customer nodes are even ids, supplier nodes odd — disjoint spaces
 _EDGE_BASE_SQL = (
@@ -522,3 +522,48 @@ def z2_token_rle_udtf(spark, sf_dir):
         "SELECT d.doc_id, s.start_pos, s.token, s.run_len "
         "FROM udtf_docs d, LATERAL token_runs(d.text) s"
     )
+
+
+@query(
+    "z2_landing_source_roundtrip",
+    oracle=None,  # set below: shares s6's oracle verbatim
+)
+def z2_landing_source_roundtrip(spark, sf_dir):
+    """The S6 dirty-CSV fixture read through the PLUGGABLE PYTHON
+    DATASOURCE instead of the grouped batch reader: one planner task
+    per file, executor-side BOM strip + encoding detection
+    (`io/landing_source.py`), then the identical Column-level parse
+    (`csv_robust.parse_lines`) and header conformance. Graded against
+    s6's oracle VERBATIM — same file, same expected rows — so any
+    divergence between the two ingest paths (BOM handling, blank-row
+    filtering, ragged repair) is a hash mismatch. This is the switch
+    a user flips when the driver-side per-file sniff loop becomes the
+    bottleneck; the rest of the pipeline is provably unchanged."""
+    import os
+
+    from sftp_data_ingestion_spark.io import landing_source as ls
+    from sftp_data_ingestion_spark.io.csv_robust import (
+        parse_lines,
+        plan_file,
+    )
+    from sftp_data_ingestion_spark.operators.conform import conform_headers
+    from sftp_data_ingestion_spark.queries.q_pipeline import write_s6_fixture
+
+    path = write_s6_fixture(spark, sf_dir)
+    plan = plan_file(path)  # sep/header contract (driver reads 1 head)
+    ls.register(spark)
+    lines = (
+        spark.read.format("landing_text")
+        .option("suffix", os.path.splitext(path)[1])
+        .load(os.path.dirname(path))
+        .select("value")
+    )
+    raw = parse_lines(lines, plan.sep, plan.header, plan.header_line)
+    return conform_headers(raw).select(
+        "id", "data_insercao", "pedido", "data_nfe", "valor_nfe", "peso",
+        "qtd_volumes", "uf", "chave_nfe", "data_ultima_ocr", "status_prazo",
+    )
+
+
+# same fixture, same expectation: share s6's oracle text verbatim
+ORACLES["z2_landing_source_roundtrip"] = ORACLES["s6_robust_csv_roundtrip"]

@@ -567,3 +567,43 @@ def z2_landing_source_roundtrip(spark, sf_dir):
 
 # same fixture, same expectation: share s6's oracle text verbatim
 ORACLES["z2_landing_source_roundtrip"] = ORACLES["s6_robust_csv_roundtrip"]
+
+
+@query(
+    "z2_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_total,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_max
+FROM events
+WHERE json_valid(props)
+GROUP BY event_type
+""",
+)
+def z2_variant_json(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    `props` parses ONCE into the binary variant encoding
+    (`try_parse_json` — invalid documents become NULL, not errors)
+    and `variant_get` extracts typed fields with path syntax — the
+    engine-native replacement for per-expression `get_json_object`
+    re-parsing (which tokenizes the JSON string once PER extraction;
+    variant decodes once per row and serves every path from the
+    binary form — the difference between O(paths) and O(1) parses on
+    a wide extraction at 100 TB). The oracle aggregates the same
+    fields via DuckDB's JSON functions; the variant path must agree
+    after shredding."""
+    e = table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        e.where(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_total"),
+            F.max(k).alias("k_max"),
+        )
+    )

@@ -97,17 +97,28 @@ def build_10x(spark) -> None:
     )
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     dkey_step = docs.agg(F.max("doc_id")).first()[0] + 1
-    # perturb each copy's text so dedup families see 10x distinct
-    # docs, not 10 exact copies of the corpus (which would explode
-    # LSH buckets quadratically and measure a fixture artifact):
-    # prefix a copy tag token
+    # perturb each copy's text so dedup families see Nx DISTINCT
+    # docs. The tag must touch EVERY shingle: a mere prefix tag
+    # leaves copies sharing ~95% of their shingles (Jaccard ~0.93,
+    # far above near-dup thresholds), so every source doc becomes an
+    # N-clique of true near-dups and the pair count grows as N^2 — a
+    # fixture artifact, not a scaling property. Prefixing every TOKEN
+    # with the copy id gives zero shared shingles across copies, so
+    # LSH work scales with corpus size, not copy-count squared.
     docs10 = []
     for i in range(COPIES):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * dkey_step))
         if i > 0:
-            c = c.withColumn(
-                "text", F.concat(F.lit(f"copytag{i} "), F.col("text"))
-            ).withColumn("n_chars", F.col("n_chars") + F.lit(9 + (i >= 10)))
+            tagged = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit(f"c{i}"), t),
+                ),
+                " ",
+            )
+            c = c.withColumn("text", tagged).withColumn(
+                "n_chars", F.length(tagged)
+            )
         docs10.append(c)
     out = docs10[0]
     for p in docs10[1:]:

@@ -64,11 +64,29 @@ class LandingTextReader(DataSourceReader):
             and not n.startswith(".")
             and os.path.isfile(os.path.join(self.path, n))
         )
+        bad = [n for n in names if "\n" in n]
+        if bad:
+            # the streaming offset encodes the seen set newline-joined;
+            # a newline in a (POSIX-legal) filename would corrupt it
+            # into fragment paths. Reject loudly rather than corrupt.
+            raise ValueError(
+                f"landing_text: filenames containing newlines are not "
+                f"supported: {bad!r}"
+            )
         return [_FilePartition(os.path.join(self.path, n)) for n in names]
 
     def read(self, partition):
         # executor-side: full-file decode with per-file encoding
-        # detection (BOM > strict UTF-8 > Latin-1 fallback)
+        # detection, mirroring the batch path byte for byte
+        # (csv_robust.decode_head / read_lines): BOM > strict UTF-8 >
+        # cp1252-as-delivered-by-the-batch-path (latin-1 + the same
+        # 0x80-0x9F translate table, so smart quotes/dashes in
+        # Windows-encoded files come out identical on both paths)
+        from sftp_data_ingestion_spark.io.csv_robust import (
+            _CP1252_FROM,
+            _CP1252_TO,
+        )
+
         with open(partition.path, "rb") as f:
             raw = f.read()
         if raw.startswith(b"\xef\xbb\xbf"):
@@ -77,8 +95,17 @@ class LandingTextReader(DataSourceReader):
             try:
                 text = raw.decode("utf-8")
             except UnicodeDecodeError:
-                text = raw.decode("latin-1")
-        lines = text.splitlines()
+                text = raw.decode("latin-1").translate(
+                    str.maketrans(_CP1252_FROM, _CP1252_TO)
+                )
+        # record separators exactly as Spark's text/csv line reader:
+        # \r\n, \r, \n ONLY — splitlines() would also split on
+        # NEL/U+2028/U+2029/\f/\v, cutting records the batch path
+        # keeps whole (an in-field U+2028 must stay in the field)
+        norm = text.replace("\r\n", "\n").replace("\r", "\n")
+        lines = norm.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()  # trailing newline is a terminator, not a row
         for i, line in enumerate(lines):
             yield (partition.path, i, line)
 

@@ -535,8 +535,6 @@ def s6_robust_csv_roundtrip(spark, sf_dir):
     sniff + distributed parse). The oracle states what the repaired,
     conformed frame must contain; every quirk the reader handles is a
     hash mismatch if mishandled."""
-    import os
-
     from sftp_data_ingestion_spark.io.csv_robust import (
         plan_file,
         read_csv_robust,

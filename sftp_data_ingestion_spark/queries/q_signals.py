@@ -587,7 +587,9 @@ def z2_variant_json(spark, sf_dir):
     """Semi-structured aggregation through Spark 4's VARIANT type:
     `props` parses ONCE into the binary variant encoding
     (`try_parse_json` — invalid documents become NULL, not errors)
-    and `variant_get` extracts typed fields with path syntax — the
+    and `try_variant_get` extracts typed fields with path syntax
+    (NULL, not error, when a value can't cast — matching the oracle's
+    TRY_CAST) — the
     engine-native replacement for per-expression `get_json_object`
     re-parsing (which tokenizes the JSON string once PER extraction;
     variant decodes once per row and serves every path from the
@@ -597,7 +599,7 @@ def z2_variant_json(spark, sf_dir):
     after shredding."""
     e = table(spark, sf_dir, "events")
     v = F.try_parse_json("props")
-    k = F.variant_get(v, "$.k", "bigint")
+    k = F.try_variant_get(v, "$.k", "bigint")
     return (
         e.where(v.isNotNull())
         .groupBy("event_type")

@@ -4,8 +4,12 @@ partition-per-file parallelism, mixed encodings in one scan."""
 
 from __future__ import annotations
 
+import itertools
+
 import pytest
 from pyspark.sql import functions as F
+
+_seq = itertools.count()
 
 from sftp_data_ingestion_spark.io import landing_source as ls
 
@@ -73,8 +77,6 @@ def test_streaming_landing_source_incremental_batches(spark, tmp_path):
     add a file, drain again — the second micro-batch must contain
     exactly the new file's lines (the reference's cron 'new files'
     contract, engine-checkpointed)."""
-    import itertools
-
     land = tmp_path / "land"
     land.mkdir()
     (land / "a.csv").write_text("h\na1\n")
@@ -110,4 +112,49 @@ def test_streaming_landing_source_incremental_batches(spark, tmp_path):
         q.stop()
 
 
-_seq = __import__("itertools").count()
+def test_cp1252_decode_matches_batch_reader(spark, tmp_path):
+    """Windows-encoded files (smart quotes, en-dash: bytes 0x80-0x9F,
+    NOT valid UTF-8) must decode IDENTICALLY through the DataSource
+    and the batch read_lines path — the z2_landing_source_roundtrip
+    contract on exactly the files the robust reader exists for."""
+    from sftp_data_ingestion_spark.io.csv_robust import read_lines
+
+    land = tmp_path / "land"
+    land.mkdir()
+    content = "id;note\n1;“quoted” – dash…\n"
+    p = land / "win.csv"
+    p.write_bytes(content.encode("cp1252"))
+
+    ls.register(spark)
+    via_source = [
+        r["value"]
+        for r in spark.read.format("landing_text")
+        .load(str(land))
+        .orderBy("line_no")
+        .collect()
+    ]
+    via_batch = [
+        r["value"] for r in read_lines(spark, [str(p)], "cp1252").collect()
+    ]
+    assert via_source == via_batch
+    assert "“quoted” – dash…" in via_source[1]
+
+
+def test_line_splitting_matches_spark_text_semantics(spark, tmp_path):
+    """Only \\r\\n, \\r, \\n terminate records; U+2028/NEL stay
+    in-field (splitlines() would cut them); a trailing newline is a
+    terminator, not an empty row; interior blank lines survive."""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "mix.csv").write_bytes(
+        "a b\n\ncr\rend\n".encode("utf-8")
+    )
+    ls.register(spark)
+    vals = [
+        r["value"]
+        for r in spark.read.format("landing_text")
+        .load(str(land))
+        .orderBy("line_no")
+        .collect()
+    ]
+    assert vals == ["a b", "", "cr", "end"]

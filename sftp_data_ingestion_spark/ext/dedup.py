@@ -796,6 +796,13 @@ def repeated_ngram_spans(
     sh = (
         docs.where(F.size(a) >= n)
         .select(id_col, F.posexplode(grams).alias("pos", "g"))
+        # materialize ONCE: both the corpus-wide count and the
+        # flag-back join consume this frame, and without the
+        # checkpoint the dominant stage (per-position md5 shingling
+        # over the whole corpus) executes twice. The rows are narrow
+        # (id, pos, 32-byte digest), so materializing beats a second
+        # full text scan at any scale.
+        .localCheckpoint(eager=True)
     )
     counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     rep = counts.where(F.col("c") >= min_repeats).select("g")

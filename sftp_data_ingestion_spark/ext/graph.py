@@ -71,19 +71,36 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
     if weight_col is not None:
-        # NULL or negative weights would silently propagate NaN/null
-        # ranks through every superstep; zero-weight edges are "no
-        # edge" and are dropped so no src can have zero out-strength.
-        bad = e.where(F.col("w").isNull() | (F.col("w") < 0)).count()
-        if bad:
+        # NULL, NaN or negative weights would silently propagate
+        # NaN/null ranks through every superstep (NaN in particular
+        # passes both `w < 0` and `w > 0` under Spark's NaN ordering);
+        # zero-weight edges are "no edge" and are dropped so no src
+        # can reach the walk with zero out-strength.
+        bad_w = (
+            F.col("w").isNull() | F.isnan("w") | (F.col("w") < 0)
+        )
+        # validation rides the SAME aggregate that computes
+        # out-strength — no separate full edge scan just to validate
+        deg = e.groupBy("src").agg(
+            F.sum(F.when(~bad_w, F.col("w")).otherwise(F.lit(0.0))).alias(
+                "deg"
+            ),
+            F.sum(bad_w.cast("long")).alias("n_bad"),
+        ).localCheckpoint(eager=True)
+        n_bad = deg.agg(F.sum("n_bad")).first()[0] or 0
+        if n_bad:
             raise ValueError(
-                f"pagerank: {bad} edge(s) with NULL/negative weight"
+                f"pagerank: {n_bad} edge(s) with NULL/NaN/negative weight"
             )
-        e = e.where(F.col("w") > 0)
-    # out-strength rides along each edge row so the per-iteration join
-    # is edges-to-ranks only (degree never re-joins inside the loop).
-    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    e = e.join(deg, "src").localCheckpoint(eager=True)
+        deg = deg.drop("n_bad")
+        e = e.where(F.col("w") > 0).join(deg, "src").localCheckpoint(
+            eager=True
+        )
+    else:
+        # out-strength rides along each edge row so the per-iteration
+        # join is edges-to-ranks only (degree never re-joins in-loop).
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+        e = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select("src").withColumnsRenamed({"src": "node"})
         .unionAll(e.select("dst").withColumnsRenamed({"dst": "node"}))

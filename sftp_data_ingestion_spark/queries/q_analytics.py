@@ -494,6 +494,7 @@ def z_stream_mv_merge(spark, sf_dir):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, "4")
+    q = None
     try:
         q = st.stream_mv_merge(
             spark,
@@ -510,8 +511,9 @@ def z_stream_mv_merge(spark, sf_dir):
             max_files_per_trigger=1,
         )
         q.processAllAvailable()
-        q.stop()
     finally:
+        if q is not None:
+            q.stop()  # stop on failure too — no orphaned stream
         spark.conf.set(key, prev)
     return (
         spark.read.parquet(state_path)

@@ -176,14 +176,45 @@ def z2_quality_logreg_score(spark, sf_dir):
     )
 
 
+# 64-bit signature packing + brute-force Hamming pair join — shared
+# verbatim by the image and audio perceptual oracles so the bit
+# layout can never drift between them (same rationale as
+# cms_topk_oracle_sql). Banding on the Spark side is provably
+# lossless at distance <= 3, so brute force here grades it exactly.
+_SIG64_PAIRS_TAIL = """hashes AS (
+  SELECT media_id,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 33] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_hi,
+    CAST(list_sum(list_transform(range(32), i ->
+      CASE WHEN bs[i + 1] * 64 > total
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo
+  FROM blocks
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h_hi, b.h_hi))
+            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+"""
+
+# both perceptual oracles replay the codec arithmetic per CHARACTER
+# (ascii()), the kernels per UTF-8 BYTE — equal only on ASCII text,
+# so both engines filter to the ASCII-only corpus (bytes==codepoints)
+# with the same regex; the kernels themselves are total over any
+# bytes.
+_ASCII_ONLY_SQL = "regexp_matches(text, '^[\\x00-\\x7f]*$')"
+_ASCII_ONLY_RE = "^[\\x00-\\x7F]*$"
+
 _AHASH_ORACLE = """
 WITH imgs AS (
   SELECT doc_id AS media_id, text FROM documents
-  WHERE doc_id % 3 = 0 AND length(text) > 0
+  WHERE doc_id % 3 = 0 AND length(text) > 0 AND {ascii}
   UNION ALL
   SELECT doc_id + 10000000 AS media_id,
          upper(substr(text, 1, 1)) || substr(text, 2) AS text
-  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+  FROM documents
+  WHERE doc_id % 3 = 0 AND length(text) > 0 AND {ascii}
 ),
 lumas AS (
   SELECT media_id,
@@ -205,22 +236,8 @@ blocks AS (
     list_sum(px) AS total
   FROM lumas
 ),
-hashes AS (
-  SELECT media_id,
-    CAST(list_sum(list_transform(range(32), i ->
-      CASE WHEN bs[i + 33] * 64 > total
-           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_hi,
-    CAST(list_sum(list_transform(range(32), i ->
-      CASE WHEN bs[i + 1] * 64 > total
-           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo
-  FROM blocks
-)
-SELECT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.h_hi, b.h_hi))
-            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
-FROM hashes a JOIN hashes b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
-"""
+""" + _SIG64_PAIRS_TAIL
+_AHASH_ORACLE = _AHASH_ORACLE.format(ascii=_ASCII_ONLY_SQL)
 
 
 @query("z2_image_ahash_near_dup", oracle=_AHASH_ORACLE)
@@ -248,7 +265,9 @@ def z2_image_ahash_near_dup(spark, sf_dir):
     # arithmetic tiles with `i % length(text)`, undefined at length 0
     # (the kernel itself substitutes a NUL byte and stays total)
     d = table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") % 3 == 0) & (F.length("text") > 0)
+        (F.col("doc_id") % 3 == 0)
+        & (F.length("text") > 0)
+        & F.col("text").rlike(_ASCII_ONLY_RE)
     )
     orig = d.select(F.col("doc_id").alias("media_id"), "text")
     retouched = d.select(
@@ -384,11 +403,12 @@ def z2_repeated_ngram_spans(spark, sf_dir):
 _AUDIO_SIG_ORACLE = """
 WITH auds AS (
   SELECT doc_id AS media_id, text FROM documents
-  WHERE doc_id % 3 = 1 AND length(text) > 0
+  WHERE doc_id % 3 = 1 AND length(text) > 0 AND {ascii}
   UNION ALL
   SELECT doc_id + 10000000 AS media_id,
          upper(substr(text, 1, 1)) || substr(text, 2) AS text
-  FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0
+  FROM documents
+  WHERE doc_id % 3 = 1 AND length(text) > 0 AND {ascii}
 ),
 mags AS (
   SELECT media_id,
@@ -404,22 +424,8 @@ blocks AS (
     list_sum(m) AS total
   FROM mags
 ),
-hashes AS (
-  SELECT media_id,
-    CAST(list_sum(list_transform(range(32), i ->
-      CASE WHEN bs[i + 33] * 64 > total
-           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_hi,
-    CAST(list_sum(list_transform(range(32), i ->
-      CASE WHEN bs[i + 1] * 64 > total
-           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h_lo
-  FROM blocks
-)
-SELECT a.media_id AS id_a, b.media_id AS id_b,
-       CAST(bit_count(xor(a.h_hi, b.h_hi))
-            + bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS dist
-FROM hashes a JOIN hashes b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
-"""
+""" + _SIG64_PAIRS_TAIL
+_AUDIO_SIG_ORACLE = _AUDIO_SIG_ORACLE.format(ascii=_ASCII_ONLY_SQL)
 
 
 @query("z2_audio_sig_near_dup", oracle=_AUDIO_SIG_ORACLE)
@@ -440,7 +446,9 @@ def z2_audio_sig_near_dup(spark, sf_dir):
     from sftp_data_ingestion_spark.ext import multimodal as mm
 
     d = table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") % 3 == 1) & (F.length("text") > 0)
+        (F.col("doc_id") % 3 == 1)
+        & (F.length("text") > 0)
+        & F.col("text").rlike(_ASCII_ONLY_RE)
     )
     orig = d.select(F.col("doc_id").alias("media_id"), "text")
     retouched = d.select(

@@ -263,6 +263,7 @@ def st_stream_cms_topk(spark, sf_dir):
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, "4")
+    q = None
     try:
         q = st.stream_mv_merge(
             spark,
@@ -277,8 +278,11 @@ def st_stream_cms_topk(spark, sf_dir):
             transform=lambda df: cms_cells(df, "user_id", width, depth),
         )
         q.processAllAvailable()
-        q.stop()
     finally:
+        # stop even when a micro-batch throws: an orphaned stream
+        # would keep the checkpoint and mutate state mid-session
+        if q is not None:
+            q.stop()
         spark.conf.set(key, prev)
     sketch = spark.read.parquet(state_path).select("row", "col", "cnt")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))

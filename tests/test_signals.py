@@ -376,8 +376,15 @@ def test_weighted_pagerank_rejects_null_and_negative_weights(spark):
     bad = spark.createDataFrame(
         [(1, 2, 1.0), (2, 1, -3.0)], ["src", "dst", "w"]
     )
-    with pytest.raises(ValueError, match="NULL/negative weight"):
+    with pytest.raises(ValueError, match="NULL/NaN/negative weight"):
         pagerank(bad, weight_col="w")
+    # NaN passes both `w < 0` and `w > 0` under Spark's NaN ordering —
+    # it must be caught explicitly, not slip through into NaN ranks
+    nan = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, float("nan"))], ["src", "dst", "w"]
+    )
+    with pytest.raises(ValueError, match="NULL/NaN/negative weight"):
+        pagerank(nan, weight_col="w")
     # zero-weight edges are "no edge": must not create a 0-strength src
     zero = spark.createDataFrame(
         [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0), (1, 3, 1.0)],

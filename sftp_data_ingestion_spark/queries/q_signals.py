@@ -158,7 +158,7 @@ def z2_quality_logreg_score(spark, sf_dir):
     every intermediate double bit-identical across engines; the 6 dp
     round is belt-and-braces. Training the weights is `fit_logreg`
     (distributed full-batch GD, one d+2-double aggregate per pass),
-    graded by convergence tests in `tests/test_classify.py`."""
+    graded by convergence tests in `tests/test_signals.py`."""
     d = table(spark, sf_dir, "documents")
     feats = [
         (F.col("n_chars") / F.lit(1000.0)),

@@ -99,3 +99,65 @@ def test_apply_cdc_retraction_and_group_disappearance(spark):
         for r in apply_cdc(state, changes, ["k"], "value").collect()
     }
     assert got == {"a": (14.0, 2), "c": (2.0, 1)}  # b dropped entirely
+
+
+def test_stream_mv_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Engine-restart semantics: a SECOND streaming query on the same
+    checkpoint must not double-add already-merged batches, and a file
+    arriving after the restart merges incrementally. This is the
+    end-to-end form of the batch-id replay guard unit tests."""
+    from sftp_data_ingestion_spark import streaming as st
+
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["k", "v"]
+    ).coalesce(1).write.mode("append").parquet(land)
+    spark.createDataFrame([(1, 5.0)], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(land).schema
+
+    def run_drain():
+        q = st.stream_mv_merge(
+            spark,
+            land,
+            state,
+            ckpt,
+            keys=["k"],
+            specs={"n": ("count", "k"), "total": ("sum", "v")},
+            schema=schema,
+            max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_drain()
+    first = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert first == {1: (2, 15.0), 2: (1, 20.0)}
+
+    # restart with NO new data: state must be byte-stable (no replay
+    # double-add)
+    run_drain()
+    again = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == first
+
+    # a file landing after the restart merges incrementally
+    spark.createDataFrame(
+        [(2, 2.0), (3, 3.0)], ["k", "v"]
+    ).coalesce(1).write.mode("append").parquet(land)
+    run_drain()
+    final = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert final == {1: (2, 15.0), 2: (2, 22.0), 3: (1, 3.0)}

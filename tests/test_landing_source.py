@@ -158,3 +158,40 @@ def test_line_splitting_matches_spark_text_semantics(spark, tmp_path):
         .collect()
     ]
     assert vals == ["a b", "", "cr", "end"]
+
+
+def test_streaming_restart_resumes_from_offset_ledger(spark, tmp_path):
+    """A NEW query on the same checkpoint must not re-deliver files
+    already in the offset ledger, and must pick up files that landed
+    while no query was running. (foreachBatch sink: the memory sink
+    refuses checkpoint recovery by design.)"""
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.csv").write_text("a1\n")
+    ckpt = str(tmp_path / "ckpt")
+    ls.register(spark)
+
+    def drain():
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.extend(r["value"] for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("landing_text")
+            .load(str(land))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return got
+
+    assert drain() == ["a1"]
+    # file lands while NO query is running; the restarted query must
+    # deliver it exactly once and never re-deliver a.csv
+    (land / "b.csv").write_text("b1\n")
+    assert drain() == ["b1"]

@@ -38,6 +38,12 @@ HEADLINE = [
     "v_ivf_ann_topk",
     "a_asof_join_backward",
     "s_sessionize_batch",
+    # round-5 quality-signal family (cheap representatives; the heavy
+    # members — pagerank, perceptual codecs — are scale-probed in
+    # PERFORMANCE.md instead of inflating the headline)
+    "z2_cms_heavy_hitters",
+    "z2_quality_logreg_score",
+    "z2_unigram_cross_entropy",
 ]
 
 

@@ -826,3 +826,178 @@ def repeated_ngram_spans(
         )
         .drop("island")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate REMOVAL (round-5 extension): chunk_boilerplate_stats
+# measures the repeated-content fraction; this operator actually
+# rewrites the corpus — the RefinedWeb/C4-style line-dedup transform.
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """Remove cross-document boilerplate from each document: fixed
+    ``chunk_tokens``-token chunks appearing in >= 2 DISTINCT documents
+    are dropped and the surviving chunks are re-joined in original
+    order. Emits ``(id, clean_text, n_chunks, n_removed)`` — the
+    rewrite counterpart of :func:`chunk_boilerplate_stats` (same
+    chunking, same frequency definition, so the two queries grade one
+    shared contract from both sides).
+
+    Scale shape: identical to the stats operator — explode once, ONE
+    (doc, chunk_id) shuffle to assemble chunks, one uniform-key
+    shuffle for frequencies, a 1:1 join back on the chunk value, and
+    one final per-doc regroup that carries at most the document's own
+    chunks (order restored from chunk_id inside an ``array_sort`` of
+    structs, deterministic under any partitioning). No stage holds
+    more than one document's text in a single row beyond the final
+    reassembly, which is bounded by document size — the same bound
+    any per-doc transform has."""
+    ct = int(chunk_tokens)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    chunks = toks.groupBy(
+        id_col, F.floor(F.col("pos") / ct).cast("long").alias("chunk_id")
+    ).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk")
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_id", "n_docs", "chunk")
+                            )
+                        ),
+                        lambda s: s["n_docs"] < 2,
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_removed"),
+        )
+    )
+
+
+def group_minhash_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bound: float = 0.2,
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard between GROUPS (sources, crawls,
+    snapshots) via mergeable MinHash sketches — the overlap matrix a
+    curation pipeline consults before mixing sources.
+
+    The sketch property doing the work: the MinHash of a UNION is the
+    element-wise minimum of the parts' signatures, so a group's
+    signature is just ``num_hashes`` ``min`` aggregates over its
+    exploded shingle hashes — one map-side-combined groupBy whose
+    shuffle payload is <= ``num_hashes`` longs per group per
+    partition, INDEPENDENT of corpus size. That is the 100 TB path;
+    the exact intersection join below exists only to grade the
+    estimate and would be dropped at scale.
+
+    Emits per unordered group pair: ``exact_jaccard`` (cross-engine
+    graded) and ``est_within_bound`` (|estimate - exact| <= bound,
+    self-graded; k=64 gives sigma <= 1/16, so bound=0.2 is >3 sigma).
+    Pairs sharing zero shingles emit exact 0.0."""
+    perms = _mh_coeffs(num_hashes)
+    sh = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hashed = sh.select(
+        "g", F.pmod(F.xxhash64("shingle"), F.lit(_MH_P)).alias("h")
+    )
+    sigs = hashed.groupBy("g").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_P))).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    # distinct (group, shingle) for the exact grading join
+    dsh = sh.distinct()
+    sizes = dsh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dsh.alias("a")
+        .join(dsh.alias("b"), "shingle")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .crossJoin(
+            F.broadcast(
+                sizes.alias("sb").select(
+                    F.col("g").alias("gb"), F.col("n").alias("nb")
+            ))
+        )
+        .where(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(inter), ["ga", "gb"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+    )
+    est_hits = sum(
+        F.when(
+            F.col(f"a.m{i}") == F.col(f"b.m{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+        for i in range(num_hashes)
+    )
+    sig_pairs = (
+        sigs.alias("a")
+        .join(
+            F.broadcast(sigs.alias("b")),
+            F.col("a.g") < F.col("b.g"),
+        )
+        .select(
+            F.col("a.g").alias("ga"),
+            F.col("b.g").alias("gb"),
+            (est_hits.cast("double") / F.lit(float(num_hashes))).alias("est"),
+        )
+    )
+    exact = F.when(
+        F.col("na") + F.col("nb") - F.col("inter") > 0,
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.join(F.broadcast(sig_pairs), ["ga", "gb"])
+        .select(
+            F.col("ga").alias("src_a"),
+            F.col("gb").alias("src_b"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            (F.abs(F.col("est") - exact) <= F.lit(float(bound))).alias(
+                "est_within_bound"
+            ),
+        )
+    )

@@ -44,3 +44,4 @@ from sftp_data_ingestion_spark.queries import q_warehouse  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_curation  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_analytics  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_signals  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_corpus  # noqa: F401,E402

@@ -1,0 +1,193 @@
+r"""Corpus-rewrite + source-mixing extension queries (round 5, second
+session):
+
+- ``z3_strip_boilerplate_chunks`` — the boilerplate REMOVAL transform
+  (RefinedWeb/C4-style line dedup): cross-document repeated chunks are
+  dropped and each document's text is rebuilt in order. The rewrite
+  counterpart of ``d_chunk_boilerplate`` (same chunking contract).
+- ``z3_source_minhash_jaccard`` — pairwise source overlap via
+  MERGEABLE MinHash sketches (union-sketch = element-wise min): the
+  overlap matrix consulted before weighting sources in a data mix.
+- ``z3_bigram_cross_entropy`` — per-document cross-entropy under the
+  corpus's own BIGRAM LM (conditional p(tok|prev)), the sharper
+  CCNet-style fluency filter (the unigram form is
+  ``z2_unigram_cross_entropy``).
+
+No reference equivalent — extension surface (SURVEY.md §2.11 family).
+Registered LAST (queries/__init__.py ordering policy: new queries must
+not evict not-yet-proven ones from the driver's graded window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext.dedup import (
+    group_minhash_jaccard,
+    strip_boilerplate_chunks,
+)
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "z3_strip_boilerplate_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(s, ' '), 1) - 1 AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+), chunks AS (
+  SELECT doc_id, pos // 3 AS chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY 1, 2
+), freq AS (
+  SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       coalesce(
+         string_agg(c.chunk, ' ' ORDER BY c.chunk_id)
+           FILTER (WHERE f.n_docs < 2),
+         '') AS clean_text,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE f.n_docs >= 2) AS n_removed
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY 1
+""",
+)
+def z3_strip_boilerplate_chunks(spark, sf_dir):
+    """Boilerplate removal: drop every fixed 3-token chunk shared by
+    >= 2 distinct documents, rebuild each document's surviving text in
+    original order. Grades the full rewritten STRING cross-engine —
+    the strongest possible check that chunk order, separators, and
+    the shared-chunk frequency contract all agree with
+    ``d_chunk_boilerplate``.
+
+    Scale shape (see ``ext/dedup.strip_boilerplate_chunks``): explode
+    once, one (doc, chunk_id) shuffle, one uniform chunk-frequency
+    shuffle, a 1:1 join back, one per-doc regroup. Linear in corpus
+    tokens; no all-pairs stage."""
+    d = table(spark, sf_dir, "documents")
+    return strip_boilerplate_chunks(d, chunk_tokens=3)
+
+
+@query(
+    "z3_source_minhash_jaccard",
+    oracle=f"""
+WITH toksrc AS (
+  SELECT doc_id, source,
+         generate_subscripts(string_split(s, ' '), 1) AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, source, {_NORM_SQL} AS s FROM documents)
+), grams AS (
+  SELECT source, tok || ' ' || lead1 || ' ' || lead2 AS shingle FROM (
+    SELECT source, tok,
+           lead(tok, 1) OVER w AS lead1,
+           lead(tok, 2) OVER w AS lead2
+    FROM toksrc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE lead1 IS NOT NULL AND lead2 IS NOT NULL
+), sh AS (
+  SELECT DISTINCT source, shingle FROM grams
+), sizes AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source < b.source GROUP BY 1, 2
+)
+SELECT sa.source AS src_a, sb.source AS src_b,
+       round(coalesce(i.inter, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.inter, 0)), 6) AS exact_jaccard,
+       TRUE AS est_within_bound
+FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+""",
+)
+def z3_source_minhash_jaccard(spark, sf_dir):
+    """Pairwise source-overlap matrix: 3-gram shingle-set Jaccard per
+    unordered source pair, estimated from 64-permutation mergeable
+    MinHash sketches (union-sketch = element-wise min, so a group
+    signature is 64 map-side-combined ``min`` aggregates whose shuffle
+    payload is independent of corpus size — the 100 TB path). The
+    exact intersection join exists only to grade: ``exact_jaccard`` is
+    value-checked cross-engine and ``est_within_bound`` self-grades
+    |estimate - exact| <= 0.2 (> 3 sigma at k=64), same bounded-error
+    pattern as ``v_ivf_ann_recall`` / ``g_approx_aggregates``."""
+    d = table(spark, sf_dir, "documents")
+    return group_minhash_jaccard(
+        d, group_col="source", num_hashes=64, shingle_n=3, bound=0.2
+    )
+
+
+@query(
+    "z3_bigram_cross_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(s, ' '), 1) AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+), big AS (
+  SELECT doc_id, prev, tok AS cur FROM (
+    SELECT doc_id, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL AND tok <> '' AND prev <> ''
+), c2 AS (
+  SELECT prev, cur, count(*) AS cnt2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, sum(cnt2) AS cnt1 FROM c2 GROUP BY 1
+)
+SELECT doc_id,
+       round(AVG(-ln(cnt2 / CAST(cnt1 AS DOUBLE))), 6) AS xent2,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+GROUP BY doc_id
+""",
+)
+def z3_bigram_cross_entropy(spark, sf_dir):
+    """Per-document cross-entropy under the corpus's own BIGRAM LM —
+    p(tok | prev) = c(prev,tok) / c(prev,·) — the conditional
+    (sharper) form of the CCNet fluency filter. No smoothing is
+    needed for well-definedness: the model is trained on the same
+    corpus it scores, so every scored bigram has positive count.
+
+    Scale shape mirrors ``z2_unigram_cross_entropy``: bigrams are
+    built per-row from two shifted slices of the token array (pure
+    expressions, no window shuffle on the build side); bigram counts
+    are one map-side-combined groupBy; context totals reduce from the
+    COUNTED bigram table, not the raw stream; the scoring join is a
+    deliberate shuffle join (a 100 TB corpus's bigram table is not
+    broadcastable — AQE may demote it for small fixtures). Docs with
+    < 2 tokens have no bigrams and drop out of both engines alike."""
+    d = table(spark, sf_dir, "documents")
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
+    arr = F.split(normalized(F.col("text")), " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+        )
+        .where((F.col("prev") != "") & (F.col("cur") != ""))
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = c2.groupBy("prev").agg(F.sum("cnt2").alias("cnt1"))
+    neg_log_p = -F.log(F.col("cnt2").cast("double") / F.col("cnt1"))
+    return (
+        big.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(neg_log_p), 6).alias("xent2"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

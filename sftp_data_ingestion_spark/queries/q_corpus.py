@@ -8,6 +8,9 @@ session):
 - ``z3_source_minhash_jaccard`` — pairwise source overlap via
   MERGEABLE MinHash sketches (union-sketch = element-wise min): the
   overlap matrix consulted before weighting sources in a data mix.
+- ``z3_bucketed_colocated_join`` — Spark-native ``bucketBy`` layout:
+  one organize-time shuffle buys every later join on the key an
+  exchange-free SortMergeJoin (fact-vs-fact at 100 TB).
 - ``z3_bigram_cross_entropy`` — per-document cross-entropy under the
   corpus's own BIGRAM LM (conditional p(tok|prev)), the sharper
   CCNet-style fluency filter (the unigram form is
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sftp_data_ingestion_spark.operators.bucketed import bucketed_pair
 from sftp_data_ingestion_spark.ext.dedup import (
     group_minhash_jaccard,
     strip_boilerplate_chunks,
@@ -189,5 +193,55 @@ def z3_bigram_cross_entropy(spark, sf_dir):
         .agg(
             F.round(F.avg(neg_log_p), 6).alias("xent2"),
             F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "z3_bucketed_colocated_join",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def z3_bucketed_colocated_join(spark, sf_dir):
+    """Exchange-free fact⋈fact join via Spark-native ``bucketBy``: both
+    orders and lineitem are organized ONCE into 8 hash buckets on the
+    join key (the write pays the only shuffle), after which the
+    SortMergeJoin reads bucket i against bucket i with ZERO Exchange
+    nodes — the amortization that makes repeated joins against a
+    100 TB fact table affordable (plan-pinned:
+    ``test_bucketed_join_has_no_join_exchange``). Values are identical
+    to the plain join, which is exactly what the oracle states.
+
+    Tables are external (tempdir path) + in-memory catalog entries, so
+    a grading run leaves nothing behind in the repo or warehouse
+    dir."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    bo, bl = bucketed_pair(
+        spark, o, l,
+        "z3_b_orders", "z3_b_lineitem",
+        "o_orderkey", "l_orderkey",
+        num_buckets=8, base_path=base,
+    )
+    # the merge hint pins the join strategy the 100 TB plan would use
+    # (neither side of a fact-fact join is broadcastable there; on the
+    # small fixture the planner would otherwise demote to broadcast
+    # and skip the bucketed scan entirely)
+    return (
+        bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -532,3 +532,29 @@ def test_bigram_xent_build_side_has_no_window_shuffle(spark):
     p = plan(df)
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides bucketed on the join key with equal bucket counts
+    -> the SortMergeJoin consumes bucket i against bucket i directly:
+    ZERO shuffle exchanges in the join subtree. This is the
+    amortize-one-shuffle-forever layout for repeated fact⋈fact joins;
+    the write itself pays the only repartition."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.operators.bucketed import bucketed_pair
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    o = table(spark, SF, "orders")
+    l = table(spark, SF, "lineitem")
+    bo, bl = bucketed_pair(
+        spark, o, l,
+        "t_plans_b_orders", "t_plans_b_lineitem",
+        "o_orderkey", "l_orderkey",
+        num_buckets=8, base_path=tempfile.mkdtemp(),
+    )
+    df = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    p = plan(df)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert n_exchanges(p) == 0

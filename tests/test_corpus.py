@@ -126,3 +126,42 @@ def test_bigram_cross_entropy_hand_computed(spark, sf_oracle):
     assert row["n_bigrams"] > 0
     assert row["xent2"] >= 0.0
     assert not math.isnan(row["xent2"])
+
+
+def test_strip_boilerplate_identity_when_no_sharing(spark):
+    """Property: a corpus with globally unique chunks is returned
+    verbatim (normalized) — the rewrite must be a no-op exactly when
+    the frequency gate never fires."""
+    d = _docs(
+        spark,
+        [
+            (0, "q w e r t y u i o", "s0"),
+            (1, "z x c v b n m k j", "s1"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in strip_boilerplate_chunks(d).collect()}
+    assert got[0]["clean_text"] == "q w e r t y u i o"
+    assert got[1]["clean_text"] == "z x c v b n m k j"
+    assert got[0]["n_removed"] == 0 and got[1]["n_removed"] == 0
+
+
+def test_bucketed_pair_values_equal_plain_join(spark, sf_small):
+    """The bucketed layout must be value-transparent: the co-located
+    join returns exactly the plain join's rows."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.operators.bucketed import bucketed_pair
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    o = table(spark, sf_small, "orders").select("o_orderkey", "o_orderpriority")
+    l = table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    bo, bl = bucketed_pair(
+        spark, o, l,
+        "t_corpus_b_o", "t_corpus_b_l",
+        "o_orderkey", "l_orderkey",
+        num_buckets=4, base_path=tempfile.mkdtemp(),
+    )
+    bucketed = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    plain = o.join(l, o.o_orderkey == l.l_orderkey)
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0

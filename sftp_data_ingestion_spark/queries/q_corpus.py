@@ -15,6 +15,11 @@ session):
   corpus's own BIGRAM LM (conditional p(tok|prev)), the sharper
   CCNet-style fluency filter (the unigram form is
   ``z2_unigram_cross_entropy``).
+- ``z3_stream_ingest_neardup`` — continuous corpus ingestion with
+  inline near-dup admission control: four micro-batches drained in
+  forced order, each LSH-checked against the GROWING corpus (admitted
+  survivors included), replay-guarded appends; the oracle replays the
+  admissions sequentially, so batch ordering itself is graded.
 
 No reference equivalent — extension surface (SURVEY.md §2.11 family).
 Registered LAST (queries/__init__.py ordering policy: new queries must
@@ -244,4 +249,163 @@ def z3_bucketed_colocated_join(spark, sf_dir):
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+# Planted cross-batch duplicate pair: PLANT_A lands in micro-batch 0
+# (admitted: its tokens appear nowhere in the fixture), PLANT_B in
+# micro-batch 2 with an 0.8-Jaccard overlap to A — B must be rejected
+# SOLELY because A was admitted two batches earlier, which makes
+# processing order and the growing-corpus semantics observable in the
+# graded hash (the fixture alone has no stream-vs-stream near-dups).
+_PLANT_A_ID, _PLANT_B_ID = 100000, 100010  # (id//5)%4 = batches 0, 2
+_PLANT_A_TEXT = " ".join(f"zzqplant{i:02d}" for i in range(1, 21))
+_PLANT_B_TEXT = " ".join(
+    [f"zzqplant{i:02d}" for i in range(1, 19)] + ["zzqnovel19", "zzqnovel20"]
+)
+
+_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    f"UNION ALL SELECT {_PLANT_A_ID}, '{_PLANT_A_TEXT}' "
+    f"UNION ALL SELECT {_PLANT_B_ID}, '{_PLANT_B_TEXT}'"
+)
+
+_SHINGLE_SQL = rf"""
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM ({_DOCS_SQL}))
+"""
+
+
+@query(
+    "z3_stream_ingest_neardup",
+    oracle=rf"""
+WITH sh AS ({_SHINGLE_SQL}),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+pj AS (
+  SELECT ia, ib FROM inter
+  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+),
+alldocs AS ({_DOCS_SQL}),
+b0 AS (SELECT doc_id FROM alldocs WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 0),
+b1 AS (SELECT doc_id FROM alldocs WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 1),
+b2 AS (SELECT doc_id FROM alldocs WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 2),
+b3 AS (SELECT doc_id FROM alldocs WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 3),
+c0 AS (SELECT doc_id FROM alldocs WHERE doc_id % 5 <> 0),
+s0 AS (SELECT doc_id FROM b0 WHERE NOT EXISTS
+        (SELECT 1 FROM pj JOIN c0 c ON pj.ib = c.doc_id WHERE pj.ia = b0.doc_id)),
+c1 AS (SELECT doc_id FROM c0 UNION ALL SELECT doc_id FROM s0),
+s1 AS (SELECT doc_id FROM b1 WHERE NOT EXISTS
+        (SELECT 1 FROM pj JOIN c1 c ON pj.ib = c.doc_id WHERE pj.ia = b1.doc_id)),
+c2 AS (SELECT doc_id FROM c1 UNION ALL SELECT doc_id FROM s1),
+s2 AS (SELECT doc_id FROM b2 WHERE NOT EXISTS
+        (SELECT 1 FROM pj JOIN c2 c ON pj.ib = c.doc_id WHERE pj.ia = b2.doc_id)),
+c3 AS (SELECT doc_id FROM c2 UNION ALL SELECT doc_id FROM s2),
+s3 AS (SELECT doc_id FROM b3 WHERE NOT EXISTS
+        (SELECT 1 FROM pj JOIN c3 c ON pj.ib = c.doc_id WHERE pj.ia = b3.doc_id))
+SELECT doc_id, CAST(0 AS INTEGER) AS batch_seq FROM s0
+UNION ALL SELECT doc_id, CAST(1 AS INTEGER) FROM s1
+UNION ALL SELECT doc_id, CAST(2 AS INTEGER) FROM s2
+UNION ALL SELECT doc_id, CAST(3 AS INTEGER) FROM s3
+""",
+)
+def z3_stream_ingest_neardup(spark, sf_dir):
+    """Streaming corpus ingestion with inline near-dup admission
+    (``streaming.stream_ingest_neardup``): the 1-in-5 "incoming" docs
+    arrive as four files drained ONE PER TRIGGER in forced mtime
+    order; each micro-batch is LSH-checked against the corpus-so-far
+    (initial corpus = the other 4/5) and only non-duplicates are
+    admitted, tagged with their batch id. Because admitted survivors
+    join the corpus, a doc in batch k is rejected if it near-dups a
+    survivor from batch j < k — ORDER is part of the answer. The
+    fixture alone has no stream-vs-stream near-dups, so a
+    deterministic pair is PLANTED: ``_PLANT_A`` (batch 0, admitted —
+    its tokens appear nowhere else) and ``_PLANT_B`` (batch 2,
+    0.8-Jaccard to A, rejected solely because A was admitted two
+    batches earlier). The oracle replays the four admissions
+    sequentially (unrolled CTEs, exact Jaccard; banding recall is 1
+    on this pair set — fixture pairs proven by d_minhash_lsh_near_dup,
+    the planted pair at j=0.8 is a deterministic band hit).
+
+    The graded output (doc_id, batch_seq) therefore proves, in one
+    hash: micro-batch ordering, the replay guard never double-admits,
+    the anti-join admission logic, and incremental-LSH correctness
+    against a GROWING corpus."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (_PLANT_A_ID, _PLANT_A_TEXT),
+                    (_PLANT_B_ID, _PLANT_B_TEXT),
+                ],
+                "doc_id long, text string",
+            )
+        )
+        # one materialization: the corpus write + four chunk writes
+        # below would otherwise each rescan parquet + re-union
+        .localCheckpoint()
+    )
+    landing = tempfile.mkdtemp(prefix="ingest_landing_")
+    corpus_path = tempfile.mkdtemp(prefix="ingest_corpus_") + "/corpus"
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    (
+        d.where(F.col("doc_id") % 5 != 0)
+        .withColumn("batch_seq", F.lit(-1).cast("int"))
+        .write.parquet(corpus_path)
+    )
+    for k in range(4):
+        tmp = tempfile.mkdtemp(prefix="ingest_chunk_")
+        (
+            d.where(
+                (F.col("doc_id") % 5 == 0)
+                & (F.expr("(doc_id div 5) % 4") == k)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"chunk_{k}.parquet")
+        shutil.move(part, dst)
+        # strictly increasing mtimes pin the file-source drain order
+        # (FileStreamSource lists oldest-first); fixed epochs keep the
+        # fixture deterministic across runs
+        os.utime(dst, (1_700_000_000 + k * 60, 1_700_000_000 + k * 60))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    q = None
+    try:
+        q = st.stream_ingest_neardup(
+            spark, landing, corpus_path, ckpt, threshold=0.5
+        )
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set(key, prev)
+    return (
+        spark.read.parquet(corpus_path)
+        .where(F.col("batch_seq") >= 0)
+        .select("doc_id", "batch_seq")
     )

@@ -165,3 +165,77 @@ def test_bucketed_pair_values_equal_plain_join(spark, sf_small):
     plain = o.join(l, o.o_orderkey == l.l_orderkey)
     assert bucketed.exceptAll(plain).count() == 0
     assert plain.exceptAll(bucketed).count() == 0
+
+
+def test_stream_ingest_neardup_restart_and_replay_guard(spark, tmp_path):
+    """Checkpoint restart: drain two files, stop, add a third, restart
+    with the SAME checkpoint + corpus — only the new file is
+    processed (batch_seq continues at 2, nothing re-admitted), and a
+    doc near-dupping a batch-0 survivor is rejected across the
+    restart boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    neardup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 x14 x15"
+    other = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15"
+
+    def write_chunk(k, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"chunk_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+
+    # empty initial corpus (schema-bearing)
+    (
+        spark.createDataFrame([], "doc_id long, text string")
+        .withColumn("batch_seq", F.lit(-1).cast("int"))
+        .write.parquet(corpus)
+    )
+    write_chunk(0, [(10, base)])
+    write_chunk(1, [(20, other)])
+    q = st.stream_ingest_neardup(spark, landing, corpus, ckpt, threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got1 = {
+        r["doc_id"]: r["batch_seq"]
+        for r in spark.read.parquet(corpus)
+        .where(F.col("batch_seq") >= 0)
+        .collect()
+    }
+    assert got1 == {10: 0, 20: 1}
+
+    # restart with a new file containing a near-dup of the batch-0
+    # survivor plus a fresh doc
+    write_chunk(2, [(30, neardup), (40, "u1 u2 u3 u4 u5 u6 u7 u8")])
+    q = st.stream_ingest_neardup(spark, landing, corpus, ckpt, threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {
+        r["doc_id"]: r["batch_seq"]
+        for r in spark.read.parquet(corpus)
+        .where(F.col("batch_seq") >= 0)
+        .collect()
+    }
+    # 30 rejected (near-dup of 10 across the restart), 40 admitted in
+    # batch 2; 10/20 NOT re-admitted (file ledger + replay guard)
+    assert got2 == {10: 0, 20: 1, 40: 2}

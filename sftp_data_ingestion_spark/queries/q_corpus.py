@@ -409,3 +409,52 @@ def z3_stream_ingest_neardup(spark, sf_dir):
         .where(F.col("batch_seq") >= 0)
         .select("doc_id", "batch_seq")
     )
+
+
+@query(
+    "z3_dpp_pruned_join",
+    oracle="""
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+JOIN (SELECT DISTINCT month(o_orderdate) AS m
+      FROM orders WHERE o_custkey = 1) d
+  ON month(l_shipdate) = d.m
+GROUP BY 1
+""",
+)
+def z3_dpp_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning graded end-to-end: lineitem is laid
+    out partitioned by ship month (the one-time organize, same spirit
+    as the bucketed layout), and a DATA-DEPENDENT dimension — the
+    months in which customer 1 ordered, unknowable at plan time —
+    drives the join. Catalyst injects a
+    ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters (plan-pinned: ``test_dpp_injected_on_
+    partitioned_fact_scan``), so at 100 TB the fact scan opens ONLY
+    the partitions the broadcast dim admits instead of all of them —
+    scan cost tracks the dim's selectivity, not the table size. The
+    oracle states the same join relationally; values must be
+    identical to the unpartitioned plan."""
+    import tempfile
+
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_fact_")
+    l.write.partitionBy("ship_month").mode("overwrite").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == 1)
+        .select(F.month("o_orderdate").alias("m"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.ship_month == dim.m)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -558,3 +558,30 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p
     assert n_exchanges(p) == 0
+
+
+def test_dpp_injected_on_partitioned_fact_scan(spark):
+    """A join between a disk-partitioned fact and a data-dependent
+    (non-foldable) broadcast dim must carry a dynamicpruningexpression
+    in the fact scan's PartitionFilters — the scan then opens only the
+    partitions the dim admits at runtime. Without it, a 100 TB fact
+    table is read in full for every selective dim filter."""
+    import tempfile
+
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    l = table(spark, SF, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_plan_")
+    l.write.partitionBy("ship_month").mode("overwrite").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        table(spark, SF, "orders")
+        .where(F.col("o_custkey") == 1)
+        .select(F.month("o_orderdate").alias("m"))
+        .distinct()
+    )
+    df = fact.join(F.broadcast(dim), fact.ship_month == dim.m)
+    p = plan(df)
+    assert "dynamicpruningexpression" in p

@@ -585,3 +585,39 @@ def test_dpp_injected_on_partitioned_fact_scan(spark):
     df = fact.join(F.broadcast(dim), fact.ship_month == dim.m)
     p = plan(df)
     assert "dynamicpruningexpression" in p
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
+    """Row-level runtime filtering, the in-partition complement of
+    DPP: a shuffle join whose build side carries a selective filter
+    gets a bloom `might_contain` probe injected into the probe side's
+    scan subtree, so most non-matching fact rows die before the
+    shuffle. Default thresholds target cluster-sized inputs; the test
+    lowers them to fixture scale (and restores), which is exactly the
+    tuning a real deployment does per table size."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from sftp_data_ingestion_spark.queries.registry import table
+
+        o = table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = table(spark, SF, "lineitem")
+        df = l.join(o, l.l_orderkey == o.o_orderkey)
+        p = plan(df)
+        assert "might_contain" in p
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

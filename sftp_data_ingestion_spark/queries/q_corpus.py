@@ -458,3 +458,83 @@ def z3_dpp_pruned_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "z3_recursive_supplier_reach",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+walk(seed, node, is_supp, depth) AS (
+  SELECT c, c, false, 0 FROM (SELECT DISTINCT c FROM edges WHERE c < 10)
+  UNION ALL
+  SELECT DISTINCT w.seed,
+         CASE WHEN w.is_supp THEN e.c ELSE e.s END,
+         NOT w.is_supp, w.depth + 1
+  FROM walk w JOIN edges e
+    ON (w.is_supp AND e.s = w.node) OR (NOT w.is_supp AND e.c = w.node)
+  WHERE w.depth < 3
+)
+SELECT seed AS custkey, node AS suppkey,
+       CAST(min(depth) AS INTEGER) AS min_hops
+FROM walk WHERE is_supp GROUP BY 1, 2
+""",
+)
+def z3_recursive_supplier_reach(spark, sf_dir):
+    """Spark 4 RECURSIVE CTE graded end-to-end: multi-hop supplier
+    reach over the bipartite customer-supplier purchase graph — for
+    each seed customer, every supplier reachable within 3 edge hops
+    and the minimum hop count (1 = direct supplier, 3 = supplier of a
+    co-buying customer). Completes the engine's Spark-4 feature
+    surface (UDTF, Python DataSource, VARIANT, recursive CTE).
+
+    Termination discipline (Spark's recursive CTEs support UNION ALL
+    only — no fixpoint dedup yet): an explicit depth guard bounds the
+    recursion and a per-step SELECT DISTINCT collapses path
+    multiplicity, keeping each wave <= seeds x nodes instead of the
+    path count (which exceeds the engine's 1M-row recursion guard on
+    this graph). The DuckDB oracle runs the IDENTICAL recursive
+    query, so the engines' recursion semantics are compared wave for
+    wave. The iterative-operator alternative for unbounded closures
+    remains ext/dedup.connected_components (localCheckpoint Pregel);
+    this query covers the bounded-depth relational form."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .createOrReplaceTempView("z3_purchase_edges")
+    )
+    # each recursion wave is a small shuffle; 32 partitions of
+    # scheduling overhead dominate at fixture scale (the conf is
+    # restored — on a cluster the wave width scales with the graph)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        out = spark.sql("""
+WITH RECURSIVE walk(seed, node, is_supp, depth) AS (
+  SELECT c, c, false, 0
+  FROM (SELECT DISTINCT c FROM z3_purchase_edges WHERE c < 10)
+  UNION ALL
+  SELECT DISTINCT w.seed,
+         CASE WHEN w.is_supp THEN e.c ELSE e.s END,
+         NOT w.is_supp, w.depth + 1
+  FROM walk w JOIN z3_purchase_edges e
+    ON (w.is_supp AND e.s = w.node) OR (NOT w.is_supp AND e.c = w.node)
+  WHERE w.depth < 3
+)
+SELECT seed AS custkey, node AS suppkey,
+       CAST(min(depth) AS INTEGER) AS min_hops
+FROM walk WHERE is_supp GROUP BY 1, 2
+""")
+        # materialize while the conf is in effect; the result is tiny
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+    return out

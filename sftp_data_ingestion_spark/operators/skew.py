@@ -72,3 +72,37 @@ def salted_join_hot_keys(
         salted_facts.join(F.broadcast(replicated_dim), [key, "__salt"])
         .drop("__salt")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for a planned shuffle on ``keys``:
+    one aggregate pass over the key histogram emitting the numbers an
+    operator (or a human) needs to pick a mitigation — total rows,
+    distinct keys, the hottest key's share, max/avg ratio, and the
+    salt factor that would level the hottest key to
+    ``target_rows_per_task`` rows per reducer task.
+
+    Two stages, both bounded: the per-key count is one
+    map-side-combined groupBy (uniform, the thing being diagnosed is
+    not yet shuffled on), and the stats reduce the COUNTED table —
+    cost is O(distinct keys), never a second pass over the data. The
+    report is what `salted_count_sum` / `salted_join_hot_keys` /
+    AQE-skew thresholds consume; at 100 TB you run it on a sample or
+    on yesterday's partition and cache the decision."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1))), 6).alias(
+            "max_over_avg"
+        ),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("hot_key_share"),
+        F.ceil(F.max("cnt") / F.lit(target_rows_per_task))
+        .cast("long")
+        .alias("recommended_salts"),
+    )

@@ -538,3 +538,31 @@ FROM walk WHERE is_supp GROUP BY 1, 2
     finally:
         spark.conf.set(key, prev)
     return out
+
+
+@query(
+    "z3_skew_report",
+    oracle="""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       round(max(cnt) / (sum(cnt) * 1.0 / count(*)), 6) AS max_over_avg,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS hot_key_share,
+       CAST(ceil(max(cnt) / 10.0) AS BIGINT) AS recommended_salts
+FROM counts
+""",
+)
+def z3_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis (`operators/skew.skew_report`) on
+    the orders-per-customer distribution: the one-pass histogram
+    report that decides BETWEEN the engine's mitigations (salted agg,
+    salted hot-key join, AQE thresholds) before a 100 TB shuffle is
+    committed. target_rows_per_task=10 makes the salt recommendation
+    non-trivial at fixture scale (production uses ~1M)."""
+    o = table(spark, sf_dir, "orders")
+    from sftp_data_ingestion_spark.operators.skew import skew_report
+
+    return skew_report(o, ["o_custkey"], target_rows_per_task=10)

@@ -239,3 +239,19 @@ def test_stream_ingest_neardup_restart_and_replay_guard(spark, tmp_path):
     # 30 rejected (near-dup of 10 across the restart), 40 admitted in
     # batch 2; 10/20 NOT re-admitted (file ledger + replay guard)
     assert got2 == {10: 0, 20: 1, 40: 2}
+
+
+def test_skew_report_hand_computed(spark):
+    """Planted histogram: key 'hot' x 8, 'a' x 1, 'b' x 1 ->
+    total 10, 3 keys, max 8, max/avg = 8/(10/3) = 2.4, share 0.8,
+    salts at target 2 rows/task = ceil(8/2) = 4."""
+    from sftp_data_ingestion_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 8 + [("a",), ("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, ["k"], target_rows_per_task=2).collect()[0]
+    assert r["total_rows"] == 10 and r["n_keys"] == 3
+    assert r["max_key_rows"] == 8
+    assert r["max_over_avg"] == 2.4
+    assert r["hot_key_share"] == 0.8
+    assert r["recommended_salts"] == 4

@@ -621,3 +621,34 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucket_pruning_on_key_equality_filter(spark):
+    """Point lookups on the bucket key read ONE bucket, not the
+    table: with the auto-bucketed-scan heuristic pinned off (it
+    disables bucketed scans that no join needs, which also forfeits
+    filter pruning), an o_orderkey = k filter shows
+    SelectedBucketsCount: 1 out of 8 — an 8x scan reduction that
+    scales with the bucket count on a 100 TB table."""
+    import re
+    import tempfile
+
+    from sftp_data_ingestion_spark.operators.bucketed import write_bucketed
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        o = table(spark, SF, "orders")
+        write_bucketed(
+            o, "t_plans_bp_orders", "o_orderkey", 8,
+            tempfile.mkdtemp() + "/t",
+        )
+        df = spark.table("t_plans_bp_orders").where(
+            F.col("o_orderkey") == 7
+        )
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan(df))
+        assert m and m.group(1) == "1" and m.group(2) == "8"
+    finally:
+        spark.conf.set(key, prev)

@@ -255,3 +255,57 @@ def test_skew_report_hand_computed(spark):
     assert r["max_over_avg"] == 2.4
     assert r["hot_key_share"] == 0.8
     assert r["recommended_salts"] == 4
+
+
+def test_strip_boilerplate_matches_python_model(spark):
+    """Model-based property (same discipline as test_properties.py):
+    random small corpora through the Spark rewrite vs an independent
+    pure-Python model of the chunk/frequency/reassembly contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from(list("abcdefgh"))
+    doc = st.lists(tokens, min_size=0, max_size=12).map(" ".join)
+
+    def model(texts, ct=3):
+        import re
+
+        chunks_per_doc = []
+        for t in texts:
+            # mirrors split(normalized(text), " "): "".split(" ") is
+            # [""] in both engines, so every doc has >= 1 chunk
+            toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            chunks = [
+                " ".join(toks[i : i + ct]) for i in range(0, len(toks), ct)
+            ]
+            chunks_per_doc.append(chunks)
+        from collections import defaultdict
+
+        docs_of = defaultdict(set)
+        for i, chs in enumerate(chunks_per_doc):
+            for c in chs:
+                docs_of[c].add(i)
+        out = {}
+        for i, chs in enumerate(chunks_per_doc):
+            keep = [c for c in chs if len(docs_of[c]) < 2]
+            out[i] = (
+                " ".join(keep),
+                len(chs),
+                sum(1 for c in chs if len(docs_of[c]) >= 2),
+            )
+        return out
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def prop(texts):
+        df = spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_removed"])
+            for r in strip_boilerplate_chunks(df, chunk_tokens=3).collect()
+        }
+        assert got == model(texts)
+
+    prop()

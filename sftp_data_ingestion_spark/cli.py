@@ -193,6 +193,51 @@ def cmd_curate(spark: SparkSession, args) -> dict:
     }
 
 
+def cmd_scrub(spark: SparkSession, args) -> dict:
+    """Corpus maintenance: boilerplate REMOVAL (the rewrite form of
+    the curate stage's dedup — ext/dedup.strip_boilerplate_chunks):
+    cross-document repeated chunks dropped, cleaned text written."""
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.ext.dedup import strip_boilerplate_chunks
+
+    docs = spark.read.parquet(args.documents)
+    out = strip_boilerplate_chunks(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        chunk_tokens=args.chunk_tokens,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    stats = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chunks").alias("chunks"),
+            F.sum("n_removed").alias("removed"),
+        )
+        .collect()[0]
+    )
+    return {
+        "docs": int(stats["docs"]),
+        "chunks_in": int(stats["chunks"] or 0),
+        "chunks_removed": int(stats["removed"] or 0),
+        "output": args.output,
+    }
+
+
+def cmd_skew(spark: SparkSession, args) -> dict:
+    """Pre-flight shuffle diagnosis: key histogram stats + the salt
+    factor that levels the hottest key (operators/skew.skew_report)."""
+    from sftp_data_ingestion_spark.operators.skew import skew_report
+
+    df = spark.read.parquet(args.input)
+    row = skew_report(
+        df, args.keys.split(","), target_rows_per_task=args.target_rows
+    ).collect()[0]
+    return {k: row[k] for k in row.asDict()}
+
+
 def cmd_compact(spark: SparkSession, args) -> dict:
     """Maintenance: bin-pack the append-grown tables (bronze, hist)
     into ~target-sized files — scan cost tracks file COUNT at scale,
@@ -250,6 +295,17 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--min-quality", type=float, default=0.6)
     pc.add_argument("--jaccard", type=float, default=0.5,
                     help="near-dup Jaccard threshold")
+    ps = sub.add_parser("scrub")
+    ps.add_argument("--documents", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--id-col", default="doc_id")
+    ps.add_argument("--text-col", default="text")
+    ps.add_argument("--chunk-tokens", type=int, default=3)
+    pk = sub.add_parser("skew")
+    pk.add_argument("--input", required=True, help="parquet path to diagnose")
+    pk.add_argument("--keys", required=True, help="comma-separated shuffle keys")
+    pk.add_argument("--target-rows", type=int, default=1_000_000,
+                    help="target rows per reducer task")
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"pipeline-{args.cmd}")
@@ -265,6 +321,10 @@ def main(argv: list[str] | None = None) -> int:
         out = {"compact": cmd_compact(spark, args)}
     elif args.cmd == "curate":
         out = {"curate": cmd_curate(spark, args)}
+    elif args.cmd == "scrub":
+        out = {"scrub": cmd_scrub(spark, args)}
+    elif args.cmd == "skew":
+        out = {"skew": cmd_skew(spark, args)}
     else:  # run-all: the four stages in cron order, one process
         out = {
             "ingest": cmd_ingest(spark, args),

@@ -3,6 +3,7 @@ through the CLI — ingest -> load -> upsert -> archive — on dirty
 reference-shaped CSVs, plus full-idempotency on rerun."""
 
 import datetime as dt
+import json
 from decimal import Decimal
 
 from sftp_data_ingestion_spark.cli import main
@@ -150,3 +151,30 @@ def test_compact_command(spark, tmp_path, capsys):
 
     spark.catalog.refreshByPath(bronze)
     assert spark.read.parquet(bronze).sort("id").collect() == before
+
+
+def test_scrub_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(0, "a b c x y z"), (1, "a b c p q r")], "doc_id long, text string"
+    ).write.parquet(src)
+    assert main(["scrub", "--documents", src, "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out)["scrub"]
+    assert rep["docs"] == 2 and rep["chunks_removed"] == 2
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {0: "x y z", 1: "p q r"}
+
+
+def test_skew_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "ev")
+    rows = [("hot",)] * 8 + [("a",), ("b",)]
+    spark.createDataFrame(rows, "k string").write.parquet(src)
+    assert main(
+        ["skew", "--input", src, "--keys", "k", "--target-rows", "2"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out)["skew"]
+    assert rep["max_key_rows"] == 8 and rep["recommended_salts"] == 4

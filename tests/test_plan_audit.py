@@ -1,0 +1,68 @@
+"""The plan-audit utility (`plans.py`) must flag exactly the
+pathologies the repo's plan tests pin — proven by constructing each
+offense deliberately, and by dogfooding: every bench headline query's
+plan must come back clean."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sftp_data_ingestion_spark import plans
+from sftp_data_ingestion_spark import queries as q
+from sftp_data_ingestion_spark.queries.registry import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def rules(findings):
+    return {f.rule for f in findings}
+
+
+def test_flags_cartesian(spark):
+    a = table(spark, SF, "nation")
+    b = table(spark, SF, "region")
+    got = plans.audit(a.crossJoin(b))
+    assert "nested_loop_join" in rules(got)
+    with pytest.raises(ValueError, match="nested_loop_join"):
+        plans.assert_clean(a.crossJoin(b))
+    # the allow-list is how deliberate broadcast-NL stages opt out
+    plans.assert_clean(a.crossJoin(b), allow=("nested_loop_join",))
+
+
+def test_flags_row_python_udf(spark):
+    from pyspark.sql.functions import udf
+
+    squared = udf(lambda x: x * x, T.LongType(), useArrow=False)
+    df = table(spark, SF, "nation").select(squared("n_nationkey"))
+    assert "python_row_udf" in rules(plans.audit(df))
+
+
+def test_flags_unpushable_filter(spark):
+    # upper() wraps the column -> parquet reader can't take the
+    # predicate; every row is decoded then filtered
+    df = table(spark, SF, "orders").where(
+        F.upper(F.col("o_orderstatus")) == "O"
+    )
+    assert "filter_not_pushed" in rules(plans.audit(df))
+
+
+def test_pushed_filter_is_clean(spark):
+    df = table(spark, SF, "orders").where(F.col("o_orderstatus") == "O")
+    assert "filter_not_pushed" not in rules(plans.audit(df))
+
+
+def test_counts_shuffles(spark):
+    df = table(spark, SF, "orders").groupBy("o_orderpriority").count()
+    info = [f for f in plans.audit(df) if f.rule == "shuffle_exchanges"]
+    assert info and info[0].detail == "1"
+
+
+def test_headline_queries_audit_clean(spark):
+    """Dogfood: the bench headline set must carry no error-severity
+    plan findings (the ANN pair scorers run under their documented
+    broadcast-NL allowance)."""
+    import bench
+
+    for name in bench.HEADLINE:
+        df = q.QUERIES[name](spark, SF)
+        plans.assert_clean(df, allow=("nested_loop_join",))

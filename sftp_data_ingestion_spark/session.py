@@ -66,6 +66,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- pandas/Arrow interchange for the few vectorized UDF ops ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- UDTFs ship rows over Arrow too (off by default in 4.1;
+        #    without it a LATERAL UDTF runs row-pickled
+        #    BatchEvalPythonUDTF — the audit's python_row_udf class) --
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # -- HotSpot never JIT-compiles methods > 8000 bytecode
         #    (DontCompileHugeMethods), so a whole-stage method between
         #    8000 and Spark's 65535 default runs INTERPRETED. Capping at

@@ -652,3 +652,14 @@ def test_bucket_pruning_on_key_equality_filter(spark):
         assert m and m.group(1) == "1" and m.group(2) == "8"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_udtf_runs_arrow_batched(spark):
+    """The LATERAL UDTF must ship rows via Arrow (session factory
+    pins spark.sql.execution.pythonUDTF.arrow.enabled, off by default
+    in Spark 4.1) — row-pickled BatchEvalPythonUDTF is the 10-100x
+    slow path the plan audit flags as python_row_udf."""
+    df = q.QUERIES["z2_token_rle_udtf"](spark, SF)
+    p = plan(df)
+    assert "ArrowEvalPythonUDTF" in p
+    assert "BatchEvalPythonUDTF" not in p

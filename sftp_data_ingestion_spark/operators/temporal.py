@@ -223,3 +223,51 @@ def range_join_overlap(
         F.col(right_point) < F.col(left_end)
     )
     return lx.join(rx, ["__bucket"]).where(exact).drop("__bucket")
+
+
+def ewma_last_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key —
+    s_1 = x_1, s_k = alpha*x_k + (1-alpha)*s_{k-1} over the
+    time-ordered value stream; the smoothing baseline an anomaly
+    monitor compares the next observation against.
+
+    A sequential recurrence is the one batch shape Column expressions
+    don't express (each row needs the previous STATE, not the previous
+    row — lag() gives x_{k-1}, not s_{k-1}), so this is the documented
+    fallback tier: ``applyInPandas``, Arrow-batched, one group per
+    key — the batch twin of the GroupState streaming operator. State
+    per task is O(1); the shuffle is one partition-by-key exchange,
+    identical to any windowed aggregate. Emits
+    ``(key, n_events, ewma)`` with the rounding applied JVM-side
+    (engine round semantics, not Python's banker's rounding)."""
+    import pandas as pd
+
+    out_schema = f"{key_col} long, n_events long, ewma double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols)
+        s = (
+            pdf[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [float(s)],
+            }
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandas(fn, out_schema)
+        .withColumn("ewma", F.round(F.col("ewma"), 6))
+    )

@@ -566,3 +566,42 @@ def z3_skew_report(spark, sf_dir):
     from sftp_data_ingestion_spark.operators.skew import skew_report
 
     return skew_report(o, ["o_custkey"], target_rows_per_task=10)
+
+
+@query(
+    "z3_ewma_per_user",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN rn = 1 THEN pow(0.7, n - 1) * value
+                      ELSE 0.3 * pow(0.7, n - rn) * value END),
+             6) AS ewma
+FROM ordered GROUP BY user_id
+""",
+)
+def z3_ewma_per_user(spark, sf_dir):
+    """Per-user EWMA of event values (alpha=0.3, time order) —
+    `operators/temporal.ewma_last_per_key`. The Spark side runs the
+    literal recurrence in Arrow-batched applyInPandas (pandas
+    ``ewm(adjust=False)``); the oracle expands the SAME recurrence to
+    its closed form (sum of alpha*(1-alpha)^(n-k) weights) — two
+    independent derivations, different summation orders, agreeing to
+    6 dp (drift ~1e-15 of libm pow + float order)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    from sftp_data_ingestion_spark.operators.temporal import (
+        ewma_last_per_key,
+    )
+
+    return ewma_last_per_key(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.3
+    )

@@ -309,3 +309,26 @@ def test_strip_boilerplate_matches_python_model(spark):
         assert got == model(texts)
 
     prop()
+
+
+def test_ewma_hand_computed(spark):
+    """x = [10, 20, 30], alpha=0.5: s = 10, 15, 22.5."""
+    import datetime as dt
+
+    from sftp_data_ingestion_spark.operators.temporal import (
+        ewma_last_per_key,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), i, 10.0 * (i + 1))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = ewma_last_per_key(
+        df, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 3
+    assert got[0]["ewma"] == 22.5

@@ -44,6 +44,10 @@ HEADLINE = [
     "z2_cms_heavy_hitters",
     "z2_quality_logreg_score",
     "z2_unigram_cross_entropy",
+    # second-session corpus family representative (cheap; the heavy
+    # members — stream ingest, recursion, minhash matrix — are
+    # scale-probed in PERFORMANCE.md instead)
+    "z3_bigram_cross_entropy",
 ]
 
 

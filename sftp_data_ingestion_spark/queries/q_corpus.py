@@ -605,3 +605,71 @@ def z3_ewma_per_user(spark, sf_dir):
     return ewma_last_per_key(
         e, "user_id", ["ts", "event_id"], "value", alpha=0.3
     )
+
+
+@query(
+    "z3_token_budget_mix",
+    oracle="""
+WITH budgets AS (
+  SELECT * FROM (VALUES ('src0', 3000), ('src1', 1500), ('src2', 2000))
+    t(source, token_budget)
+), toks AS (
+  SELECT d.source, d.doc_id, b.token_budget,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         ((d.doc_id * 2654435761) % 10000) AS bucket
+  FROM documents d JOIN budgets b ON d.source = b.source
+), ordered AS (
+  SELECT source, token_budget, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY bucket, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM toks
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(token_budget) AS BIGINT) AS token_budget
+FROM ordered WHERE running <= token_budget
+GROUP BY source
+""",
+)
+def z3_token_budget_mix(spark, sf_dir):
+    """Token-BUDGET dataset mixing — the other half of mixture
+    construction (``x_weighted_source_mix`` sets RATES; this meets
+    exact per-source token budgets, 'take 3000 tokens of src0, 1500
+    of src1, 2000 of src2'): documents ordered by the same portable
+    Knuth hash (reproducible, correlation-free), running token sum
+    per source, keep while the cumulative total fits the budget.
+
+    Scale shape: one broadcast of the budgets table, ONE shuffle (the
+    per-source window) — the same shape as any partitioned cumsum;
+    no collect, no second pass. The greedy prefix rule (kept total
+    <= budget, first overflowing doc excluded) is stated identically
+    in both engines, so the doc-level cutoff — not just the totals —
+    is hash-graded."""
+    from sftp_data_ingestion_spark.queries.q_sampling import split_bucket
+
+    d = table(spark, sf_dir, "documents")
+    budgets = spark.createDataFrame(
+        [("src0", 3000), ("src1", 1500), ("src2", 2000)],
+        "source string, token_budget int",
+    )
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(budgets), "source")
+        .withColumn("bucket", split_bucket(F.col("doc_id")))
+        .withColumn("n_tok", n_tok)
+        .withColumn("running", F.sum("n_tok").over(w))
+        .where(F.col("running") <= F.col("token_budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("token_budget").cast("long").alias("token_budget"),
+        )
+    )

@@ -307,3 +307,59 @@ def repetition_signals(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def bm25_scored(
+    d,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Per-document BM25 score for a bag-of-terms query, with the
+    RATIONAL idf (N - df + 0.5)/(df + 0.5) — no logarithm, so the
+    per-term score is the identical arithmetic expression in any
+    engine. Scale shape: tf/df/dl are uniform-key aggregates, the
+    query-term filter prunes tf to |Q| terms before any join, df and
+    corpus stats broadcast. Returns (doc_id, score) with score
+    rounded to 6 dp (summation order can't flip ties downstream).
+
+    Shared by z_bm25_search (lexical top-k) and z3_hybrid_rrf_fusion
+    (lexical arm of the fused ranking)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    dfreq = (
+        tf.where(F.col("term").isin(list(query_terms)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )

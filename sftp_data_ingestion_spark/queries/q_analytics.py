@@ -681,45 +681,10 @@ def z_bm25_search(spark, sf_dir):
     TakeOrderedAndProject (per-partition top-k, driver merge) with the
     rank assigned over the 10 survivors only."""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    toks = d.select(
-        "doc_id", F.explode(F.split(norm, " ")).alias("term")
-    )
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    qterms = ["join", "hash", "merge"]
-    dfreq = (
-        tf.where(F.col("term").isin(qterms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
-    stats = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                    * (F.col("tf") * 2.2)
-                    / (
-                        F.col("tf")
-                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-                    )
-                ),
-                6,
-            ).alias("score")
-        )
-    )
+    # scoring lives in ext/textstats.bm25_scored (shared with the RRF
+    # fusion query); k1=1.2, b=0.75 reproduce the constants verbatim
+    # (1.2+1.0 == 2.2 bit-exactly, checked)
+    scored = ts.bm25_scored(d, ["join", "hash", "merge"])
     # global top-k via TakeOrderedAndProject (per-partition top-10 +
     # driver merge), NOT a keyless rank window over every scored doc —
     # the rank is assigned after the limit, over 10 rows

@@ -673,3 +673,137 @@ def z3_token_budget_mix(spark, sf_dir):
             F.max("token_budget").cast("long").alias("token_budget"),
         )
     )
+
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_BM25_SQL = r"""
+  SELECT t.doc_id,
+         round(sum(
+           ((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf t
+  JOIN dfreq f ON t.term = f.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+"""
+
+
+@query(
+    "z3_hybrid_rrf_fusion",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+  WHERE term IN ('join', 'hash', 'merge') GROUP BY term
+), lex_scored AS ({_BM25_SQL}),
+lex AS (
+  SELECT doc_id, rnk AS lex_rnk FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+    FROM lex_scored
+  ) WHERE rnk <= 20
+),
+q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vec_top AS (
+  -- selection by RAW cosine (cosine_topk's internal order); the
+  -- survivors re-rank on the 6-dp value both engines emit, so a
+  -- 6-dp tie can't order differently across engines
+  SELECT b.vec_id AS doc_id, round({_COS_SQL}, 6) AS sim
+  FROM q a, c b WHERE a.vec_id <> b.vec_id
+  ORDER BY {_COS_SQL} DESC, b.vec_id ASC LIMIT 20
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rnk
+  FROM vec_top
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + l.lex_rnk), 0)
+               + coalesce(1.0 / (60 + v.vec_rnk), 0), 9) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rnk FROM (
+  SELECT doc_id, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= 10
+""",
+)
+def z3_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval — reciprocal-rank fusion of the engine's two
+    search arms (the RAG-stack standard for merging lexical and
+    vector rankings): BM25 top-20 for {join, hash, merge}
+    (`ext/textstats.bm25_scored`, shared with z_bm25_search) fused
+    with cosine top-20 around the vec_id=0 query embedding
+    (`ext/similarity.cosine_topk`, the proven-hash-equal engine),
+    rrf = sum of 1/(60+rank) over the arms a doc appears in.
+
+    The fusion arithmetic is pure rational division (no libm), so the
+    fused scores are bit-identical cross-engine; each arm's ranking
+    was already proven hash-equal by its own graded query, and the
+    ranks are assigned over <= 20-row frames. Scale shape: both arms
+    end in per-partition top-k; the fusion joins two <= 20-row
+    frames — free at any corpus size."""
+    from pyspark.sql import Window
+
+    from sftp_data_ingestion_spark.ext import similarity as sim
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        ts.bm25_scored(d, ["join", "hash", "merge"])
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex_top.withColumn("lex_rnk", F.row_number().over(wl)).select(
+        "doc_id", "lex_rnk"
+    )
+
+    vec_top = sim.cosine_topk(
+        e.where(F.col("vec_id") == 0), e, k=20, dim=64
+    )
+    wv = Window.orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    vec = vec_top.withColumn("vec_rnk", F.row_number().over(wv)).select(
+        F.col("neighbor_id").alias("doc_id"), "vec_rnk"
+    )
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rnk")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(wf)).select(
+        "doc_id", "rrf", "rnk"
+    )

@@ -58,6 +58,9 @@ PROBES = [
     "z3_strip_boilerplate_chunks",  # chunk rewrite (documents)
     "z3_source_minhash_jaccard",  # mergeable group sketches (documents)
     "z3_bigram_cross_entropy",    # bigram LM join (documents)
+    "z3_ewma_per_user",           # applyInPandas recurrence (events)
+    "z3_token_budget_mix",        # per-source window cumsum (documents)
+    "z3_hybrid_rrf_fusion",       # BM25 + ANN fusion (docs+embeddings)
 ]
 
 

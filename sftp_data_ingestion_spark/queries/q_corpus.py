@@ -807,3 +807,75 @@ def z3_hybrid_rrf_fusion(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(wf)).select(
         "doc_id", "rrf", "rnk"
     )
+
+
+@query(
+    "z3_contrastive_triplets",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+), nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT id_a AS anchor, id_b AS positive,
+       CASE WHEN h <> id_a AND h <> id_b THEN h
+            WHEN (h + 1) % n_docs <> id_a AND (h + 1) % n_docs <> id_b
+              THEN (h + 1) % n_docs
+            ELSE (h + 2) % n_docs END AS negative
+FROM (SELECT id_a, id_b,
+             ((id_a * 2654435761 + id_b * 40503) % n_docs) AS h, n_docs
+      FROM pairs CROSS JOIN nd)
+""",
+)
+def z3_contrastive_triplets(spark, sf_dir):
+    """Contrastive training-pair construction — (anchor, positive,
+    negative) triplets for embedding-model training: positives are
+    the verified near-dup pairs (the same exact-Jaccard contract
+    d_minhash_lsh_near_dup grades), negatives drawn by a
+    deterministic double-hash over the pair ids, with a two-step
+    linear probe away from the anchor/positive (the fixture's doc_ids
+    are dense 0..N-1; at scale the same rule runs against a dense
+    row_number surrogate). Reproducible end-to-end — rerunning the
+    pipeline yields byte-identical training pairs, which is the
+    property that makes a data bug in a trained model bisectable.
+
+    Scale shape: the pair stage is the LSH banded join (never
+    all-pairs); the negative pick is a pure per-row expression —
+    no extra shuffle, no sampling job."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dup_pairs(d, threshold=0.5)
+    n_docs = F.lit(d.count())
+    h = F.pmod(
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503),
+        n_docs,
+    )
+    h1 = F.pmod(h + 1, n_docs)
+    h2 = F.pmod(h + 2, n_docs)
+    neg = (
+        F.when((h != F.col("id_a")) & (h != F.col("id_b")), h)
+        .when((h1 != F.col("id_a")) & (h1 != F.col("id_b")), h1)
+        .otherwise(h2)
+    )
+    return pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        neg.alias("negative"),
+    )

@@ -20,6 +20,19 @@ session):
   forced order, each LSH-checked against the GROWING corpus (admitted
   survivors included), replay-guarded appends; the oracle replays the
   admissions sequentially, so batch ordering itself is graded.
+- ``z3_dpp_pruned_join`` — dynamic partition pruning on a
+  month-partitioned fact layout, dim unknowable at plan time.
+- ``z3_recursive_supplier_reach`` — Spark 4 recursive CTE
+  (depth-guarded multi-hop purchase-graph reach, DuckDB twin).
+- ``z3_skew_report`` — one-pass shuffle-key skew diagnosis.
+- ``z3_ewma_per_user`` — per-key EWMA recurrence (applyInPandas) vs
+  a closed-form oracle.
+- ``z3_token_budget_mix`` — exact per-source token budgets by greedy
+  hash-ordered prefix (the budget complement of the rate-based mix).
+- ``z3_hybrid_rrf_fusion`` — reciprocal-rank fusion of the BM25 and
+  cosine-ANN arms (the RAG-stack hybrid ranking).
+- ``z3_contrastive_triplets`` — reproducible (anchor, positive,
+  negative) training pairs from the verified near-dup graph.
 
 No reference equivalent — extension surface (SURVEY.md §2.11 family).
 Registered LAST (queries/__init__.py ordering policy: new queries must

@@ -1,0 +1,404 @@
+"""Pure in-container baseline JPEG codec (grayscale, sequential DCT)
+— extends the engine's real-codec multimodal path (BMP, PNG, WAV in
+`ext/multimodal.py`) to the lossy family without Pillow.
+
+Implements the subset of ITU-T T.81 a single-component baseline file
+needs: 8x8 forward/inverse DCT (numpy matrix form), the Annex K.1
+luminance quantization table with IJG quality scaling, zigzag, DC
+prediction, the Annex K.3 standard Huffman tables, 0xFF byte
+stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker skeleton. All
+tables are published spec constants.
+
+The codec is deterministic (same pixels -> same bytes -> same decoded
+pixels), which is what makes a LOSSY format gradeable: exactness is
+gone by design, so queries grade the round-trip with bounded-error
+checks (mean/max reconstruction error) plus exact structural facts
+(dimensions, pixel counts) — the same pattern the ANN recall gates
+use for approximate answers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (zigzag order NOT applied —
+# this is row-major natural order).
+_QUANT_BASE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag index order (position k of the scan -> (row, col))
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3 standard luminance Huffman tables: (bits[1..16], huffval)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(code, length) -> symbol."""
+    enc = _huff_encode_table(bits, vals)
+    return {(c, ln): sym for sym, (c, ln) in enc.items()}
+
+
+_DC_ENC = _huff_encode_table(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_encode_table(_AC_BITS, _AC_VALS)
+_DC_DEC = _huff_decode_table(_DC_BITS, _DC_VALS)
+_AC_DEC = _huff_decode_table(_AC_BITS, _AC_VALS)
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K table (1..100)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (_QUANT_BASE * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) per T.81 F.1.2.1 (one's complement for
+    negatives)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_gray(width: int, height: int, pixels: bytes, quality: int = 75) -> bytes:
+    """Encode ``width*height`` 8-bit grayscale pixels as a baseline
+    sequential JPEG."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    qt = _quant_table(quality)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    padded = np.pad(
+        img, ((0, bh - height), (0, bw - width)), mode="edge"
+    ).astype(np.float64) - 128.0
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = _DCT @ block @ _DCT.T
+            qz = np.round(coef / qt).astype(np.int64)
+            zz = [int(qz[r, c]) for (r, c) in _ZIGZAG]
+            # DC
+            cat, bits = _magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, ln = _DC_ENC[cat]
+            w.write(code, ln)
+            if cat:
+                w.write(bits, cat)
+            # AC with run-length + EOB/ZRL
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = _AC_ENC[(run << 4) | cat]
+                w.write(code, ln)
+                w.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = _AC_ENC[0x00]  # EOB
+                w.write(code, ln)
+    w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            # stuffed zero follows a literal FF in entropy data
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_read(reader: _BitReader, table) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise ValueError("invalid huffman stream")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits >> (cat - 1):
+        return bits
+    return bits - (1 << cat) + 1
+
+
+def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG produced by :func:`encode_gray`
+    (or any single-component baseline file using the standard
+    tables). Returns (width, height, pixels)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt = None
+    width = height = None
+    dc_dec, ac_dec = _DC_DEC, _AC_DEC
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            if body[0] & 0x0F == 0:
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    t[r, c] = body[1 + k]
+                qt = t
+        elif marker == 0xC0:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only single-component baseline supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                table = _huff_decode_table(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_dec = table
+                else:
+                    ac_dec = table
+                i += 17 + nvals
+        elif marker == 0xDA:
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if qt is None or width is None or scan_start is None:
+        raise ValueError("incomplete JPEG stream")
+
+    reader = _BitReader(payload[scan_start : len(payload) - 2])
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    out = np.zeros((bh, bw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            zz = [0] * 64
+            cat = _huff_read(reader, dc_dec)
+            diff = _extend(reader.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_read(reader, ac_dec)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, cat = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(reader.read_bits(cat), cat)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = zz[k2] * qt[r, c]
+            out[by : by + 8, bx : bx + 8] = _DCT.T @ coef @ _DCT
+    pix = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+    return width, height, pix[:height, :width].tobytes()
+
+
+def text_jpeg_roundtrip(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side: int = 48,
+    quality: int = 75,
+):
+    """Arrow-batched round-trip through the REAL codec: each
+    document's UTF-8 bytes tile a ``side`` x ``side`` grayscale image
+    (text bytes are high-frequency content — the hard case for a DCT
+    codec), which is encoded and decoded in the same task; emits the
+    reconstruction-error facts a lossy codec CAN be graded on —
+    exact pixel count, bounded mean/max error, and compression
+    actually happening. A broken DCT, Huffman table, zigzag, or
+    byte-stuffing path fails the bounds immediately (garbage decode
+    has mean error ~80 on this content)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_px = side * side
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or " ").encode("utf-8")
+                reps = n_px // len(b) + 1
+                pix = (b * reps)[:n_px]
+                enc = encode_gray(side, side, pix, quality=quality)
+                w, h, dec = decode_gray(enc)
+                a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+                c = np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                err = np.abs(a - c)
+                out.append(
+                    (
+                        did,
+                        w * h,
+                        float(err.mean()),
+                        int(err.max()),
+                        len(enc),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "n_pixels", "mean_err", "max_err", "n_bytes"],
+            )
+
+    schema = (
+        f"{id_col} long, n_pixels long, mean_err double, "
+        "max_err int, n_bytes int"
+    )
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -892,3 +892,37 @@ def z3_contrastive_triplets(spark, sf_dir):
         F.col("id_b").alias("positive"),
         neg.alias("negative"),
     )
+
+
+@query(
+    "z3_jpeg_codec_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(2304 AS BIGINT) AS n_pixels,
+       TRUE AS mean_err_ok, TRUE AS max_err_ok, TRUE AS compressed
+FROM documents WHERE doc_id < 100
+""",
+)
+def z3_jpeg_codec_roundtrip(spark, sf_dir):
+    """The REAL lossy codec graded end-to-end: each document's UTF-8
+    bytes tile a 48x48 grayscale image, pushed through the pure
+    in-container baseline JPEG encoder AND decoder (`ext/jpeg.py` —
+    DCT, Annex-K quantization, standard Huffman tables, byte
+    stuffing) inside one Arrow task. Lossy output can't be graded
+    byte-exactly, so the gate is the ANN-recall pattern: exact pixel
+    count cross-engine, plus self-graded bounds a broken stage
+    cannot pass — mean reconstruction error <= 12 and max <= 64 at
+    q75 on high-frequency text content (measured ~7.9 / ~43; garbage
+    decode means ~80), and the stream actually compressing below the
+    raw pixel size. Completes the codec family: BMP/PNG lossless,
+    WAV PCM, JPEG lossy."""
+    from sftp_data_ingestion_spark.ext.jpeg import text_jpeg_roundtrip
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rt = text_jpeg_roundtrip(d, side=48, quality=75)
+    return rt.select(
+        "doc_id",
+        "n_pixels",
+        (F.col("mean_err") <= 12.0).alias("mean_err_ok"),
+        (F.col("max_err") <= 64).alias("max_err_ok"),
+        (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
+    )

@@ -1,0 +1,73 @@
+"""Baseline JPEG codec (`ext/jpeg.py`): round-trip quality, dims,
+determinism, byte stuffing — all against numpy ground truth."""
+
+import numpy as np
+
+from sftp_data_ingestion_spark.ext.jpeg import decode_gray, encode_gray
+
+
+def _smooth(n=64):
+    x = np.linspace(0, 4 * np.pi, n)
+    return ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(
+        np.uint8
+    )
+
+
+def test_roundtrip_quality_monotonic():
+    img = _smooth()
+    raw = img.tobytes()
+    errs = {}
+    for q in (95, 75, 50):
+        enc = encode_gray(64, 64, raw, quality=q)
+        w, h, dec = decode_gray(enc)
+        assert (w, h) == (64, 64)
+        errs[q] = (
+            np.abs(
+                img.astype(int)
+                - np.frombuffer(dec, dtype=np.uint8).reshape(64, 64).astype(int)
+            ).mean()
+        )
+    assert errs[95] <= errs[75] <= errs[50]
+    assert errs[95] < 1.0  # near-lossless at q95 on smooth content
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(21, 35), dtype=np.uint8)
+    enc = encode_gray(35, 21, img.tobytes(), quality=90)
+    w, h, dec = decode_gray(enc)
+    assert (w, h) == (35, 21) and len(dec) == 35 * 21
+
+
+def test_deterministic_and_stuffed():
+    img = _smooth(48)
+    raw = img.tobytes()
+    e1 = encode_gray(48, 48, raw, 75)
+    assert e1 == encode_gray(48, 48, raw, 75)
+    # high-frequency content forces a stuffed 0xFF00 in the entropy
+    # stream at least once across these seeds (fixed, so stable)
+    rng = np.random.default_rng(7)
+    stuffed = False
+    for _ in range(8):
+        noise = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        enc = encode_gray(16, 16, noise.tobytes(), 90)
+        body = enc[enc.find(b"\xff\xda") :]
+        if b"\xff\x00" in body:
+            stuffed = True
+        # and every stuffed stream still decodes exactly to dims
+        w, h, dec = decode_gray(enc)
+        assert (w, h) == (16, 16) and len(dec) == 256
+    assert stuffed
+
+
+def test_error_bounded_on_text_bytes():
+    text = ("key agg row scan slow fast table value part hash " * 60).encode()
+    pix = text[: 48 * 48]
+    enc = encode_gray(48, 48, pix, 75)
+    w, h, dec = decode_gray(enc)
+    err = np.abs(
+        np.frombuffer(pix, dtype=np.uint8).astype(int)
+        - np.frombuffer(dec, dtype=np.uint8).astype(int)
+    )
+    assert err.mean() <= 12 and err.max() <= 64
+    assert len(enc) < len(pix)  # actually compresses

@@ -926,3 +926,33 @@ def z3_jpeg_codec_roundtrip(spark, sf_dir):
         (F.col("max_err") <= 64).alias("max_err_ok"),
         (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
     )
+
+
+@query(
+    "z3_y4m_frame_sample",
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+fr AS (SELECT doc_id, text, unnest([0, 2]) AS frame_idx FROM docs)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(256 AS BIGINT) AS n_px,
+       CAST(list_sum(list_transform(range(256), i ->
+         ascii(substr(text, ((frame_idx * 256 + i) % length(text)) + 1, 1))
+       )) AS BIGINT) AS luma_sum
+FROM fr
+""",
+)
+def z3_y4m_frame_sample(spark, sf_dir):
+    """REAL video-container frame sampling: 3 grayscale 16x16 frames
+    tiled from each document's bytes, encoded as a Cmono YUV4MPEG2
+    stream and decoded back by the production parser (`ext/y4m.py`)
+    in one Arrow task; frames 0 and 2 sampled (every_n=2) and their
+    luma sums emitted. Y4M is lossless, so — unlike the JPEG gate —
+    this grades EXACT values: the oracle replays the byte arithmetic
+    on the source text (ASCII fixture), the video analogue of
+    m_png_decode_histogram. Completes the real-codec matrix: image
+    lossless (BMP/PNG) + lossy (JPEG), audio (WAV), video (Y4M);
+    compressed video containers remain the one honest libav gate."""
+    from sftp_data_ingestion_spark.ext.y4m import text_y4m_frame_sample
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return text_y4m_frame_sample(d, side=16, n_frames=3, every_n=2)

@@ -503,9 +503,45 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling as a mapInPandas expansion stage: one input
     row -> ceil(duration/every_n) frame rows. Fake kernel slices the
-    payload deterministically; the real kernel would seek+decode."""
-    if decode == "real":  # pragma: no cover
-        raise NotImplementedError("frame decode needs libav/ffmpeg")
+    payload deterministically; the real kernel decodes YUV4MPEG2
+    streams with the production parser (`ext/y4m.py`) and samples
+    every ``every_n`` seconds of frames — compressed containers
+    (mp4/mkv) remain the honest libav gate."""
+    if decode == "real":
+        from sftp_data_ingestion_spark.ext.y4m import decode_y4m
+
+        def fn_real(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                ids, idxs, payloads = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    p = payload or b""
+                    if not p.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "real frame decode supports YUV4MPEG2 "
+                            "streams; compressed containers need "
+                            "libav/ffmpeg"
+                        )
+                    _w, _h, fps, frames = decode_y4m(p)
+                    stride = max(int(every_n * max(fps, 1)), 1)
+                    for k in range(0, len(frames), stride):
+                        ids.append(mid)
+                        idxs.append(k)
+                        payloads.append(frames[k])
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": idxs,
+                        "frame_payload": payloads,
+                    }
+                )
+
+        return df.select(
+            "media_id",
+            "payload",
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ).mapInPandas(fn_real, FRAME_SCHEMA)
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -956,3 +956,34 @@ def z3_y4m_frame_sample(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     return text_y4m_frame_sample(d, side=16, n_frames=3, every_n=2)
+
+
+from sftp_data_ingestion_spark.ext.bpe import bpe_oracle_sql  # noqa: E402
+
+
+@query("z3_bpe_train_merges", oracle=bpe_oracle_sql(3))
+def z3_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (`ext/bpe.py`): the first 3
+    merges of the classic subword algorithm learned over the corpus —
+    word histogram (the ONE corpus scan; training then runs over |V|
+    rows regardless of corpus size), per-step weighted pair counts,
+    deterministic argmax, and a fenced-replace greedy merge with
+    semantics identical in Spark SQL and DuckDB. The oracle unrolls
+    the same three steps, so the learned merges — data-dependent
+    outputs of an iterative algorithm — are hash-graded step for
+    step, the tokenizer analogue of the PageRank unrolled-CTE
+    grade."""
+    from sftp_data_ingestion_spark.ext.bpe import train_bpe_merges
+
+    d = table(spark, sf_dir, "documents")
+    # each step's pair count is a tiny aggregate over |V| rows; 32
+    # shuffle partitions are pure scheduling overhead at fixture
+    # scale (conf restored; on a cluster |V| stays small anyway)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        out = train_bpe_merges(d, n_merges=3).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+    return out

@@ -77,11 +77,15 @@ def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_bpe_merges(
-    df: DataFrame, text_col: str = "text", n_merges: int = 3
-) -> DataFrame:
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    return_vocab: bool = False,
+):
     """Learn the first ``n_merges`` BPE merges; returns one row per
     step: (step, left, right, pair_count)."""
     vocab = word_histogram(df, text_col).select(
+        "word",
         F.concat(
             F.lit("||"),
             F.array_join(F.split(F.col("word"), ""), "||"),
@@ -111,6 +115,7 @@ def train_bpe_merges(
             F.broadcast(best.select(F.col("left").alias("__l"),
                                     F.col("right").alias("__r")))
         ).select(
+            "word",
             _merge_once(F.col("seq"), F.col("__l"), F.col("__r")).alias(
                 "seq"
             ),
@@ -119,6 +124,13 @@ def train_bpe_merges(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    if return_vocab:
+        return out.select(
+            "step",
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        ), vocab
     return out.select(
         "step",
         F.col("left").alias("left_sym"),
@@ -138,7 +150,8 @@ def bpe_oracle_sql(n_merges: int = 3) -> str:
     FROM documents
   ) WHERE word <> '' GROUP BY word
 ), vocab0 AS (
-  SELECT '||' || array_to_string(string_split(word, ''), '||') || '||'
+  SELECT word,
+         '||' || array_to_string(string_split(word, ''), '||') || '||'
            AS seq, freq
   FROM words
 )"""
@@ -160,7 +173,7 @@ def bpe_oracle_sql(n_merges: int = 3) -> str:
   SELECT left_, right_, pair_count FROM pairs{k}
   ORDER BY pair_count DESC, left_ ASC, right_ ASC LIMIT 1
 ), vocab{k} AS (
-  SELECT replace(replace(replace(replace(seq,
+  SELECT word, replace(replace(replace(replace(seq,
            '||' || b.left_ || '||' || b.right_ || '||',
            '||' || b.left_ || b.right_ || '||'),
            '||' || b.left_ || '||' || b.right_ || '||',
@@ -178,3 +191,59 @@ def bpe_oracle_sql(n_merges: int = 3) -> str:
         for k in range(1, int(n_merges) + 1)
     ]
     return "".join(sql) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Tokenize with the just-learned merges: per document, the word
+    count and the subword-token count after ``n_merges`` BPE merges.
+    The trained vocabulary (word -> merged symbol sequence) is a
+    |V|-row broadcastable map, so encoding a 100 TB corpus is one
+    map-side join — the same economics as the training side."""
+    _, vocab = train_bpe_merges(
+        df, text_col, n_merges, return_vocab=True
+    )
+    wmap = vocab.select(
+        "word", F.size(_symbols(F.col("seq"))).alias("n_syms")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    doc_words = df.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(wmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_counts_oracle_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_token_counts` — extends the unrolled
+    training SQL with the final vocabulary join back to documents."""
+    train = bpe_oracle_sql(n_merges)
+    # reuse the training CTE chain up to vocab{n}: the final SELECTs
+    # contain no parentheses, so the last ')' closes vocab{n}
+    cte_end = train.rindex(")")
+    ctes = train[: cte_end + 1]
+    return (
+        ctes
+        + f""", wmap AS (
+  SELECT word,
+         length(list_filter(string_split(seq, '||'), x -> x <> ''))
+           AS n_syms
+  FROM vocab{int(n_merges)}
+), doc_words AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM doc_words JOIN wmap USING (word)
+WHERE word <> ''
+GROUP BY doc_id"""
+    )

@@ -987,3 +987,29 @@ def z3_bpe_train_merges(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     return out
+
+
+from sftp_data_ingestion_spark.ext.bpe import (  # noqa: E402
+    bpe_token_counts_oracle_sql,
+)
+
+
+@query("z3_bpe_token_counts", oracle=bpe_token_counts_oracle_sql(3))
+def z3_bpe_token_counts(spark, sf_dir):
+    """Tokenize with the just-trained merges: per-document word and
+    subword-token counts after 3 BPE merges — the train-then-encode
+    loop closed in one graded query. The learned vocabulary is a
+    |V|-row broadcastable word->length map, so encoding is one
+    map-side join over the corpus (same economics as training: the
+    corpus is scanned once; everything else is vocabulary-sized)."""
+    from sftp_data_ingestion_spark.ext.bpe import bpe_token_counts
+
+    d = table(spark, sf_dir, "documents")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        out = bpe_token_counts(d, n_merges=3).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+    return out

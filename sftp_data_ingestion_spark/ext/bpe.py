@@ -71,7 +71,10 @@ def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     single corpus-wide scan BPE training needs."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     w = df.select(F.explode(F.split(norm, " ")).alias("word")).where(
-        F.col("word") != ""
+        # '|' is the symbol fence; a word containing it would corrupt
+        # the fenced sequence encoding, so such words are excluded
+        # from training (at 100 TB: remap to a private-use codepoint)
+        (F.col("word") != "") & (~F.col("word").contains("|"))
     )
     return w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
@@ -148,7 +151,7 @@ def bpe_oracle_sql(n_merges: int = 3) -> str:
     SELECT unnest(string_split(
       trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
     FROM documents
-  ) WHERE word <> '' GROUP BY word
+  ) WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word
 ), vocab0 AS (
   SELECT word,
          '||' || array_to_string(string_split(word, ''), '||') || '||'

@@ -63,3 +63,15 @@ def test_bpe_greedy_overlap_semantics(spark):
     ]
     assert got[0] == (1, "a", "a")
     assert got[1] == (2, "aa", "aa")
+
+
+def test_fence_char_words_excluded(spark):
+    """Words containing the '|' symbol fence must be excluded from
+    training, not silently corrupt the sequence encoding."""
+    df = spark.createDataFrame([("ab ab a|b a|b a|b",)], "text string")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in train_bpe_merges(df, n_merges=1).collect()
+    ]
+    # only 'ab' x2 trains; the three 'a|b' words are out
+    assert got == [("a", "b", 2)]

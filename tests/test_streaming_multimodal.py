@@ -216,14 +216,16 @@ def test_extract_features_deterministic(spark, media):
 
 def test_real_decode_unsupported_formats_raise(media):
     """decode='real' now genuinely decodes BMP/WAV (stdlib codecs;
-    tests/test_multimodal_real.py), so only formats with no available
-    codec raise — the synthesized media table's 'fake' format errors
-    inside the kernel (surfacing as Spark's wrapped PythonException),
-    and video frame decode (no stdlib codec) raises eagerly."""
+    tests/test_multimodal_real.py) and YUV4MPEG2 video streams
+    (tests/test_y4m.py), so only formats with no available codec
+    raise — the synthesized media table's 'fake' payloads error
+    inside the kernel (surfacing as Spark's wrapped
+    PythonException), for frame sampling naming the remaining
+    libav gate for compressed containers."""
     with pytest.raises(Exception, match="codec"):
         mm.extract_features(media, decode="real").collect()
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(media, decode="real")
+    with pytest.raises(Exception, match="YUV4MPEG2|libav"):
+        mm.sample_frames(media, decode="real").collect()
 
 
 def test_resize_media_bounds_payload(spark, media):

@@ -114,9 +114,12 @@ def test_resize_real_through_spark(spark):
     assert rgb[0:3] == src_rgb[0:3]
 
 
-def test_sample_frames_real_still_gated(spark):
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(_media_df(spark), decode="real")
+def test_sample_frames_real_gated_for_non_y4m(spark):
+    """decode='real' now parses YUV4MPEG2 streams (tests/test_y4m.py);
+    non-Y4M payloads still hit the honest libav gate — inside the
+    kernel, so the error surfaces on execution."""
+    with pytest.raises(Exception, match="YUV4MPEG2|libav"):
+        mm.sample_frames(_media_df(spark), decode="real").collect()
 
 
 @pytest.mark.skipif(mm._pil_image() is None, reason="Pillow not installed")

@@ -61,6 +61,7 @@ PROBES = [
     "z3_ewma_per_user",           # applyInPandas recurrence (events)
     "z3_token_budget_mix",        # per-source window cumsum (documents)
     "z3_hybrid_rrf_fusion",       # BM25 + ANN fusion (docs+embeddings)
+    "z3_bpe_train_merges",        # histogram-bounded iterative training
 ]
 
 

@@ -332,3 +332,102 @@ def test_ewma_hand_computed(spark):
     assert len(got) == 1
     assert got[0]["n_events"] == 3
     assert got[0]["ewma"] == 22.5
+
+
+def test_group_minhash_exact_jaccard_matches_model(spark):
+    """Property: exact_jaccard equals an independent python model of
+    3-gram shingle-set Jaccard per source pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from(list("abcdef"))
+    doc = st.lists(tokens, min_size=3, max_size=10).map(" ".join)
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {t}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def prop(texts):
+        rows = [
+            (i, t, f"s{i % 3}") for i, t in enumerate(texts)
+        ]
+        df = _docs(spark, rows)
+        got = {
+            (r["src_a"], r["src_b"]): r["exact_jaccard"]
+            for r in group_minhash_jaccard(df, group_col="source").collect()
+        }
+        srcs = {}
+        for i, t, s in rows:
+            srcs.setdefault(s, set()).update(shingles(t))
+        exp = {}
+        names = sorted(srcs)
+        for a in range(len(names)):
+            for b in range(a + 1, len(names)):
+                sa, sb = srcs[names[a]], srcs[names[b]]
+                inter = len(sa & sb)
+                exp[(names[a], names[b])] = round(
+                    inter / (len(sa) + len(sb) - inter), 6
+                )
+        assert got == exp
+
+    prop()
+
+
+def test_token_budget_greedy_cutoff_matches_model(spark):
+    """Property: the kept-prefix totals equal an independent python
+    greedy over the same portable-hash order."""
+    _KNUTH, _BUCKETS = 2654435761, 10000
+    texts = [
+        (i, " ".join(["w"] * (3 + i % 5)), f"src{i % 2}") for i in range(14)
+    ]
+    budgets = {"src0": 15, "src1": 12}
+    df = _docs(spark, texts)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.queries.q_sampling import split_bucket
+
+    b = spark.createDataFrame(
+        list(budgets.items()), "source string, token_budget int"
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in (
+            df.join(F.broadcast(b), "source")
+            .withColumn("bucket", split_bucket(F.col("doc_id")))
+            .withColumn("n_tok", n_tok)
+            .withColumn("running", F.sum("n_tok").over(w))
+            .where(F.col("running") <= F.col("token_budget"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+            )
+            .collect()
+        )
+    }
+    exp = {}
+    for src, budget in budgets.items():
+        docs = sorted(
+            [(i, len(t.split(" "))) for i, t, s in texts if s == src],
+            key=lambda d: ((d[0] * _KNUTH) % _BUCKETS, d[0]),
+        )
+        total = n = 0
+        for _, ntok in docs:
+            if total + ntok > budget:
+                break
+            total += ntok
+            n += 1
+        exp[src] = (n, total)
+    assert got == exp

@@ -50,31 +50,40 @@ def m_content_sha_dedup(spark, sf_dir):
 # counter) stream -> dim floats), so DuckDB can replay it: counter
 # bytes via chr(0)/chr(1) (payload = utf-8 text; the fixture is pure
 # ASCII so byte ops == char ops), each float = big-endian u32 at hex
-# offset (i%8)*8 scaled to [-1, 1) and cast FLOAT.
-_FEATURE_SQL = """list_transform(range(16), i ->
-  CAST(CAST(CAST(concat('0x', substr(
+# offset (i%8)*8 scaled to [-1, 1) and cast FLOAT.  The graded
+# projection is FLATTENED to (media_id, i, value) rows — the driver's
+# pandas canonicalizer cannot sort array cells (r5: unhashable list).
+_FEATURE_VALUE_SQL = """
+  CAST(CAST(concat('0x', substr(
     sha256(text || chr(0) || chr(0) || chr(0)
                 || CASE WHEN i < 8 THEN chr(0) ELSE chr(1) END),
-    (i % 8) * 8 + 1, 8)) AS UBIGINT) AS DOUBLE) / 2147483648 - 1.0
-  AS FLOAT))"""
+    (CAST(i AS INTEGER) % 8) * 8 + 1, 8)) AS UBIGINT) AS DOUBLE)
+  / 2147483648 - 1.0"""
 
 
 @query(
     "m_extract_features",
     oracle=f"""
 SELECT doc_id AS media_id, sha256(text) AS content_sha,
-       {_FEATURE_SQL} AS features
-FROM documents
+       CAST(i AS INTEGER) AS i,
+       CAST({_FEATURE_VALUE_SQL} AS FLOAT) AS value
+FROM documents, range(16) t(i)
 """,
 )
 def m_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode+featurize, graded end-to-end:
     the fake kernel is deterministic, so the oracle replays the exact
     byte arithmetic in SQL. The real-decoder slot (PIL/libav) stays
-    env-gated in ext/multimodal.py."""
+    env-gated in ext/multimodal.py. Output is posexploded to one row
+    per (media_id, feature index) so every graded column is scalar."""
     docs = table(spark, sf_dir, "documents")
     media = mm.synthesize_media_table(docs)
-    return mm.extract_features(media, dim=16)
+    feats = mm.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "content_sha",
+        F.posexplode("features").alias("i", "value"),
+    )
 
 
 @query(
@@ -153,13 +162,15 @@ def m_resize_images(spark, sf_dir):
     oracle="""
 SELECT doc_id AS media_id,
        CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
-       list_transform(range(8), b -> CAST(length(list_filter(range(256), i ->
+       CAST(b AS INTEGER) AS bin,
+       CAST(length(list_filter(range(256), i ->
          least(((299*ascii(substr(text, ((3*i) % length(text)) + 1, 1))
                + 587*ascii(substr(text, ((3*i+1) % length(text)) + 1, 1))
                + 114*ascii(substr(text, ((3*i+2) % length(text)) + 1, 1)))
                // 1000) * 8 // 256, 7) = b
-       )) AS DOUBLE) / 256.0) AS luma_hist
-FROM documents WHERE doc_id % 3 = 0
+       )) AS DOUBLE) / 256.0 AS mass
+FROM documents, range(8) t(b)
+WHERE doc_id % 3 = 0
 """,
 )
 def m_png_decode_histogram(spark, sf_dir):
@@ -172,6 +183,14 @@ def m_png_decode_histogram(spark, sf_dir):
     fixture: char codes == bytes); any defect in deflate framing,
     unfiltering, or the luma kernel breaks the hash match. Mass is
     /256 — a power of two, so the division is float-exact in both
-    engines."""
+    engines. Output is posexploded to one row per (media_id, bin) so
+    every graded column is scalar (the driver's pandas canonicalizer
+    cannot sort array cells)."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
-    return mm.text_png_histogram(docs, size=16, bins=8)
+    hist = mm.text_png_histogram(docs, size=16, bins=8)
+    return hist.select(
+        "media_id",
+        "width",
+        "height",
+        F.posexplode("luma_hist").alias("bin", "mass"),
+    )

@@ -19,6 +19,27 @@ def test_entry_smoke(spark):
     assert "chave_nfe" in df.columns
 
 
+def test_no_complex_typed_outputs(spark, sf_small):
+    """The driver's canonicalizer sorts results as a pandas frame;
+    Array/Map/Struct cells make ``sort_values`` throw ``unhashable
+    type`` (r5: m_extract_features, m_png_decode_histogram). Guard the
+    whole registry: every graded column must be scalar. Building the
+    DataFrame analyzes the plan without running the query for lazy
+    queries; the few eager ones (ANN training, streaming foreachBatch)
+    run at sf0.001 where they are sub-second."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, fn in em.queries().items():
+        schema = fn(spark, sf_small).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex-typed graded outputs: {bad}"
+
+
 def test_sample_query_runs(spark, sf_small):
     df = em.queries()["w1_latest_event_per_user"](spark, sf_small)
     n = df.count()

@@ -24,7 +24,6 @@ Registered LAST (queries/__init__.py ordering policy).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sftp_data_ingestion_spark.ext.classify import logreg_margin
@@ -107,12 +106,13 @@ def z2_cms_heavy_hitters(spark, sf_dir):
     e = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     sketch = cms_build(e, "user_id", width=_CMS_WIDTH, depth=_CMS_DEPTH)
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
-    top20 = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps a 20-row heap and the driver merges heaps — no global
+    # single-partition WindowExec over the full distinct-user
+    # aggregate (billions of rows at 100 TB).
+    top20 = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    ).limit(20)
     est = cms_estimate(
         sketch, top20, "user_id", width=_CMS_WIDTH, depth=_CMS_DEPTH
     )

@@ -286,14 +286,12 @@ def st_stream_cms_topk(spark, sf_dir):
         spark.conf.set(key, prev)
     sketch = spark.read.parquet(state_path).select("row", "col", "cnt")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
-    top20 = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # TakeOrderedAndProject (per-partition 20-row heaps, driver merge)
+    # instead of a single-partition global rank window — see
+    # z2_cms_heavy_hitters for the scale rationale.
+    top20 = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    ).limit(20)
     est = cms_estimate(sketch, top20, "user_id", width=width, depth=depth)
     return top20.join(est, "user_id").select(
         "user_id", "exact_cnt", "cms_est"

@@ -488,6 +488,17 @@ def test_cms_probe_join_broadcasts_sketch(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_cms_topk_is_take_ordered_not_global_rank(spark):
+    """The exact top-20 over the distinct-user aggregate must plan as
+    TakeOrderedAndProject (per-partition 20-row heaps, driver merge) —
+    never a single-partition global rank WindowExec, which at 100 TB
+    funnels billions of aggregate rows through one sort task."""
+    df = q.QUERIES["z2_cms_heavy_hitters"](spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+
 def test_ahash_pairs_join_is_banded_equi_join(spark):
     """aHash near-dup candidates come from an equi-join on
     (band_idx, band_val) — never a nested-loop all-pairs scan."""

@@ -17,15 +17,18 @@ Each merge step is fully relational (no driver-side loop over words):
 2. argmax — highest count, ties broken (left, right) ascending;
    a one-row frame broadcast into the merge expression.
 3. merge — symbol sequences are stored as '||'-fenced strings
-   ('||t||h||e||'); merging pair (x,y) is a literal
-   replace('||x||y||' -> '||xy||') applied FOUR times nested. One
-   replace pass misses occurrences that share a fence with a match
-   to their left (replace consumes the shared '||'), and each pass
-   halves the longest such chain, so 4 passes cover words up to 16+
-   symbols; the fixpoint equals the reference greedy
-   leftmost-non-overlapping merge, and `replace` has identical
-   semantics in Spark SQL and DuckDB — which is what makes the
-   training loop cross-engine gradeable, step for step.
+   ('||t||h||e||'); merging pair (x,y) is a greedy left-to-right
+   fold over the symbol array (Spark `aggregate`, DuckDB
+   `list_reduce` — both JVM/native-side lambdas, no UDF): append
+   each symbol to the fenced accumulator, except when the
+   accumulator ends with token x and the incoming symbol is y —
+   then rewrite the tail to the merged token xy. Because the merged
+   token xy is strictly longer than x, a just-merged tail can never
+   re-match as the left of the next pair, so the fold is exactly
+   the reference greedy leftmost-non-overlapping merge — including
+   same-symbol runs ('aaaaa' -> [aa, aa, a]), where the previous
+   multi-pass replace() implementation stranded every other symbol
+   ('aaaaa' -> [aa, a, aa]).
 
 The step count K is a Python-side loop over DATAFRAME TRANSFORMS
 (like the PageRank supersteps) — K is small and fixed; the data never
@@ -58,12 +61,27 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _merge_once(seq, left, right):
-    pat = F.concat(F.lit("||"), left, F.lit("||"), right, F.lit("||"))
-    rep = F.concat(F.lit("||"), left, right, F.lit("||"))
-    out = seq
-    for _ in range(4):
-        out = F.replace(out, pat, rep)
-    return out
+    # greedy leftmost-non-overlapping merge of (left, right) as a fold
+    # over the symbol array with the fenced string as accumulator: the
+    # accumulator ends with '||x||' iff its LAST TOKEN is exactly x
+    # (tokens cannot contain '|'), and a merged tail token xy is
+    # longer than x so it never re-matches — see module docstring.
+    tail = F.concat(F.lit("||"), left, F.lit("||"))
+    return F.aggregate(
+        _symbols(seq),
+        F.lit("||"),
+        lambda acc, s: F.when(
+            acc.endswith(tail) & (s == right),
+            F.concat(
+                F.substring(
+                    acc, F.lit(1), F.length(acc) - F.length(left) - 2
+                ),
+                left,
+                right,
+                F.lit("||"),
+            ),
+        ).otherwise(F.concat(acc, s, F.lit("||"))),
+    )
 
 
 def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -144,7 +162,8 @@ def train_bpe_merges(
 
 def bpe_oracle_sql(n_merges: int = 3) -> str:
     """Unrolled DuckDB twin of :func:`train_bpe_merges` — the same
-    histogram, pair-count, argmax, and 4x fenced replace per step."""
+    histogram, pair-count, argmax, and greedy list_reduce merge
+    fold per step."""
     sql = [
         r"""WITH words AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -176,15 +195,15 @@ def bpe_oracle_sql(n_merges: int = 3) -> str:
   SELECT left_, right_, pair_count FROM pairs{k}
   ORDER BY pair_count DESC, left_ ASC, right_ ASC LIMIT 1
 ), vocab{k} AS (
-  SELECT word, replace(replace(replace(replace(seq,
-           '||' || b.left_ || '||' || b.right_ || '||',
-           '||' || b.left_ || b.right_ || '||'),
-           '||' || b.left_ || '||' || b.right_ || '||',
-           '||' || b.left_ || b.right_ || '||'),
-           '||' || b.left_ || '||' || b.right_ || '||',
-           '||' || b.left_ || b.right_ || '||'),
-           '||' || b.left_ || '||' || b.right_ || '||',
-           '||' || b.left_ || b.right_ || '||') AS seq, freq
+  SELECT word, list_reduce(
+           list_prepend('||',
+             list_filter(string_split(seq, '||'), x -> x <> '')),
+           (acc, s) -> CASE
+             WHEN ends_with(acc, '||' || b.left_ || '||')
+                  AND s = b.right_
+             THEN substr(acc, 1, length(acc) - length(b.left_) - 2)
+                  || b.left_ || b.right_ || '||'
+             ELSE acc || s || '||' END) AS seq, freq
   FROM {prev} CROSS JOIN best{k} b
 )"""
         )

@@ -44,6 +44,9 @@ def test_bpe_matches_python_model(spark):
     words = (
         ["lower"] * 5 + ["lowest"] * 2 + ["newer"] * 6 + ["wider"] * 3
         + ["aaa"] * 4  # overlapping same-symbol pair case
+        + ["aaaaa"] * 2 + ["aaaaaa"] * 2  # runs >= 5: greedy must give
+        # [aa,aa,a] / [aa,aa,aa]; the old multi-pass replace() merge
+        # stranded every other symbol ([aa,a,aa] / [aa,a,aa,a])
     )
     df = spark.createDataFrame([( " ".join(words),)], "text string")
     got = [
@@ -63,6 +66,19 @@ def test_bpe_greedy_overlap_semantics(spark):
     ]
     assert got[0] == (1, "a", "a")
     assert got[1] == (2, "aa", "aa")
+
+
+def test_bpe_long_same_symbol_runs(spark):
+    # runs of 5 and 6 'a's: greedy pairs left-to-right, so after
+    # merging (a,a) the vocab holds [aa,aa,a] and [aa,aa,aa]; step 2's
+    # (aa,aa) count is 1 (from 'aaaaa', positions 0-1) + 2 (from
+    # 'aaaaaa': overlapping adjacencies at 0-1 and 1-2) per word copy
+    df = spark.createDataFrame([("aaaaa aaaaaa",)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in train_bpe_merges(df, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == _model_merges(["aaaaa", "aaaaaa"], 2)
 
 
 def test_fence_char_words_excluded(spark):

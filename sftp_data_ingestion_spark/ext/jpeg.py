@@ -266,9 +266,13 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG produced by :func:`encode_gray`
-    (or any single-component baseline file using the standard
-    tables). Returns (width, height, pixels)."""
+    """Decode a single-component baseline JPEG WITHOUT restart
+    intervals — i.e. streams from :func:`encode_gray`, or foreign
+    files of the same shape (single component, baseline DCT, DQT/DHT
+    tables in-stream, no DRI/RSTn). Files declaring a restart
+    interval are rejected explicitly (the entropy decoder does not
+    resync at RSTn markers); progressive/multi-component files are
+    rejected by their SOF. Returns (width, height, pixels)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -294,6 +298,18 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 raise ValueError("only single-component baseline supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "only baseline DCT (SOF0) is supported, got "
+                f"SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:
+            interval = struct.unpack(">H", body[:2])[0]
+            if interval != 0:
+                raise ValueError(
+                    "restart intervals (DRI/RSTn) are not supported; "
+                    "re-encode without restart markers"
+                )
         elif marker == 0xC4:
             i = 0
             while i < len(body):

@@ -98,18 +98,17 @@ def z3_strip_boilerplate_chunks(spark, sf_dir):
 @query(
     "z3_source_minhash_jaccard",
     oracle=f"""
-WITH toksrc AS (
-  SELECT doc_id, source,
-         generate_subscripts(string_split(s, ' '), 1) AS pos,
-         unnest(string_split(s, ' ')) AS tok
+WITH grams AS (
+  -- same short-doc contract as ext/dedup.shingles(): a doc with
+  -- < 3 tokens contributes its whole normalized text as ONE shingle
+  -- (mirrors _SHINGLE_SQL; previously such docs were silently
+  -- dropped by a lead()-NULL filter, a cross-engine trap)
+  SELECT source, unnest(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END) AS shingle
   FROM (SELECT doc_id, source, {_NORM_SQL} AS s FROM documents)
-), grams AS (
-  SELECT source, tok || ' ' || lead1 || ' ' || lead2 AS shingle FROM (
-    SELECT source, tok,
-           lead(tok, 1) OVER w AS lead1,
-           lead(tok, 2) OVER w AS lead2
-    FROM toksrc WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  ) WHERE lead1 IS NOT NULL AND lead2 IS NOT NULL
 ), sh AS (
   SELECT DISTINCT source, shingle FROM grams
 ), sizes AS (

@@ -19,6 +19,7 @@ escape hatch for operators Spark lacks.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -444,6 +445,12 @@ def stream_ingest_neardup(
     native). On a cluster the corpus append becomes a Delta/Iceberg
     transactional append and the replay guard becomes the table's own
     idempotent-write txn id; nothing else changes.
+
+    ``corpus_path`` may be missing/empty on a cold start — the first
+    micro-batch then seeds it (whole batch admitted). A PRE-SEEDED
+    corpus must carry ``batch_seq int`` (use -1 for pre-stream rows)
+    alongside ``doc_id``/``text``; without it the replay guard cannot
+    work and admit_batch raises rather than double-admitting.
     """
     from sftp_data_ingestion_spark.ext.dedup import (
         incremental_near_dup_pairs,
@@ -457,7 +464,25 @@ def stream_ingest_neardup(
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        corpus = s.read.parquet(corpus_path)
+        try:
+            corpus = s.read.parquet(corpus_path)
+        except AnalysisException:
+            # cold start: no corpus yet — nothing to dedup against,
+            # admit the whole batch (it seeds the corpus)
+            (
+                batch_df.withColumn(
+                    "batch_seq", F.lit(batch_id).cast("int")
+                )
+                .write.mode("append")
+                .parquet(corpus_path)
+            )
+            return
+        if "batch_seq" not in corpus.columns:
+            raise ValueError(
+                f"corpus at {corpus_path} lacks the batch_seq column "
+                "the replay guard needs; pre-seed it with "
+                "batch_seq int (e.g. -1 for pre-stream rows)"
+            )
         if (
             corpus.where(F.col("batch_seq") == batch_id).limit(1).count()
             > 0

@@ -241,6 +241,50 @@ def test_stream_ingest_neardup_restart_and_replay_guard(spark, tmp_path):
     assert got2 == {10: 0, 20: 1, 40: 2}
 
 
+def test_stream_ingest_neardup_cold_start(spark, tmp_path):
+    """No pre-seeded corpus at all: the first micro-batch seeds it
+    (whole batch admitted), later batches dedup against it."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")  # never created before start
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    neardup = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 x14 x15"
+
+    def write_chunk(k, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"chunk_{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+
+    write_chunk(0, [(10, base)])
+    write_chunk(1, [(30, neardup)])
+    q = st.stream_ingest_neardup(spark, landing, corpus, ckpt, threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["batch_seq"]
+        for r in spark.read.parquet(corpus).collect()
+    }
+    # 10 seeds the corpus in batch 0; 30 is rejected as its near-dup
+    assert got == {10: 0}
+
+
 def test_skew_report_hand_computed(spark):
     """Planted histogram: key 'hot' x 8, 'a' x 1, 'b' x 1 ->
     total 10, 3 keys, max 8, max/avg = 8/(10/3) = 2.4, share 0.8,

@@ -71,3 +71,31 @@ def test_error_bounded_on_text_bytes():
     )
     assert err.mean() <= 12 and err.max() <= 64
     assert len(enc) < len(pix)  # actually compresses
+
+
+def test_unsupported_dri_and_progressive_rejected():
+    """Foreign features outside the documented contract fail loudly
+    (never decode to garbage): a DRI segment with a non-zero restart
+    interval, and a progressive SOF2 frame header."""
+    import pytest
+    import struct
+
+    enc = encode_gray(16, 16, bytes(range(256)), 75)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # splice a DRI (restart interval = 4) right after SOI
+    dri = enc[:2] + seg(0xDD, struct.pack(">H", 4)) + enc[2:]
+    with pytest.raises(ValueError, match="restart intervals"):
+        decode_gray(dri)
+
+    # zero restart interval is explicitly allowed (DRI present, off)
+    dri0 = enc[:2] + seg(0xDD, struct.pack(">H", 0)) + enc[2:]
+    w, h, _ = decode_gray(dri0)
+    assert (w, h) == (16, 16)
+
+    # rewrite SOF0 -> SOF2 (progressive)
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_gray(prog)

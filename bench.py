@@ -48,6 +48,10 @@ HEADLINE = [
     # members — stream ingest, recursion, minhash matrix — are
     # scale-probed in PERFORMANCE.md instead)
     "z3_bigram_cross_entropy",
+    # round-6: the composed five-stage curation run (quality gate ->
+    # near-dup -> decontaminate -> token budget -> pack) — the
+    # end-to-end number a training-data pipeline actually cares about
+    "curation_e2e",
 ]
 
 

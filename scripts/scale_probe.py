@@ -43,6 +43,9 @@ COPIES = 10
 # representative query per operator family (all read only the tables
 # scaled below)
 PROBES = [
+    "pedidos_pipeline_flagship",  # 41-expr clean + dedup + merge (orders)
+    "v_ivf_ann_topk",             # IVF ANN probe (embeddings)
+    "curation_e2e",               # composed 5-stage curation (documents)
     "g_q1_pricing_summary",       # scan + agg (lineitem)
     "j_revenue_by_nation",        # multi-join + agg
     "w1_latest_event_per_user",   # window dedup (events)

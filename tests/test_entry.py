@@ -19,6 +19,30 @@ def test_entry_smoke(spark):
     assert "chave_nfe" in df.columns
 
 
+def test_registry_orders_unproven_before_proven():
+    """The driver grades only the first ~50 registered queries, so the
+    registry must report every query lacking a green driver row
+    (never graded or graded red in any CORRECTNESS_r*.json) BEFORE
+    every query that already has one — otherwise proof budget is spent
+    re-proving green rows while the backlog starves."""
+    from sftp_data_ingestion_spark.queries import (
+        QUERIES,
+        _green_in_driver_rows,
+    )
+
+    green = _green_in_driver_rows()
+    order = list(QUERIES)
+    if green and len(green) < len(order):
+        first_proven = min(i for i, n in enumerate(order) if n in green)
+        last_unproven = max(
+            i for i, n in enumerate(order) if n not in green
+        )
+        assert last_unproven < first_proven, (
+            f"unproven query {order[last_unproven]} is registered after "
+            f"proven query {order[first_proven]}"
+        )
+
+
 def test_no_complex_typed_outputs(spark, sf_small):
     """The driver's canonicalizer sorts results as a pandas frame;
     Array/Map/Struct cells make ``sort_values`` throw ``unhashable

@@ -449,3 +449,36 @@ def test_versioned_table_matches_sequence_model(spark, tmp_path_factory, ops):
         assert got == sorted(want), f"version {v}"
     latest = sorted(r["v"] for r in vt.read(spark, root).collect())
     assert latest == sorted(model[max(model)])
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge fold vs the pure-Python reference model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # skew toward tiny alphabets so same-symbol runs and repeated
+        # pairs are common — the regime where the r6 greedy-fold fix
+        # matters (the old multi-pass replace() mis-segmented runs >=5)
+        st.text(alphabet="ab", min_size=1, max_size=9),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_bpe_merges_match_model_on_random_words(spark, words):
+    from sftp_data_ingestion_spark.ext.bpe import train_bpe_merges
+
+    from tests.test_bpe import _model_merges
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in train_bpe_merges(df, n_merges=3).orderBy("step").collect()
+    ]
+    # both sides may stop early when no pair remains (e.g. all
+    # single-char words); step rows must agree exactly while both run
+    model = _model_merges(words, 3)
+    assert got == model[: len(got)]
+    assert len(got) == len(model)

@@ -1196,3 +1196,53 @@ def ivfpq_topk_rerank(
         .select("query_id", "neighbor_id")
     )
     return rerank_exact(queries, corpus, cand, k, id_col, vec_col, dim)
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-level) eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination — the semantic
+    counterpart of ``ext.dedup.contamination_report`` (n-gram overlap
+    misses paraphrased/near-translated leakage; cosine similarity to
+    an eval embedding catches it). Emits only contaminated training
+    rows: ``(train_id, n_eval_hits, max_sim)`` where ``n_eval_hits``
+    counts eval vectors with cosine >= ``threshold`` and ``max_sim``
+    is the highest (6-dp-rounded) similarity.
+
+    Scale shape mirrors the n-gram version: the EVAL side broadcasts
+    (benchmarks are tiny next to a training corpus, by construction)
+    and the training corpus streams through one broadcast-NL scoring
+    pass — per-row norms computed once below the join, the pair dot
+    in flat whole-stage codegen (:func:`_pair_sim`), no train-side
+    shuffle before the per-doc aggregate. Thresholding uses the
+    ROUNDED similarity so the keep/drop boundary is engine-portable
+    (same contract as every graded cosine query here)."""
+    if dim is None:
+        dim = _dim_of(train, vec_col, evalset)
+    t = _norm_side(fan_out(train), id_col, vec_col, "train_id", "tv", "tn", dim)
+    e = _norm_side(evalset, id_col, vec_col, "eval_id", "ev", "en", dim)
+    scored = t.crossJoin(F.broadcast(e)).select(
+        "train_id",
+        F.round(
+            _pair_sim(F.col("tv"), F.col("ev"), F.col("tn"), F.col("en"), dim),
+            6,
+        ).alias("sim"),
+    )
+    return (
+        scored.where(F.col("sim") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+    )

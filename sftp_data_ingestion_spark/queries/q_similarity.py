@@ -310,3 +310,76 @@ def v_embedding_neardup_clusters(spark, sf_dir):
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
     )
+
+
+@query(
+    "v_semantic_decontaminate",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ev AS (
+  SELECT vec_id, v FROM base WHERE vec_id % 25 = 0
+), leak AS (
+  -- planted leakage: each eval vector re-enters the training set
+  -- perturbed (sim ~0.993), re-keyed +200000; perturb in the inner
+  -- select so the lambda's vec_id cannot resolve against the
+  -- shifted lateral alias (same hazard noted at _PLANT_SQL)
+  SELECT vec_id + 200000 AS vec_id, v FROM (
+    SELECT vec_id,
+           list_transform(range(64), j -> v[j+1] + 0.05 *
+             (CAST(((vec_id*131 + j) * 2654435761) % 1000003 AS DOUBLE)
+              / 1000003 - 0.5)) AS v
+    FROM ev
+  )
+), train AS (
+  SELECT vec_id, v FROM base WHERE vec_id % 25 <> 0
+  UNION ALL
+  SELECT vec_id, v FROM leak
+), sims AS (
+  SELECT t.vec_id AS train_id,
+         round(list_dot_product(t.v, e.v)
+               / (sqrt(list_dot_product(t.v, t.v))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+  FROM train t CROSS JOIN ev e
+)
+SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(sim) AS max_sim
+FROM sims WHERE sim >= 0.9 GROUP BY train_id
+""",
+)
+def v_semantic_decontaminate(spark, sf_dir):
+    """Semantic (embedding-level) eval-set decontamination with
+    PLANTED leakage: the 1-in-25 eval vectors re-enter the training
+    set perturbed (deterministic integer-mod noise, sim ~0.993,
+    re-keyed +200000) — the paraphrased-leak regime n-gram
+    decontamination (`d_decontaminate`) cannot catch. The operator
+    must flag exactly the planted leaks at threshold 0.9 (the fixture
+    has no natural >= 0.9 cross pairs), each hitting exactly its
+    source eval vector; the all-pairs oracle grades hit counts and
+    max similarity. Registered after the driver-grading backlog (the
+    registry self-orders unproven-first)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("embedding"))
+    ev = base.where(F.col("vec_id") % 25 == 0)
+    w = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            ((F.col("vec_id") * 131 + j) * F.lit(2654435761)) % 1000003
+        ).cast("double")
+        / 1000003
+        - 0.5,
+    )
+    # perturb BEFORE re-keying (see _planted_corpus: Spark 4 lateral
+    # column aliases would bind the lambda's vec_id to the shifted id)
+    leak = (
+        ev.select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"), w, lambda x, n: x + 0.05 * n
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    )
+    train = base.where(F.col("vec_id") % 25 != 0).unionAll(leak)
+    return sim.semantic_contamination(train, ev, threshold=0.9, dim=64)

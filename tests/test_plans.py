@@ -674,3 +674,16 @@ def test_udtf_runs_arrow_batched(spark):
     p = plan(df)
     assert "ArrowEvalPythonUDTF" in p
     assert "BatchEvalPythonUDTF" not in p
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark):
+    """The eval side must be the broadcast build side of the scoring
+    pass (benchmarks are tiny next to a training corpus); the train
+    side must reach the per-doc aggregate without a pre-join shuffle,
+    and all scoring stays JVM-side."""
+    df = q.QUERIES["v_semantic_decontaminate"](spark, SF)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the only shuffle is the post-filter groupBy on train_id
+    assert n_exchanges(p) <= 2  # agg exchange (+ fixture fan_out)

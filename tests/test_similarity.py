@@ -245,3 +245,35 @@ def test_srp_planes_are_distinct_per_table(spark):
     # and tables with different seeds differ too
     other = sim._plane_literals(8, 7 + 7919, 64)
     assert tuple(planes[0]) != tuple(other[0])
+
+
+def test_semantic_contamination_hand_computed(spark):
+    """Hand-built 3-dim geometry: train t1 equals eval e1 (sim 1.0),
+    t2 is orthogonal to both evals (never flagged), t3 sits at
+    cos = 0.8 to e1 (below the 0.9 gate), t4 at cos ~0.98 to e2 and
+    orthogonal to e1 (flagged, one hit)."""
+    import math
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    a = 0.8, math.sqrt(1 - 0.8**2)  # unit vector at cos 0.8 to e1
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),          # parallel to e1 -> sim 1.0
+            (2, [0.0, 0.0, 3.0]),          # orthogonal to both
+            (3, [a[0], 0.0, a[1]]),        # cos 0.8 to e1: below gate
+            (4, [0.0, 0.98, 0.199]),       # cos ~0.98 to e2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["train_id"]: (r["n_eval_hits"], r["max_sim"])
+        for r in sim.semantic_contamination(
+            train, ev, threshold=0.9, dim=3
+        ).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == (1, 1.0)
+    assert got[4][0] == 1 and 0.97 < got[4][1] < 0.99

@@ -37,8 +37,8 @@ from sftp_data_ingestion_spark import queries as q
 from sftp_data_ingestion_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/spark_graft_sf1x"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+DST = f"/tmp/spark_graft_sf{COPIES}x"
 
 # representative query per operator family (all read only the tables
 # scaled below)

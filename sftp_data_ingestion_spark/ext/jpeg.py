@@ -289,12 +289,16 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
+            if len(body) < 65:
+                raise ValueError("truncated DQT segment")
             if body[0] & 0x0F == 0:
                 t = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(_ZIGZAG):
                     t[r, c] = body[1 + k]
                 qt = t
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 raise ValueError("only single-component baseline supported")
@@ -304,6 +308,8 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
                 f"SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             interval = struct.unpack(">H", body[:2])[0]
             if interval != 0:
                 raise ValueError(

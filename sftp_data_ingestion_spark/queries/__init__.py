@@ -71,6 +71,10 @@ def _green_in_driver_rows() -> set[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    # LATEST verdict per query wins: round files are processed in round
+    # order, and a red row in a later round REMOVES the query from the
+    # green set, so a regression rotates back into the grading window
+    # instead of hiding behind an early-round green (r6 ADVICE).
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -81,14 +85,19 @@ def _green_in_driver_rows() -> set[str]:
         if not isinstance(rows, dict):
             continue
         for name, r in rows.items():
-            if not isinstance(r, dict) or r.get("rows_match") is not True:
+            if not isinstance(r, dict):
                 continue
-            if r.get("schema_match") is False:
-                continue
-            # hash_match None = the driver's weaker rows-only check
-            # (non-SQL-expressible ops) — rows green is its ceiling
-            if r.get("hash_match") in (True, None):
+            ok = (
+                r.get("rows_match") is True
+                and r.get("schema_match") is not False
+                # hash_match None = the driver's weaker rows-only check
+                # (non-SQL-expressible ops) — rows green is its ceiling
+                and r.get("hash_match") in (True, None)
+            )
+            if ok:
                 green.add(name)
+            else:
+                green.discard(name)
     return green
 
 
@@ -114,17 +123,30 @@ def _family_rank(name: str) -> int:
     return 8
 
 
+def _proof_priority_order(names: list[str], green: set[str]) -> list[str]:
+    """Pure ordering contract (tested in tests/test_entry.py).
+
+    With NO driver artifacts (``green`` empty — e.g. a fresh checkout
+    without CORRECTNESS_r*.json) every query keeps its family rank and
+    ties break on registration order, so the order is fully
+    deterministic and depends only on module import order.
+    """
+    return [
+        name
+        for _, name in sorted(
+            enumerate(names),
+            key=lambda t: (
+                9 if t[1] in green else _family_rank(t[1]),
+                t[0],
+            ),
+        )
+    ]
+
+
 def _reorder() -> None:
-    green = _green_in_driver_rows()
-    order = sorted(
-        enumerate(QUERIES),
-        key=lambda t: (
-            9 if t[1] in green else _family_rank(t[1]),
-            t[0],
-        ),
-    )
-    qs = {name: QUERIES[name] for _, name in order}
-    ors = {name: ORACLES[name] for _, name in order if name in ORACLES}
+    order = _proof_priority_order(list(QUERIES), _green_in_driver_rows())
+    qs = {name: QUERIES[name] for name in order}
+    ors = {name: ORACLES[name] for name in order if name in ORACLES}
     QUERIES.clear()
     QUERIES.update(qs)
     ORACLES.clear()

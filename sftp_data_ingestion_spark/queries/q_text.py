@@ -227,6 +227,16 @@ def curation_e2e(spark, sf_dir):
     graded as per-(source, pack) doc/token accounting against one
     composed DuckDB formulation of all five stages.
 
+    FIXTURE ASSUMPTION (grading stability): the near-dup stage is
+    MinHash-LSH (64 hashes / 16 bands) graded against an EXACT
+    all-pairs Jaccard oracle. At similarity right at the 0.5
+    threshold, LSH band recall is only ~64%, so the graded hash is
+    stable only because the sf0.01 fixture has no natural pair with
+    borderline Jaccard — every true pair is well above threshold and
+    every non-pair well below (verified for this fixture with
+    scripts/check_canon.py; re-verify before pointing this query at a
+    NEW fixture — same dependence as curation_pipeline).
+
     Scale shape is the SUM of the proven parts, in the only sane
     order: the pure-Column quality gate runs at scan speed so every
     shuffle-bearing stage (LSH banding, closure supersteps,

@@ -466,7 +466,14 @@ def stream_ingest_neardup(
         s = batch_df.sparkSession
         try:
             corpus = s.read.parquet(corpus_path)
-        except AnalysisException:
+        except AnalysisException as e:
+            # Only a genuinely-absent corpus is a cold start. A corpus
+            # that EXISTS but fails analysis (non-parquet garbage,
+            # mixed files) must re-raise — seeding next to existing
+            # data would bypass both dedup and the replay guard.
+            cold = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+            if (e.getCondition() or "") not in cold:
+                raise
             # cold start: no corpus yet — nothing to dedup against,
             # admit the whole batch (it seeds the corpus)
             (

@@ -285,6 +285,48 @@ def test_stream_ingest_neardup_cold_start(spark, tmp_path):
     assert got == {10: 0}
 
 
+def test_stream_ingest_neardup_garbage_corpus_fails_loud(spark, tmp_path):
+    """A corpus path that EXISTS but cannot be read as parquet must
+    fail the stream, not be treated as a cold start — silently seeding
+    next to existing data would bypass dedup and the replay guard."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from sftp_data_ingestion_spark import streaming as st
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    os.makedirs(corpus)
+    with open(os.path.join(corpus, "junk.parquet"), "w") as f:
+        f.write("this is not a parquet file")
+
+    df = spark.createDataFrame([(1, "w1 w2 w3")], "doc_id long, text string")
+    tmp = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(
+        glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(landing, "chunk_0.parquet"),
+    )
+
+    q = st.stream_ingest_neardup(spark, landing, corpus, ckpt, threshold=0.5)
+    try:
+        with pytest.raises(Exception) as exc_info:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # the batch must NOT have been admitted next to the garbage
+    assert not glob.glob(os.path.join(corpus, "part-*.parquet"))
+    assert "parquet" in str(exc_info.value).lower() or "footer" in str(
+        exc_info.value
+    ).lower()
+
+
 def test_skew_report_hand_computed(spark):
     """Planted histogram: key 'hot' x 8, 'a' x 1, 'b' x 1 ->
     total 10, 3 keys, max 8, max/avg = 8/(10/3) = 2.4, share 0.8,

@@ -43,6 +43,42 @@ def test_registry_orders_unproven_before_proven():
         )
 
 
+def test_grading_rank_deterministic_without_artifacts():
+    """Registry order is load-bearing for grading (the driver grades
+    the first ~50 rows), so its fallback behavior must be a tested
+    contract: in a tree with NO CORRECTNESS_r*.json artifacts
+    (``green`` empty), the order is exactly family-rank then
+    registration order — stable across imports — and reordering never
+    changes the CONTENTS of QUERIES/ORACLES, only their order."""
+    from sftp_data_ingestion_spark.queries import (
+        ORACLES,
+        QUERIES,
+        _family_rank,
+        _green_in_driver_rows,
+        _proof_priority_order,
+    )
+
+    names = list(QUERIES)
+
+    # No-artifact fallback: deterministic, documented order.
+    bare = _proof_priority_order(names, set())
+    assert bare == _proof_priority_order(names, set())  # stable
+    ranks = [_family_rank(n) for n in bare]
+    assert ranks == sorted(ranks), "family ranks must be non-decreasing"
+    # ties break on registration order within a rank
+    for rank in set(ranks):
+        in_rank = [n for n in bare if _family_rank(n) == rank]
+        by_reg = sorted(in_rank, key=names.index)
+        assert in_rank == by_reg, f"rank {rank} not registration-ordered"
+
+    # Reordering is a permutation: contents identical either way.
+    assert sorted(bare) == sorted(names)
+    green = _green_in_driver_rows()
+    with_artifacts = _proof_priority_order(names, green)
+    assert sorted(with_artifacts) == sorted(names)
+    assert set(ORACLES) <= set(QUERIES)
+
+
 def test_no_complex_typed_outputs(spark, sf_small):
     """The driver's canonicalizer sorts results as a pandas frame;
     Array/Map/Struct cells make ``sort_values`` throw ``unhashable

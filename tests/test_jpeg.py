@@ -99,3 +99,34 @@ def test_unsupported_dri_and_progressive_rejected():
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="SOF2"):
         decode_gray(prog)
+
+
+def test_truncated_segments_raise_valueerror():
+    """Malformed input follows the decode_gray ValueError contract —
+    never struct.error / IndexError (r6 ADVICE: truncated DRI)."""
+    import pytest
+    import struct
+
+    enc = encode_gray(16, 16, bytes(range(256)), 75)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # DRI whose body is shorter than the 2 bytes the field needs
+    for body in (b"", b"\x00"):
+        bad = enc[:2] + seg(0xDD, body) + enc[2:]
+        with pytest.raises(ValueError, match="truncated DRI"):
+            decode_gray(bad)
+
+    # truncated SOF0: declared length cuts the 6-byte frame header
+    sof_at = enc.find(b"\xff\xc0")
+    bad = enc[:sof_at] + seg(0xC0, enc[sof_at + 4 : sof_at + 7]) + enc[
+        sof_at + 2 + struct.unpack(">H", enc[sof_at + 2 : sof_at + 4])[0] :
+    ]
+    with pytest.raises(ValueError, match="truncated SOF0"):
+        decode_gray(bad)
+
+    # truncated DQT: table cut mid-way
+    bad = enc[:2] + seg(0xDB, b"\x00" + bytes(10)) + enc[2:]
+    with pytest.raises(ValueError, match="truncated DQT"):
+        decode_gray(bad)

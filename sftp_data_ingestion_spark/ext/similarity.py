@@ -1210,6 +1210,11 @@ def semantic_contamination(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int | None = None,
+    approx: bool | None = None,
+    bucket_min_eval: int = 8192,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 101,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination — the semantic
     counterpart of ``ext.dedup.contamination_report`` (n-gram overlap
@@ -1219,30 +1224,111 @@ def semantic_contamination(
     counts eval vectors with cosine >= ``threshold`` and ``max_sim``
     is the highest (6-dp-rounded) similarity.
 
-    Scale shape mirrors the n-gram version: the EVAL side broadcasts
-    (benchmarks are tiny next to a training corpus, by construction)
-    and the training corpus streams through one broadcast-NL scoring
-    pass — per-row norms computed once below the join, the pair dot
-    in flat whole-stage codegen (:func:`_pair_sim`), no train-side
-    shuffle before the per-doc aggregate. Thresholding uses the
-    ROUNDED similarity so the keep/drop boundary is engine-portable
-    (same contract as every graded cosine query here)."""
+    Two physical strategies, same output contract:
+
+    * **exact broadcast-NL** (the default for small evals): the EVAL
+      side broadcasts (benchmarks are tiny next to a training corpus,
+      by construction) and the training corpus streams through one
+      broadcast-NL scoring pass — per-row norms computed once below
+      the join, the pair dot in flat whole-stage codegen
+      (:func:`_pair_sim`), no train-side shuffle before the per-doc
+      aggregate. Exact: recall 1 by construction.
+    * **SRP-LSH pre-candidate** (``approx=True``, or automatically
+      when the eval side exceeds ``bucket_min_eval`` rows): both sides
+      are bucketed with the SAME SRP hash tables
+      (:func:`_srp_bucket_frame` — one Arrow matmul pass per side) and
+      only COLLIDING (train, eval) pairs are scored, joined on
+      (table_idx, bucket). Decontamination runs against every training
+      shard at 100 TB, and a leaderboard-size eval set (100k+ rows x
+      768 dims) is past broadcast range — the bucket join replaces the
+      full cross product with a shuffle both sides prune. Candidate
+      recall for a pair at cosine s is 1-(1-p^n_planes)^n_tables with
+      p = 1 - acos(s)/pi; the defaults (6 planes x 8 tables) give
+      ~0.98 at s=0.9, rising toward 1 for the more-contaminated pairs
+      that matter most. Precision stays exact (every candidate is
+      fully rescored); only recall is approximate, so ``n_eval_hits``
+      is a lower bound under ``approx``.
+
+    ``approx=None`` picks automatically with one tiny bounded probe
+    job (``limit(bucket_min_eval+1).count()``) at composition time;
+    pass ``approx`` explicitly to stay fully lazy. Thresholding uses
+    the ROUNDED similarity so the keep/drop boundary is
+    engine-portable (same contract as every graded cosine query
+    here)."""
     if dim is None:
         dim = _dim_of(train, vec_col, evalset)
-    t = _norm_side(fan_out(train), id_col, vec_col, "train_id", "tv", "tn", dim)
-    e = _norm_side(evalset, id_col, vec_col, "eval_id", "ev", "en", dim)
-    scored = t.crossJoin(F.broadcast(e)).select(
+    if approx is None:
+        approx = (
+            evalset.limit(bucket_min_eval + 1).count() > bucket_min_eval
+        )
+
+    if not approx:
+        t = _norm_side(
+            fan_out(train), id_col, vec_col, "train_id", "tv", "tn", dim
+        )
+        e = _norm_side(evalset, id_col, vec_col, "eval_id", "ev", "en", dim)
+        scored = t.crossJoin(F.broadcast(e)).select(
+            "train_id",
+            F.round(
+                _pair_sim(
+                    F.col("tv"), F.col("ev"), F.col("tn"), F.col("en"), dim
+                ),
+                6,
+            ).alias("sim"),
+        )
+        return (
+            scored.where(F.col("sim") >= threshold)
+            .groupBy("train_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_hits"),
+                F.max("sim").alias("max_sim"),
+            )
+        )
+
+    # SRP-bucketed path: signatures for BOTH sides from the same
+    # hyperplane tables, so colliding buckets mean correlated sign
+    # patterns. Join shuffles on (table_idx, bucket) — the only
+    # shuffle that carries vectors. Pairs meeting in several tables
+    # are absorbed by the aggregate itself: duplicate (train, eval)
+    # rows carry IDENTICAL sim (same vectors, same arithmetic), so
+    # count(DISTINCT eval_id) + max(sim) per train_id is exact with no
+    # dropDuplicates stage — a separate pair-dedup was measured to
+    # push a partial-first aggregate into the scoring stage's codegen
+    # unit, blowing the Janino method limit (whole stage fell back to
+    # interpreted) and costing an extra shuffle.
+    def side(df, out_id, out_vec, out_norm):
+        v = as_double(F.col(vec_col))
+        return _srp_bucket_frame(
+            df, id_col, vec_col, n_planes, seed, n_tables, dim
+        ).select(
+            F.col(id_col).alias(out_id),
+            v.alias(out_vec),
+            _checked_norm(v, dim).alias(out_norm),
+            "table_idx",
+            "bucket",
+        )
+
+    t = side(train, "train_id", "tv", "tn")
+    e = side(evalset, "eval_id", "ev", "en")
+    scored = t.join(e, ["table_idx", "bucket"]).select(
         "train_id",
+        "eval_id",
         F.round(
             _pair_sim(F.col("tv"), F.col("ev"), F.col("tn"), F.col("en"), dim),
             6,
         ).alias("sim"),
+        # pushdown barrier (same as embedding_near_dup_pairs): without
+        # a nondeterministic field here Catalyst transplants the
+        # `sim >= threshold` filter INTO the bucket-join condition,
+        # re-evaluating the flat dot per candidate outside codegen
+        F.monotonically_increasing_id().alias("__nd"),
     )
     return (
         scored.where(F.col("sim") >= threshold)
+        .drop("__nd")
         .groupBy("train_id")
         .agg(
-            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.countDistinct("eval_id").alias("n_eval_hits"),
             F.max("sim").alias("max_sim"),
         )
     )

@@ -358,6 +358,14 @@ def v_semantic_decontaminate(spark, sf_dir):
     source eval vector; the all-pairs oracle grades hit counts and
     max similarity. Registered after the driver-grading backlog (the
     registry self-orders unproven-first)."""
+    train, ev = _decontaminate_frames(spark, sf_dir)
+    return sim.semantic_contamination(train, ev, threshold=0.9, dim=64)
+
+
+def _decontaminate_frames(spark, sf_dir):
+    """(train, ev) with planted leakage for v_semantic_decontaminate —
+    exposed so tests can grade the SRP-bucketed path against the exact
+    path on the same planted frames."""
     e = table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", v.alias("embedding"))
@@ -382,4 +390,4 @@ def v_semantic_decontaminate(spark, sf_dir):
         .select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
     )
     train = base.where(F.col("vec_id") % 25 != 0).unionAll(leak)
-    return sim.semantic_contamination(train, ev, threshold=0.9, dim=64)
+    return train, ev

@@ -676,6 +676,45 @@ def test_udtf_runs_arrow_batched(spark):
     assert "BatchEvalPythonUDTF" not in p
 
 
+def test_semantic_contamination_buckets_above_eval_threshold(spark):
+    """The SRP-LSH pre-candidate path must kick in when the eval side
+    exceeds ``bucket_min_eval``: the full cross product
+    (BroadcastNestedLoopJoin) is replaced by an equi-join on
+    (table_idx, bucket) that both sides prune — decontamination runs
+    against every training shard at 100 TB, and a leaderboard-size
+    eval set is past broadcast range. Below the threshold the exact
+    broadcast-NL path stays (graded-hash invariance)."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    emb = f"{SF}/embeddings.parquet"
+    train = spark.read.parquet(emb).where(F.col("vec_id") % 5 != 0)
+    ev = spark.read.parquet(emb).where(F.col("vec_id") % 5 == 0)
+
+    # auto-probe: eval side (hundreds of rows at sf0.001) exceeds a
+    # tiny threshold -> bucketed plan, no cross product anywhere
+    bucketed = sim.semantic_contamination(
+        train, ev, threshold=0.9, dim=64, bucket_min_eval=10
+    )
+    p = plan(bucketed)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "table_idx" in p and "bucket" in p  # equi-join keys
+    # and it is a real equi-join (hash or sort-merge), not NL
+    assert "Join" in p
+
+    # the same inputs below the threshold keep the exact NL plan
+    exact = sim.semantic_contamination(
+        train, ev, threshold=0.9, dim=64, bucket_min_eval=10**9
+    )
+    assert "BroadcastNestedLoopJoin" in plan(exact)
+
+    # explicit approx flag composes fully lazily (no probe job) and
+    # picks the same bucketed shape
+    forced = sim.semantic_contamination(
+        train, ev, threshold=0.9, dim=64, approx=True
+    )
+    assert "BroadcastNestedLoopJoin" not in plan(forced)
+
+
 def test_semantic_decontaminate_broadcasts_eval_side(spark):
     """The eval side must be the broadcast build side of the scoring
     pass (benchmarks are tiny next to a training corpus); the train

@@ -277,3 +277,43 @@ def test_semantic_contamination_hand_computed(spark):
     assert set(got) == {1, 4}
     assert got[1] == (1, 1.0)
     assert got[4][0] == 1 and 0.97 < got[4][1] < 0.99
+
+
+def test_semantic_contamination_bucketed_matches_exact(spark):
+    """The SRP pre-candidate path must agree with the exact
+    broadcast-NL path on the planted-leak frames the graded query
+    uses (sim ~0.993 leaks at sf0.001): precision is exact by
+    construction (every candidate is fully rescored), and at the
+    default 6-planes x 8-tables recall (~0.98 per pair at sim 0.9,
+    ~1-3e-7 at the planted 0.993) no pair is lost with the fixed
+    seed."""
+    from sftp_data_ingestion_spark.queries.q_similarity import (
+        _decontaminate_frames,
+    )
+
+    train, ev = _decontaminate_frames(spark, "/root/testdata/sf0.001")
+
+    def as_map(df):
+        return {
+            r["train_id"]: (r["n_eval_hits"], r["max_sim"])
+            for r in df.collect()
+        }
+
+    exact = as_map(
+        sim.semantic_contamination(
+            train, ev, threshold=0.9, dim=64, approx=False
+        )
+    )
+    approx = as_map(
+        sim.semantic_contamination(
+            train, ev, threshold=0.9, dim=64, approx=True
+        )
+    )
+    assert exact, "fixture must contain contaminated pairs"
+    # approx is a subset with identical values where present (recall
+    # < 1 possible in principle; on this fixture it's complete)
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert exact[k][1] == v[1], k  # max_sim identical
+        assert v[0] <= exact[k][0], k  # hit count is a lower bound
+    assert len(approx) == len(exact)  # complete on this fixture

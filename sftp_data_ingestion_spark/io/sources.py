@@ -175,11 +175,15 @@ class SFTPSource:
     to ``*.CSV`` with remote sizes (feeding S2's size-verified fetch),
     ``get()`` per download.
 
-    The container has no paramiko and no network, so construction
-    fails fast with the documented dependency; the class logic is
-    exercised in tests through an injected fake paramiko module
-    (``tests/test_io.py``), and the real wire path stays
-    environment-blocked (see README)."""
+    The container has no paramiko (and no way to install it), so
+    construction fails fast with the documented dependency. Coverage
+    is two-tier: the in-memory double (``tests/test_io.py``) checks
+    listing/fetch/close call ordering, and ``tests/test_sftp_wire.py``
+    drives this class over a REAL loopback TCP server through a
+    socket-speaking paramiko double — live connection lifecycle,
+    auth-reject socket teardown, streamed transfer, and a
+    mid-transfer truncation exercising S2's retry. Only the SSH
+    framing itself stays environment-blocked."""
 
     def __init__(self, host: str, port: int, username: str, password: str,
                  remote_dir: str):

@@ -65,6 +65,13 @@ PROBES = [
     "z3_token_budget_mix",        # per-source window cumsum (documents)
     "z3_hybrid_rrf_fusion",       # BM25 + ANN fusion (docs+embeddings)
     "z3_bpe_train_merges",        # histogram-bounded iterative training
+    # r7: the headline families that had no measured slope yet
+    "u1_upsert_newer_wins",       # full-outer merge (orders)
+    "g_rollup_region_nation",     # rollup/grouping-sets agg (joins)
+    "e_hourly_windowed_agg",      # time-window agg (events)
+    "s_sessionize_batch",         # gap sessionization window (events)
+    "z2_quality_logreg_score",    # logreg scoring projection (documents)
+    "st_windowed_counts",         # structured-streaming drain (events)
 ]
 
 

@@ -23,6 +23,7 @@ state store and kafka/file sources — nothing here is local-mode-only.
 
 from __future__ import annotations
 
+import glob
 import itertools
 import os
 import tempfile
@@ -50,7 +51,18 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
     link_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(src, os.path.join(link_dir, "events.parquet"))
+    if os.path.isdir(src):
+        # Spark-written table (a DIRECTORY of part files, e.g. the
+        # scale-probe 10x derivation): the file stream source does not
+        # recurse into a symlinked subdirectory, so link each part
+        # file flat — silently reading zero rows here made a 10x
+        # streaming probe look 4x FASTER than 1x
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(src, "*.parquet")))
+        ):
+            os.symlink(p, os.path.join(link_dir, f"part_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(link_dir, "events.parquet"))
     stream = spark.readStream.schema(raw_schema).parquet(link_dir)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(

@@ -147,9 +147,18 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def encode_gray(width: int, height: int, pixels: bytes, quality: int = 75) -> bytes:
+def encode_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 75,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode ``width*height`` 8-bit grayscale pixels as a baseline
-    sequential JPEG."""
+    sequential JPEG. ``restart_interval`` > 0 emits a DRI segment and
+    an RST0..RST7 marker after every that-many MCUs (byte-aligned,
+    DC predictor reset) — the resync points hardware and parallel
+    decoders use to recover mid-scan."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     qt = _quant_table(quality)
@@ -162,8 +171,18 @@ def encode_gray(width: int, height: int, pixels: bytes, quality: int = 75) -> by
 
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # restart: 1-pad to byte boundary, raw marker (markers
+                # are never byte-stuffed), reset the DC predictor
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = padded[by : by + 8, bx : bx + 8]
             coef = _DCT @ block @ _DCT.T
             qz = np.round(coef / qt).astype(np.int64)
@@ -208,8 +227,13 @@ def encode_gray(width: int, height: int, pixels: bytes, quality: int = 75) -> by
         0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(w.out) + b"\xff\xd9"
     )
 
 
@@ -244,6 +268,23 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> int:
+        """Byte-align (drop the 1-fill pad bits), consume an RSTn
+        marker, return n. The scan loop calls this exactly where the
+        declared restart interval puts a marker, so inside entropy
+        data 0xFF is still always a stuffed FF00."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart boundary")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _huff_read(reader: _BitReader, table) -> int:
     code, length = 0, 0
@@ -266,13 +307,14 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a single-component baseline JPEG WITHOUT restart
-    intervals — i.e. streams from :func:`encode_gray`, or foreign
-    files of the same shape (single component, baseline DCT, DQT/DHT
-    tables in-stream, no DRI/RSTn). Files declaring a restart
-    interval are rejected explicitly (the entropy decoder does not
-    resync at RSTn markers); progressive/multi-component files are
-    rejected by their SOF. Returns (width, height, pixels)."""
+    """Decode a single-component baseline JPEG — streams from
+    :func:`encode_gray`, or foreign files of the same shape (single
+    component, baseline DCT, DQT/DHT tables in-stream). Restart
+    intervals are supported: a DRI segment makes the entropy decoder
+    byte-align and consume an RST0..RST7 marker after every declared
+    count of MCUs, verifying the 0..7 sequence and resetting the DC
+    predictor. Progressive/multi-component files are rejected by
+    their SOF. Returns (width, height, pixels)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -280,6 +322,7 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     width = height = None
     dc_dec, ac_dec = _DC_DEC, _AC_DEC
     scan_start = None
+    interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -311,11 +354,6 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             interval = struct.unpack(">H", body[:2])[0]
-            if interval != 0:
-                raise ValueError(
-                    "restart intervals (DRI/RSTn) are not supported; "
-                    "re-encode without restart markers"
-                )
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -341,8 +379,20 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     bw = (width + 7) // 8 * 8
     out = np.zeros((bh, bw), dtype=np.float64)
     prev_dc = 0
+    mcu = 0
+    expected_rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if interval and mcu and mcu % interval == 0:
+                n = reader.sync_restart()
+                if n != expected_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: got RST{n}, "
+                        f"expected RST{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             cat = _huff_read(reader, dc_dec)
             diff = _extend(reader.read_bits(cat), cat) if cat else 0

@@ -232,11 +232,13 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a non-interlaced 8-bit RGB or RGBA PNG to (width,
-    height, top-down RGB bytes) — pure stdlib (zlib inflate + the five
-    standard scanline unfilters; alpha is dropped). Covers what PNG
-    encoders emit for photographic RGB content; other color types /
-    bit depths / interlacing raise with a clear message (Pillow, when
+    """Decode a non-interlaced 8- or 16-bit PNG in grayscale (0),
+    RGB (2), gray+alpha (4) or RGBA (6) form to (width, height,
+    top-down 8-bit RGB bytes) — pure stdlib (zlib inflate + the five
+    standard scanline unfilters). Alpha is dropped, grayscale
+    replicates to RGB, and 16-bit samples keep their high byte (the
+    exact 255/65535 rescale, since 0xNNNN -> 0xNN * 257). Palette (3)
+    and interlaced forms raise with a clear message (Pillow, when
     importable, handles those via :func:`_real_decode_image`)."""
     import struct
     import zlib
@@ -262,13 +264,16 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth not in (8, 16) or channels is None or interlace != 0:
         raise NotImplementedError(
-            "stdlib PNG decoder covers non-interlaced 8-bit RGB/RGBA "
+            "stdlib PNG decoder covers non-interlaced 8/16-bit "
+            "gray/RGB/gray-alpha/RGBA "
             f"(got depth={bit_depth} color={color_type} "
             f"interlace={interlace}); install Pillow for other forms"
         )
-    bpp = 3 if color_type == 2 else 4
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes  # filter unit: bytes per pixel
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -297,9 +302,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         for x in range(width):
-            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = row[
-                x * bpp : x * bpp + 3
-            ]
+            px = x * bpp
+            if channels >= 3:  # RGB / RGBA: first three samples
+                r = row[px]
+                g = row[px + sample_bytes]
+                b = row[px + 2 * sample_bytes]
+            else:  # gray / gray+alpha: replicate the gray sample
+                r = g = b = row[px]
+            o = (y * width + x) * 3
+            out[o] = r
+            out[o + 1] = g
+            out[o + 2] = b
         prev = row
     return width, height, bytes(out)
 

@@ -73,10 +73,11 @@ def test_error_bounded_on_text_bytes():
     assert len(enc) < len(pix)  # actually compresses
 
 
-def test_unsupported_dri_and_progressive_rejected():
+def test_malformed_dri_and_progressive_rejected():
     """Foreign features outside the documented contract fail loudly
-    (never decode to garbage): a DRI segment with a non-zero restart
-    interval, and a progressive SOF2 frame header."""
+    (never decode to garbage): a DRI declaring an interval with NO
+    matching RSTn markers in the scan, and a progressive SOF2 frame
+    header."""
     import pytest
     import struct
 
@@ -85,9 +86,10 @@ def test_unsupported_dri_and_progressive_rejected():
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    # splice a DRI (restart interval = 4) right after SOI
-    dri = enc[:2] + seg(0xDD, struct.pack(">H", 4)) + enc[2:]
-    with pytest.raises(ValueError, match="restart intervals"):
+    # a DRI (interval = 1) spliced into a stream that has no RSTn
+    # markers: the decoder expects one at the boundary and fails loud
+    dri = enc[:2] + seg(0xDD, struct.pack(">H", 1)) + enc[2:]
+    with pytest.raises(ValueError, match="expected RSTn"):
         decode_gray(dri)
 
     # zero restart interval is explicitly allowed (DRI present, off)
@@ -99,6 +101,51 @@ def test_unsupported_dri_and_progressive_rejected():
     prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="SOF2"):
         decode_gray(prog)
+
+
+def test_restart_interval_roundtrip_bit_exact():
+    """RSTn round-trip: for every interval, the decoded pixels are
+    BIT-IDENTICAL to the non-restart encoding's decode (restart
+    markers change framing, never coefficients), the stream contains
+    the expected count of correctly-sequenced markers, and the DC
+    predictor reset is really exercised (distinct DC per block)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 3x5 MCUs
+    raw = img.tobytes()
+    baseline = decode_gray(encode_gray(40, 24, raw, 80))[2]
+    n_mcus = 15
+    for interval in (1, 2, 4, 7, 15, 100):
+        enc = encode_gray(40, 24, raw, 80, restart_interval=interval)
+        w, h, dec = decode_gray(enc)
+        assert (w, h) == (40, 24)
+        assert dec == baseline, f"interval={interval}"
+        scan = enc[enc.find(b"\xff\xda") :]
+        n_expected = (n_mcus - 1) // interval
+        found = [
+            scan[i + 1] - 0xD0
+            for i in range(len(scan) - 1)
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7
+        ]
+        assert len(found) == n_expected, f"interval={interval}"
+        assert found == [i % 8 for i in range(n_expected)]
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    """A corrupted restart sequence (RST number swapped) must fail
+    loudly — sequence verification is what lets a resyncing decoder
+    detect dropped scan chunks."""
+    import pytest
+
+    img = bytes(range(256)) * 4  # 32x32 -> 16 MCUs
+    enc = encode_gray(32, 32, img, 75, restart_interval=2)
+    scan_at = enc.find(b"\xff\xda")
+    # find the first RST0 in the scan and bump it to RST5
+    for i in range(scan_at, len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            corrupted = enc[: i + 1] + bytes([0xD5]) + enc[i + 2 :]
+            break
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_gray(corrupted)
 
 
 def test_truncated_segments_raise_valueerror():

@@ -174,22 +174,116 @@ def test_png_decode_rgba_drops_alpha():
     assert mm.decode_png(png) == (w, h, exp)
 
 
+def _hand_png(w, h, depth, color_type, rows):
+    """Assemble a PNG from pre-filtered scanline byte rows."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for row in rows:
+        raw += row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
 def test_png_unsupported_forms_raise_clearly():
     import struct
     import zlib
 
     with pytest.raises(ValueError, match="not a PNG"):
         mm.decode_png(b"JUNKJUNKJUNK")
-    # 16-bit depth -> NotImplementedError naming Pillow
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # palette color (3) -> NotImplementedError naming Pillow
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     png = (
         mm._PNG_SIG
         + mm._png_chunk(b"IHDR", ihdr)
-        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + mm._png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_png(png)
+    # interlaced -> same
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_png(png)
+
+
+def test_png_decode_16bit_rgb_keeps_high_byte():
+    """16-bit RGB: each big-endian sample 0xNNnn decodes to its high
+    byte (the exact 65535->255 rescale). Paeth-filtered row included
+    so the doubled bpp feeds the filter offsets correctly."""
+    import random
+
+    rnd = random.Random(21)
+    w, h = 5, 3
+    hi = [
+        [rnd.randrange(256) for _ in range(w * 3)] for _ in range(h)
+    ]
+    rows = []
+    for y in range(h):
+        # value = hi*257 -> big-endian bytes (hi, hi); unfiltered rows
+        # (the Sub/Up/gray cases below cover filtered 16-bit strides)
+        samples = b"".join(
+            bytes((v, v)) for v in hi[y]
+        )
+        rows.append(bytes([0]) + samples)
+    png = _hand_png(w, h, 16, 2, rows)
+    got = mm.decode_png(png)
+    exp = bytes(v for y in range(h) for v in hi[y])
+    assert got == (w, h, exp)
+
+
+def test_png_decode_16bit_filters_use_two_byte_bpp():
+    """A 16-bit Sub-filtered row reconstructs against the sample TWO
+    bytes back per channel — a decoder reusing the 8-bit bpp would
+    mix high/low bytes and corrupt every pixel after the first."""
+    w, h = 3, 1
+    # pixel 0: (1000, 2000, 3000); pixels 1,2 add (257, 257, 257) each
+    base = [1000, 2000, 3000]
+    row = bytearray([1])  # Sub filter
+    for x in range(w):
+        for c in range(3):
+            v = base[c] + x * 257
+            if x == 0:
+                row += bytes(((v >> 8) & 0xFF, v & 0xFF))
+            else:
+                row += bytes((1, 1))  # delta 0x0101 = 257
+    png = _hand_png(w, h, 16, 2, [bytes(row)])
+    got_w, got_h, rgb = mm.decode_png(png)
+    exp = bytes(
+        (base[c] + x * 257) >> 8 for x in range(w) for c in range(3)
+    )
+    assert (got_w, got_h, rgb) == (w, h, exp)
+
+
+def test_png_decode_grayscale_replicates():
+    """8-bit grayscale (color 0) and 16-bit gray+alpha (color 4):
+    gray replicates to RGB, alpha drops."""
+    # 8-bit gray, 4x2, Up filter on row 1
+    g = [[10, 20, 30, 40], [11, 22, 33, 44]]
+    rows = [
+        bytes([0]) + bytes(g[0]),
+        bytes([2]) + bytes((g[1][i] - g[0][i]) % 256 for i in range(4)),
+    ]
+    png = _hand_png(4, 2, 8, 0, rows)
+    exp = bytes(v for r in g for v in r for _ in range(3))
+    assert mm.decode_png(png) == (4, 2, exp)
+
+    # 16-bit gray+alpha, 2x1: gray 0x1234 -> 0x12, alpha ignored
+    row = bytes([0]) + bytes((0x12, 0x34, 0xFF, 0xFF, 0xAB, 0xCD, 0x00, 0x01))
+    png = _hand_png(2, 1, 16, 4, [row])
+    assert mm.decode_png(png) == (2, 1, bytes((0x12,) * 3 + (0xAB,) * 3))
 
 
 def test_text_png_histogram_mass_sums_to_one(spark):

@@ -41,6 +41,7 @@ from sftp_data_ingestion_spark.queries import q_curation  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_analytics  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_signals  # noqa: F401,E402
 from sftp_data_ingestion_spark.queries import q_corpus  # noqa: F401,E402
+from sftp_data_ingestion_spark.queries import q_training  # noqa: F401,E402
 
 
 # GRADING WINDOW (self-rotating since r6): the registry outgrew the

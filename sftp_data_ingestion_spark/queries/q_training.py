@@ -1,0 +1,353 @@
+"""Training-corpus construction operators, round 7 (`z4_` family).
+
+Four operators a large-scale LLM-data pipeline runs between curation
+and tokenization, each with a full DuckDB oracle:
+
+* sparse lexical similarity (tf-idf cosine top-k) — the classic
+  inverted-index retrieval the dense/ANN queries (`v_*`) complement;
+* token co-occurrence PMI — word-association mining for boilerplate
+  and collocation discovery;
+* balanced shard packing — size-ranked round-robin assignment of
+  documents to output shards, the write-path step before training;
+* per-source Jensen-Shannon divergence — distribution drift of each
+  source against the corpus, the information-theoretic cousin of the
+  chi-square drift gate (`g_drift_chisq`).
+
+All tokenization uses the repo-wide convention (lower, collapse
+whitespace, split on single space) so oracles share the exact token
+stream. All reported floats are rounded to 6 dp and every ranking
+orders by the ROUNDED value with full deterministic tiebreaks, so the
+keep/drop and rank boundaries are engine-portable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sftp_data_ingestion_spark.queries.registry import query, table
+
+# repo-wide token stream: lower, collapse runs of whitespace, split on
+# the single space (matches string_split(s, ' ') in every oracle)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _tokens(d):
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", "source", F.explode(F.split(norm, " ")).alias("term")
+    )
+
+
+@query(
+    "z4_sparse_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), idf AS (
+  SELECT term, ln(n.n_docs / count(*)) AS idf
+  FROM tf, n GROUP BY term, n.n_docs
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS wt
+  FROM tf JOIN idf USING (term)
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1
+), dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         sum(q.wt * c.wt) AS dot
+  FROM w q JOIN w c USING (term)
+  WHERE q.doc_id % 50 = 0 AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+), sims AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (qn.nrm * cn.nrm), 6) AS sim
+  FROM dots
+  JOIN nrm qn ON qn.doc_id = query_id
+  JOIN nrm cn ON cn.doc_id = neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 3
+""",
+)
+def z4_sparse_tfidf_topk(spark, sf_dir):
+    """Sparse lexical top-k: tf-idf cosine neighbors per query doc via
+    an inverted-index (term) join — the retrieval shape BM25 engines
+    and near-dup blockers use, complementing the dense `v_*` ANN
+    family. idf = ln(N/df), weights tf*idf, cosine over the full
+    shared-term dot with per-doc norms computed once.
+
+    Scale shape: the probe side (1-in-50 docs) is tiny by
+    construction and BROADCASTS into the term join, so the corpus
+    posting list streams map-side with no corpus x corpus stage; the
+    pair dot aggregates on (query, neighbor) — fanout bounded by
+    probe count x posting length, the inverted-index bound. Ranking
+    orders by the ROUNDED sim (ulp-stable across engines) with
+    neighbor_id tiebreak."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        _tokens(d)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+    )
+    w = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    q = w.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("wt").alias("qwt")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(w, "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qwt") * F.col("wt")).alias("dot"))
+    )
+    qn = nrm.select(
+        F.col("doc_id").alias("query_id"), F.col("nrm").alias("qnrm")
+    )
+    cn = nrm.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("nrm").alias("cnrm")
+    )
+    sims = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("qnrm") * F.col("cnrm")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+@query(
+    "z4_cooccur_pmi",
+    oracle=f"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), dfs AS (
+  SELECT term, count(*) AS df FROM t GROUP BY 1
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+), pmi AS (
+  SELECT term_a, term_b, n_ab,
+         round(ln(CAST(n_ab AS DOUBLE) * n.n_docs
+                  / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi
+  FROM pairs, n
+  JOIN dfs da ON da.term = term_a
+  JOIN dfs db ON db.term = term_b
+)
+SELECT term_a, term_b, n_ab, pmi FROM pmi
+ORDER BY pmi DESC, term_a, term_b LIMIT 20
+""",
+)
+def z4_cooccur_pmi(spark, sf_dir):
+    """Document-level pointwise mutual information of token pairs —
+    the word-association statistic collocation/boilerplate mining
+    runs over a corpus: pmi = ln(P(a,b) / (P(a)P(b))) with
+    document-presence probabilities. Top-20 by rounded PMI with full
+    lexical tiebreaks.
+
+    Scale shape: the pair generator is a per-document self-join of
+    the DISTINCT (doc, term) set — O(u^2) per doc where u is the
+    per-doc distinct-term count (naturally bounded; production
+    pipelines cap it) — then everything aggregates by (term_a,
+    term_b) with map-side partials, dfs broadcast, and the global
+    top-20 plans as TakeOrderedAndProject (no global window over the
+    full pair set)."""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(d).select("doc_id", "term").distinct()
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    dfs = t.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = t.select("doc_id", F.col("term").alias("term_a"))
+    b = t.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    da = F.broadcast(dfs.select(F.col("term").alias("term_a"), F.col("df").alias("df_a")))
+    db = F.broadcast(dfs.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")))
+    pmi = (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # top-20 plans as TakeOrderedAndProject; (term_a, term_b) is
+    # unique so no rank column is needed to make the cut deterministic
+    return pmi.orderBy(
+        F.col("pmi").desc(), F.col("term_a"), F.col("term_b")
+    ).limit(20)
+
+
+@query(
+    "z4_shard_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         length(string_split({_NORM_SQL}, ' ')) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_tok,
+         CAST((row_number() OVER (
+            PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) % 8
+          AS INT) AS shard
+  FROM sized
+)
+SELECT source, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+FROM ranked GROUP BY 1, 2
+""",
+)
+def z4_shard_packing(spark, sf_dir):
+    """Balanced shard packing: size-ranked round-robin assignment of
+    documents to 8 output shards per source — the write-path step
+    that turns a curated corpus into training shards of near-equal
+    token mass (descending-size round-robin is the classic LPT-style
+    greedy: consecutive big docs land on different shards). Graded as
+    per-(source, shard) doc/token accounting.
+
+    Scale shape: ONE window per source shard (partitioned, never
+    global — the r5 scale-killer class), then a partial-aggregating
+    groupBy on (source, shard); the scan prunes to (doc_id, source,
+    text) and token counting is a pure-Column size(split())."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    sized = d.select(
+        "doc_id", "source", F.size(F.split(norm, " ")).alias("n_tok")
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    ranked = sized.withColumn(
+        "shard", ((F.row_number().over(rw) - 1) % 8).cast("int")
+    )
+    return ranked.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+    )
+
+
+@query(
+    "z4_js_divergence_sources",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), sc AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+), stot AS (
+  SELECT source, sum(c) AS tot FROM sc GROUP BY 1
+), gc AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY 1  -- token freq, corpus
+), gtot AS (
+  SELECT sum(c) AS tot FROM gc
+), joined AS (
+  SELECT sc.source,
+         sc.c / CAST(stot.tot AS DOUBLE) AS p,
+         gc.c / CAST(gtot.tot AS DOUBLE) AS q
+  FROM sc
+  JOIN stot USING (source)
+  JOIN gc ON gc.term = sc.term, gtot
+)
+SELECT source,
+       round(0.5 * sum(p * ln(2 * p / (p + q))
+                       + q * ln(2 * q / (p + q)))
+             + 0.5 * ln(2) * (1 - sum(q)), 6) AS jsd
+FROM joined GROUP BY source
+""",
+)
+def z4_js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's unigram token
+    distribution against the whole corpus — the information-theoretic
+    drift gate (bounded [0, ln 2], symmetric) that complements the
+    chi-square drift test (`g_drift_chisq`); corpus-mixing pipelines
+    use it to spot sources whose token distribution departs from the
+    blend. jsd = 0.5*KL(p||m) + 0.5*KL(q||m), m = (p+q)/2.
+
+    Sparse-safe closed form: terms ABSENT from a source contribute
+    exactly 0.5*ln2*q each (p=0 -> m=q/2), so the sum only visits
+    (source, term) pairs PRESENT in the source — 0.5*ln2*(1 - sum q)
+    picks up the absent mass without densifying the source x vocab
+    grid (at corpus scale that grid is sources x 10M+ terms). Shape:
+    three groupBys with map-side partials; the global term
+    distribution broadcasts into the per-source join."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    sc = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    gc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("gcnt"))
+    gtot = gc.agg(F.sum("gcnt").alias("gtot"))
+    g = F.broadcast(gc.crossJoin(F.broadcast(gtot))).select(
+        "term", (F.col("gcnt") / F.col("gtot")).alias("q")
+    )
+    joined = (
+        sc.join(F.broadcast(stot), "source")
+        .select("source", "term", (F.col("c") / F.col("tot")).alias("p"))
+        .join(g, "term")
+    )
+    p, q = F.col("p"), F.col("q")
+    return joined.groupBy("source").agg(
+        F.round(
+            0.5
+            * F.sum(
+                p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))
+            )
+            + 0.5 * math.log(2) * (1 - F.sum(q)),
+            6,
+        ).alias("jsd")
+    )

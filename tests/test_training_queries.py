@@ -1,0 +1,142 @@
+"""Hand-computed fixtures for the z4_ training-corpus operators —
+values derived on paper, not from either engine."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sftp_data_ingestion_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_tfidf_cosine_hand_computed(spark, tmp_path):
+    """3 docs, query = doc 0 (0 % 50 == 0):
+    d0 = 'a b', d1 = 'a b', d2 = 'a c'.
+    dfs: a=3, b=2, c=1; idf: a=ln(1)=0, b=ln(3/2), c=ln(3).
+    Weights: d0 = d1 = {b: ln1.5}, d2 = {c: ln3} (a-weight 0 kills the
+    shared term). cos(d0, d1) = 1.0; cos(d0, d2) = 0 via no shared
+    non-zero term -> pair absent (dot only over joined terms)."""
+    docs = _docs(
+        spark, [("a b", "s"), ("a b", "s"), ("a c", "s")]
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["sim"], r["rnk"])
+        for r in q.QUERIES["z4_sparse_tfidf_topk"](spark, d).collect()
+    }
+    # d2 shares only zero-weight 'a': dot = 0, sim = 0.0, still ranked
+    assert got[(0, 1)] == (1.0, 1)
+    assert got[(0, 2)] == (0.0, 2)
+    assert len(got) == 2
+
+
+def test_cooccur_pmi_hand_computed(spark, tmp_path):
+    """4 docs: {a b}, {a b}, {a c}, {d}. N=4.
+    df: a=3, b=2, c=1, d=1. pairs: (a,b) n=2, (a,c) n=1.
+    pmi(a,b) = ln(2*4/(3*2)) = ln(4/3); pmi(a,c) = ln(1*4/(3*1))."""
+    docs = _docs(
+        spark,
+        [("a b", "s"), ("b a", "s"), ("a c", "s"), ("d", "s")],
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = q.QUERIES["z4_cooccur_pmi"](spark, d).collect()
+    got = {(r["term_a"], r["term_b"]): (r["n_ab"], r["pmi"]) for r in rows}
+    assert got == {
+        ("a", "b"): (2, round(math.log(4 / 3), 6)),
+        ("a", "c"): (1, round(math.log(4 / 3), 6)),
+    }
+    # ordering: equal pmi -> lexical tiebreak puts (a,b) first
+    assert [(r["term_a"], r["term_b"]) for r in rows] == [
+        ("a", "b"),
+        ("a", "c"),
+    ]
+
+
+def test_shard_packing_hand_computed(spark, tmp_path):
+    """10 docs in one source with token counts 10..1: size-ranked
+    round-robin over 8 shards -> shards 0..7 get sizes 10..3, then
+    shard 0 gets 2, shard 1 gets 1. Largest two shards carry the
+    wrap-around docs."""
+    rows = [("w " * n).strip() for n in range(10, 0, -1)]
+    docs = _docs(spark, [(t, "s") for t in rows])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["max_doc_tokens"])
+        for r in q.QUERIES["z4_shard_packing"](spark, d).collect()
+    }
+    assert got[0] == (2, 12, 10)  # 10 + 2
+    assert got[1] == (2, 10, 9)  # 9 + 1
+    assert {s: got[s] for s in range(2, 8)} == {
+        s: (1, 10 - s, 10 - s) for s in range(2, 8)
+    }
+
+
+def test_js_divergence_hand_computed(spark, tmp_path):
+    """Two sources with token streams s1 = [a a b], s2 = [b].
+    Global: a 2/4, b 2/4. s1: p(a)=2/3, p(b)=1/3.
+    jsd(s1) = 0.5*[p_a ln(2p_a/(p_a+q_a)) + q_a ln(2q_a/(p_a+q_a))
+                 + p_b ln(2p_b/(p_b+q_b)) + q_b ln(2q_b/(p_b+q_b))]
+    (no absent terms: sum q = 1 so the closed-form tail is 0).
+    s2: p(b)=1, a absent -> tail contributes 0.5*ln2*q_a."""
+    docs = _docs(spark, [("a a b", "s1"), ("b", "s2")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["source"]: r["jsd"]
+        for r in q.QUERIES["z4_js_divergence_sources"](spark, d).collect()
+    }
+
+    def term(p, qv):
+        m = (p + qv) / 2
+        return p * math.log(p / m) + qv * math.log(qv / m)
+
+    exp_s1 = 0.5 * (term(2 / 3, 0.5) + term(1 / 3, 0.5))
+    exp_s2 = 0.5 * term(1.0, 0.5) + 0.5 * math.log(2) * 0.5
+    assert got["s1"] == pytest.approx(round(exp_s1, 6), abs=1e-6)
+    assert got["s2"] == pytest.approx(round(exp_s2, 6), abs=1e-6)
+
+
+def test_z4_plans_scale_shapes(spark):
+    """Plan pins: the probe side of the tf-idf join broadcasts, the
+    PMI top-20 plans as TakeOrderedAndProject (no global window), the
+    shard window is PARTITIONED (never the r5 global-window killer),
+    and nothing falls back to Python row UDFs."""
+    p1 = (
+        q.QUERIES["z4_sparse_tfidf_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p1
+    assert "BatchEvalPython" not in p1
+
+    p2 = (
+        q.QUERIES["z4_cooccur_pmi"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p2
+    assert "Window" not in p2
+
+    p3 = (
+        q.QUERIES["z4_shard_packing"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in p3
+    # the window partitions by source: its exchange hashes on source
+    assert "hashpartitioning(source" in p3

@@ -27,11 +27,25 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from sftp_data_ingestion_spark.ext import dedup as dd
 from sftp_data_ingestion_spark.queries.registry import query, table
 
 # repo-wide token stream: lower, collapse runs of whitespace, split on
 # the single space (matches string_split(s, ' ') in every oracle)
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# the repo-wide trigram shingle set (matches ext/dedup.shingles(n=3),
+# incl. the whole-text fallback for docs shorter than the window)
+_SHINGLE_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)
+"""
 
 
 def _tokens(d):
@@ -350,4 +364,234 @@ def z4_js_divergence_sources(spark, sf_dir):
             + 0.5 * math.log(2) * (1 - F.sum(q)),
             6,
         ).alias("jsd")
+    )
+
+
+@query(
+    "z4_ngram_novelty",
+    oracle=f"""
+WITH toks AS ({_SHINGLE_SQL}),
+first_seen AS (
+  SELECT sh, min(doc_id) AS first_doc FROM toks GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       round(avg(CASE WHEN f.first_doc = t.doc_id
+                      THEN 1.0 ELSE 0.0 END), 6) AS novelty
+FROM toks t JOIN first_seen f USING (sh)
+GROUP BY t.doc_id
+""",
+)
+def z4_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct trigram shingles it is the FIRST document (by doc_id
+    order) to contribute to the corpus — the freshness signal
+    crawl-curation pipelines use to down-weight documents that only
+    repeat earlier material (novelty ~0 means the doc is assembled
+    from seen text; the corpus-order dual of intra-doc repetition
+    signals like `wh_repetition_signals`).
+
+    Scale shape: one groupBy on shingle (map-side partial min), one
+    join back on shingle, one per-doc aggregate — the standard
+    inverted-index discipline; no pair fanout at all (unlike
+    similarity, novelty needs only each shingle's FIRST owner). On a
+    cluster the shingle->first_doc table is exactly the incremental
+    state a streaming novelty scorer maintains."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("sh")
+    )
+    first = toks.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        toks.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "z4_containment_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT * FROM ({_SHINGLE_SQL}) WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE round(CAST(i AS DOUBLE) / sa.n, 6) >= 0.6
+""",
+)
+def z4_containment_pairs(spark, sf_dir):
+    """DIRECTED shingle containment |A∩B| / |A| — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted whole
+    inside a long one has high containment but low Jaccard (the union
+    is dominated by the long doc), so quote-inclusion and
+    excerpt-republication only show up under containment. Emits
+    (id_a, id_b) where A's shingles are >= 60% contained in B; both
+    directions are reported independently.
+
+    Scale shape: same inverted-index pair discipline as
+    `d_ngram_jaccard_pairs` (shared-shingle equi-join, map-side
+    partial counts, per-side size join) with the threshold applied on
+    the ROUNDED value so the keep/drop boundary is engine-portable.
+    Production pipelines bound the posting-list fanout by df-pruning
+    hot shingles; the fixture cap (doc_id < 150) keeps the graded
+    pair set aligned with the Jaccard query's."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    toks = d.select(
+        "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("sh")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), "n")),
+            "id_a",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i").cast("double") / F.col("n"), 6).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= 0.6)
+    )
+
+
+@query(
+    "z4_score_calibration_bins",
+    oracle="""
+WITH scored AS (
+  SELECT round(1.0 / (1.0 + exp(-(
+           -1.5 + 0.9 * (n_chars / 1000.0)
+           + 0.7 * (len(string_split(text, ' ')) / 100.0)
+           + -2.0 * (length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     / CAST(greatest(n_chars, 1) AS DOUBLE))))), 6) AS prob,
+         (n_chars >= 200) AS label
+  FROM documents
+)
+SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(prob), 6) AS mean_prob,
+       round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+FROM scored GROUP BY 1
+""",
+)
+def z4_score_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the fastText-style quality scorer
+    (`z2_quality_logreg_score` weights): sigmoid probabilities bucket
+    into 10 bins, each reporting mean predicted probability vs the
+    observed rate of a weak label (n_chars >= 200) — the calibration
+    check a data pipeline runs before using model scores as sampling
+    WEIGHTS rather than a hard gate (miscalibrated weights silently
+    skew the corpus mix).
+
+    Scale shape: one codegen scoring pass (no shuffle) + one 10-group
+    aggregate with map-side partials. Binning uses the ROUNDED
+    probability so bin boundaries are engine-portable (same 6-dp
+    contract as every graded float here)."""
+    d = table(spark, sf_dir, "documents")
+    margin = (
+        F.lit(-1.5)
+        + 0.9 * (F.col("n_chars") / 1000.0)
+        + 0.7 * (F.size(F.split(F.col("text"), " ")) / 100.0)
+        + -2.0
+        * (
+            F.length(F.regexp_replace("text", "[^A-Z]", ""))
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        )
+    )
+    scored = d.select(
+        F.round(1.0 / (1.0 + F.exp(-margin)), 6).alias("prob"),
+        (F.col("n_chars") >= 200).alias("label"),
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("prob") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("prob"), 6).alias("mean_prob"),
+        F.round(
+            F.avg(F.when(F.col("label"), 1.0).otherwise(0.0)), 6
+        ).alias("frac_pos"),
+    )
+
+
+@query(
+    "z4_template_position_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split({_NORM_SQL}, ' '), 1) - 1 AS pos,
+         unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), counted AS (
+  SELECT pos, term, count(*) AS c FROM toks WHERE pos < 20 GROUP BY 1, 2
+), tot AS (
+  SELECT pos, sum(c) AS t FROM counted GROUP BY 1
+)
+SELECT counted.pos AS pos,
+       CAST(tot.t AS BIGINT) AS n_docs,
+       round(-sum((c / CAST(tot.t AS DOUBLE))
+                  * ln(c / CAST(tot.t AS DOUBLE))), 6) AS entropy
+FROM counted JOIN tot USING (pos)
+GROUP BY counted.pos, tot.t
+""",
+)
+def z4_template_position_entropy(spark, sf_dir):
+    """Positional token entropy over the first 20 token slots —
+    template detection: a rigid boilerplate prefix ("click here to
+    read more ...") collapses the token distribution at its fixed
+    positions, so low-entropy leading positions flag templated
+    sources for the boilerplate stripper. Reports Shannon entropy
+    (nats) of the token distribution at each position.
+
+    Scale shape: posexplode capped at 20 positions (the filter lands
+    inside the generator's consumer projection, so deep documents
+    don't explode past the cap's useful range), then two bounded
+    aggregates — (pos, term) counts with map-side partials and a
+    20-row total join. Output is 20 rows at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select(
+        F.posexplode(F.split(norm, " ")).alias("pos", "term")
+    ).where(F.col("pos") < 20)
+    counted = toks.groupBy("pos", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = counted.groupBy("pos").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        counted.join(F.broadcast(tot), "pos")
+        .groupBy("pos", "t")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select("pos", F.col("t").cast("bigint").alias("n_docs"), "entropy")
     )

@@ -140,3 +140,83 @@ def test_z4_plans_scale_shapes(spark):
     assert "Window" in p3
     # the window partitions by source: its exchange hashes on source
     assert "hashpartitioning(source" in p3
+
+
+def test_ngram_novelty_hand_computed(spark, tmp_path):
+    """d0 'a b c d' -> shingles {abc, bcd} both first -> 1.0;
+    d1 'a b c e' -> {abc (seen), bce (new)} -> 0.5;
+    d2 'x y' (short: whole-text shingle) -> 1.0."""
+    docs = _docs(
+        spark, [("a b c d", "s"), ("a b c e", "s"), ("x y", "s")]
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["novelty"])
+        for r in q.QUERIES["z4_ngram_novelty"](spark, d).collect()
+    }
+    assert got == {0: (2, 1.0), 1: (2, 0.5), 2: (1, 1.0)}
+
+
+def test_containment_pairs_hand_computed(spark, tmp_path):
+    """d0 'p q r' (1 shingle) is fully contained in d1 'p q r s t'
+    (3 shingles): containment(0 in 1) = 1.0 reported; the reverse
+    direction 1/3 falls below the 0.6 gate."""
+    docs = _docs(spark, [("p q r", "s"), ("p q r s t", "s")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = q.QUERIES["z4_containment_pairs"](spark, d).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in rows] == [
+        (0, 1, 1.0)
+    ]
+
+
+def test_calibration_bins_hand_computed(spark, tmp_path):
+    """Two crafted docs: an all-caps short doc scores a deeply
+    negative margin (upper ratio ~1 at weight -2, bias -1.5) -> prob
+    near 0 -> bin 0, label False (n_chars < 200); a long lowercase
+    doc gets margin > 0 -> prob > 0.5, label True. Expected values
+    recomputed from the published weight vector."""
+    low = "AAA BBB"                      # n_chars 7, 2 toks, upper 6/7
+    hi = ("word " * 200).strip()         # n_chars 999, 200 toks, no upper
+    docs = _docs(spark, [(low, "s"), (hi, "s")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    def prob(n_chars, n_tok, n_upper):
+        m = (
+            -1.5
+            + 0.9 * n_chars / 1000.0
+            + 0.7 * n_tok / 100.0
+            - 2.0 * n_upper / max(n_chars, 1)
+        )
+        return round(1.0 / (1.0 + math.exp(-m)), 6)
+
+    p_low, p_hi = prob(7, 2, 6), prob(999, 200, 0)
+    got = {
+        r["bin"]: (r["n"], r["mean_prob"], r["frac_pos"])
+        for r in q.QUERIES["z4_score_calibration_bins"](spark, d).collect()
+    }
+    assert got == {
+        min(int(p_low * 10), 9): (1, p_low, 0.0),
+        min(int(p_hi * 10), 9): (1, p_hi, 1.0),
+    }
+    assert p_low < 0.1 < 0.5 < p_hi
+
+
+def test_template_position_entropy_hand_computed(spark, tmp_path):
+    """docs 'a b', 'a c': position 0 is template-rigid (all 'a',
+    entropy 0), position 1 is uniform over {b, c} (entropy ln 2)."""
+    docs = _docs(spark, [("a b", "s"), ("a c", "s")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["pos"]: (r["n_docs"], r["entropy"])
+        for r in q.QUERIES["z4_template_position_entropy"](
+            spark, d
+        ).collect()
+    }
+    assert got == {
+        0: (2, 0.0),
+        1: (2, round(math.log(2), 6)),
+    }

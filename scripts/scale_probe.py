@@ -72,6 +72,11 @@ PROBES = [
     "s_sessionize_batch",         # gap sessionization window (events)
     "z2_quality_logreg_score",    # logreg scoring projection (documents)
     "st_windowed_counts",         # structured-streaming drain (events)
+    # r7: the z4_ training-corpus family (documents)
+    "z4_sparse_tfidf_topk",       # inverted-index tf-idf cosine
+    "z4_ngram_novelty",           # shingle first-owner join
+    "z4_cooccur_pmi",             # per-doc pair explode + agg
+    "z4_js_divergence_sources",   # three groupBys, broadcast global
 ]
 
 

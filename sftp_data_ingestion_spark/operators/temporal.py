@@ -225,6 +225,66 @@ def range_join_overlap(
     return lx.join(rx, ["__bucket"]).where(exact).drop("__bucket")
 
 
+def interval_join_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "7 days",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval x INTERVAL overlap join (closed intervals:
+    ``a.start <= b.end AND b.start <= a.end``) — the shape Spark has
+    no native strategy for (an inequality-only join plans as a
+    nested-loop cross product).
+
+    Scale path: BOTH sides explode to every time bucket they span and
+    meet in an equi-join on (``keys``..., bucket) — bucket-local work
+    proportional to interval density, never |L| x |R|. A pair
+    overlapping across several shared buckets would duplicate, so the
+    match is ANCHORED: it is accepted only in the bucket containing
+    ``greatest(left_start, right_start)`` (the overlap's first
+    instant, which both sides' bucket ranges provably span) — exactly
+    one anchor bucket per overlapping pair, no dropDuplicates shuffle.
+    Column names must be disjoint across the two sides (alias first),
+    matching :func:`range_join_overlap`'s contract."""
+    iv = F.expr(f"INTERVAL {bucket}")
+    lx = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(left_start), bucket),
+                _bucket(F.col(left_end), bucket),
+                iv,
+            )
+        ),
+    )
+    rx = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(right_start), bucket),
+                _bucket(F.col(right_end), bucket),
+                iv,
+            )
+        ),
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    anchor = (
+        _bucket(F.greatest(F.col(left_start), F.col(right_start)), bucket)
+        == F.col("__bucket")
+    )
+    return (
+        lx.join(rx, [*(keys or []), "__bucket"])
+        .where(overlap & anchor)
+        .drop("__bucket")
+    )
+
+
 def ewma_last_per_key(
     df: DataFrame,
     key_col: str,

@@ -595,3 +595,75 @@ def z4_template_position_entropy(spark, sf_dir):
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
         .select("pos", F.col("t").cast("bigint").alias("n_docs"), "entropy")
     )
+
+
+@query(
+    "z4_interval_overlap_join",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL (o_orderkey % 21 + 1) DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+            AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def z4_interval_overlap_join(spark, sf_dir):
+    """INTERVAL x INTERVAL overlap join — concurrent open orders per
+    customer, each order carrying a deterministic fulfillment window
+    [o_orderdate, o_orderdate + (o_orderkey % 21 + 1) days]. Spark
+    has no native interval-join strategy (the pure inequality join
+    plans as a nested loop), so this grades the bucketed operator
+    `operators/temporal.interval_join_overlap`: both sides explode to
+    the 7-day time buckets they span and meet in an equi-join on
+    (custkey, bucket); a pair sharing several buckets is accepted
+    only in the ANCHOR bucket containing the overlap's first instant
+    — exactly one match per pair, no dedup shuffle. The oracle is the
+    direct theta join, so the graded equality proves the bucketing +
+    anchoring is lossless AND duplicate-free."""
+    from sftp_data_ingestion_spark.operators.temporal import (
+        interval_join_overlap,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    days = (F.col("o_orderkey") % 21 + 1).cast("int")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.timestamp_seconds(
+            F.unix_timestamp("o_orderdate") + days * 86400
+        ).alias("e"),
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    out = interval_join_overlap(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket="7 days", keys=["custkey"]
+    ).where(F.col("okey_a") < F.col("okey_b"))
+    return out.select(
+        "custkey",
+        "okey_a",
+        "okey_b",
+        (
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            ).cast("bigint")
+            + 1
+        ).alias("overlap_days"),
+    )

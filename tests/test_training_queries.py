@@ -220,3 +220,50 @@ def test_template_position_entropy_hand_computed(spark, tmp_path):
         0: (2, 0.0),
         1: (2, round(math.log(2), 6)),
     }
+
+
+def test_interval_join_overlap_hand_computed(spark):
+    """Hand-built intervals across bucket boundaries: A [d1, d10] and
+    B [d8, d20] overlap 3 days and share TWO 7-day buckets (anchoring
+    must yield exactly one match); C [d12, d13] overlaps B but not A;
+    D on another key never matches."""
+    from datetime import datetime
+
+    from sftp_data_ingestion_spark.operators.temporal import (
+        interval_join_overlap,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day)
+
+    left = spark.createDataFrame(
+        [(1, "A", d(1), d(10)), (1, "C", d(12), d(13))],
+        "k int, lid string, l_s timestamp, l_e timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, "B", d(8), d(20)), (2, "D", d(1), d(31))],
+        "k int, rid string, r_s timestamp, r_e timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join_overlap(
+            left, right, "l_s", "l_e", "r_s", "r_e",
+            bucket="7 days", keys=["k"],
+        ).collect()
+    )
+    assert got == [("A", "B"), ("C", "B")]  # exactly once each
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The graded interval join must plan as an equi-join on
+    (custkey, bucket) — never the nested-loop cross product a pure
+    inequality join falls into."""
+    p = (
+        q.QUERIES["z4_interval_overlap_join"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "__bucket" in p

@@ -308,3 +308,75 @@ def st_stream_cms_topk(spark, sf_dir):
     return top20.join(est, "user_id").select(
         "user_id", "exact_cnt", "cms_est"
     )
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the landing
+    shape of a streaming corpus-ingestion monitor. Same
+    single-file-vs-directory symlink handling as
+    :func:`_events_stream`."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    link_dir = tempfile.mkdtemp(prefix="stream_docs_")
+    if os.path.isdir(src):
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(src, "*.parquet")))
+        ):
+            os.symlink(p, os.path.join(link_dir, f"part_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(link_dir, "documents.parquet"))
+    return spark.readStream.schema(raw_schema).parquet(link_dir)
+
+
+@query(
+    "st_stream_quality_gate",
+    oracle=r"""
+WITH scored AS (
+  SELECT source, n_chars, round(
+    0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * least(
+        (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+              t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+         / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+        1.0)
+    + 0.2 * (1 - least(
+        (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+        1.0)),
+    6) AS quality
+  FROM documents
+)
+SELECT source, quality >= 0.6 AS admitted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM scored GROUP BY 1, 2
+""",
+)
+def st_stream_quality_gate(spark, sf_dir):
+    """The curation quality gate AS A STREAM: documents arrive on the
+    landing file source, the pure-Column quality kernel
+    (`ext.textstats.quality_score` — the exact expression the batch
+    curation pipeline runs) scores each micro-batch, and a running
+    per-(source, admitted) admission ledger aggregates in complete
+    mode — the live corpus-intake monitor a training-data pipeline
+    puts in front of its staging table. The drained ledger must
+    hash-match the batch GROUP BY over the same scoring SQL, proving
+    the text kernel is portable INTO the streaming engine (no
+    batch-only expression sneaks in).
+
+    Scale shape: scoring is stateless per-row Column work at scan
+    parallelism; state is one row per (source, admitted) — bounded by
+    source cardinality, not corpus size."""
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    stream = _docs_stream(spark, sf_dir)
+    scored = stream.select(
+        "source",
+        "n_chars",
+        (ts.quality_score(F.col("text")) >= 0.6).alias("admitted"),
+    )
+    ledger = scored.groupBy("source", "admitted").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return _drain(ledger, "st_qgate", "complete")

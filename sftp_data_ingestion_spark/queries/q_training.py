@@ -667,3 +667,184 @@ def z4_interval_overlap_join(spark, sf_dir):
             + 1
         ).alias("overlap_days"),
     )
+
+
+@query(
+    "z4_ks_drift_binned",
+    oracle="""
+WITH binned AS (
+  SELECT event_type, CAST(least(floor(value / 25.0), 19) AS INT) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(c) AS t FROM binned GROUP BY 1
+), ref AS (
+  SELECT bin, sum(c) AS rc FROM binned GROUP BY 1
+), rtot AS (
+  SELECT sum(c) AS rt FROM binned
+), grid AS (
+  -- dense (event_type x bin) grid: CDFs need empty bins too
+  SELECT et.event_type, b.bin,
+         coalesce(x.c, 0) AS c, et_t.t, coalesce(r.rc, 0) AS rc, rtot.rt
+  FROM (SELECT DISTINCT event_type FROM binned) et
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+  LEFT JOIN binned x ON x.event_type = et.event_type AND x.bin = b.bin
+  JOIN tot et_t ON et_t.event_type = et.event_type
+  LEFT JOIN ref r ON r.bin = b.bin, rtot
+), cdfs AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) / CAST(t AS DOUBLE) AS cdf,
+         sum(rc) OVER (PARTITION BY event_type ORDER BY bin) / CAST(rt AS DOUBLE) AS ref_cdf
+  FROM grid
+)
+SELECT event_type, round(max(abs(cdf - ref_cdf)), 6) AS ks_stat
+FROM cdfs GROUP BY event_type
+""",
+)
+def z4_ks_drift_binned(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov drift statistic: each
+    event type's value distribution vs the whole corpus —
+    D = max over bin boundaries of |CDF_type - CDF_all|. The
+    distribution-shape drift gate that complements the mean-level
+    z-score (`c_value_zscore_outliers`), count-based chi-square
+    (`g_drift_chisq`) and token-level JS divergence
+    (`z4_js_divergence_sources`). Binning (20 fixed-width buckets)
+    makes the CDF comparison scale-safe: the exact KS needs a global
+    sort of every value, the binned form needs one bounded groupBy —
+    and the statistic is exact for the binned distributions.
+
+    Scale shape: one (type, bin) groupBy with map-side partials
+    (output <= types x 20 rows), tiny dense grid via broadcast cross
+    join (CDFs must see empty bins), windows PARTITIONED by type over
+    <= 20 rows each. Output bounded by type cardinality at any data
+    size."""
+    e = table(spark, sf_dir, "events")
+    binned = (
+        e.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = binned.groupBy("event_type").agg(F.sum("c").alias("t"))
+    ref = binned.groupBy("bin").agg(F.sum("c").alias("rc"))
+    rtot = binned.agg(F.sum("c").alias("rt"))
+    et = binned.select("event_type").distinct()
+    bins = binned.select("bin").distinct()
+    grid = (
+        et.crossJoin(F.broadcast(bins))
+        .join(binned, ["event_type", "bin"], "left")
+        .join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "t",
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+            "rt",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdfs = grid.select(
+        "event_type",
+        (F.sum("c").over(w) / F.col("t").cast("double")).alias("cdf"),
+        (F.sum("rc").over(w) / F.col("rt").cast("double")).alias(
+            "ref_cdf"
+        ),
+    )
+    return cdfs.groupBy("event_type").agg(
+        F.round(F.max(F.abs(F.col("cdf") - F.col("ref_cdf"))), 6).alias(
+            "ks_stat"
+        )
+    )
+
+
+@query(
+    "z4_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d,
+         count(*) AS c
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1, 2
+), tot AS (
+  SELECT o_orderpriority, sum(c) AS t FROM digits GROUP BY 1
+), grid AS (
+  SELECT p.o_orderpriority, g.d, coalesce(x.c, 0) AS c, tot.t
+  FROM (SELECT DISTINCT o_orderpriority FROM digits) p
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) g
+  LEFT JOIN digits x ON x.o_orderpriority = p.o_orderpriority AND x.d = g.d
+  JOIN tot ON tot.o_orderpriority = p.o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(sum(c) AS BIGINT) AS n,
+       round(sum(pow(c / CAST(t AS DOUBLE) - ln(1.0 + 1.0/d) / ln(10.0), 2)
+                 / (ln(1.0 + 1.0/d) / ln(10.0))), 6) AS benford_chi2
+FROM grid GROUP BY o_orderpriority
+""",
+)
+def z4_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit conformance per order priority —
+    chi-square-style distance between the observed first-digit
+    distribution of order totals and log10(1 + 1/d): the
+    synthetic-data / fraud / entry-error screen financial audit
+    pipelines run, and for an LLM-data engine the numeric-fabrication
+    signal over any numeric column. (The fixture's uniform-ish prices
+    do NOT follow Benford — the statistic is graded as a VALUE, not a
+    verdict.)
+
+    Scale shape: first digit via string head of the floored value
+    (pure Column, no log-domain rounding hazards), one (priority,
+    digit) groupBy with map-side partials, 9-row digit grid broadcast
+    — output bounded by priority cardinality."""
+    o = table(spark, sf_dir, "orders")
+    digits = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(
+            "o_orderpriority",
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("d"),
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = digits.groupBy("o_orderpriority").agg(F.sum("c").alias("t"))
+    grid = (
+        digits.select("o_orderpriority")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                digits.sparkSession.range(1, 10).select(
+                    F.col("id").cast("int").alias("d")
+                )
+            )
+        )
+        .join(digits, ["o_orderpriority", "d"], "left")
+        .join(F.broadcast(tot), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "t",
+        )
+    )
+    p_benford = F.log(1.0 + 1.0 / F.col("d")) / math.log(10.0)
+    dev = F.pow(F.col("c") / F.col("t").cast("double") - p_benford, 2)
+    return grid.groupBy("o_orderpriority").agg(
+        F.sum("c").alias("n"),
+        F.round(F.sum(dev / p_benford), 6).alias("benford_chi2"),
+    )

@@ -267,3 +267,59 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "__bucket" in p
+
+
+def test_ks_drift_binned_hand_computed(spark, tmp_path):
+    """Type A all in bin 0 (values < 25), type B all in bin 1: the
+    reference CDF is 0.5 at bin 0 and 1.0 at bin 1, each type's own
+    CDF is a step — D = 0.5 for both."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "A", 10.0, "{}"),
+        (2, datetime(2024, 1, 1), 1, "A", 12.0, "{}"),
+        (3, datetime(2024, 1, 1), 2, "B", 30.0, "{}"),
+        (4, datetime(2024, 1, 1), 2, "B", 32.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "fx")
+    ev.write.parquet(f"{d}/events.parquet")
+    got = {
+        r["event_type"]: r["ks_stat"]
+        for r in q.QUERIES["z4_ks_drift_binned"](spark, d).collect()
+    }
+    assert got == {"A": 0.5, "B": 0.5}
+
+
+def test_benford_first_digit_hand_computed(spark, tmp_path):
+    """Three orders with first digits 1, 1, 2: observed p = (2/3,
+    1/3, 0...); chi2 distance computed from log10(1 + 1/d) on
+    paper."""
+    from datetime import datetime
+
+    rows = [
+        (1, 1, "O", 100.5, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 19.2, datetime(2024, 1, 1), "1-URGENT"),
+        (3, 1, "O", 250.0, datetime(2024, 1, 1), "1-URGENT"),
+    ]
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "fx")
+    o.write.parquet(f"{d}/orders.parquet")
+    obs = {1: 2 / 3, 2: 1 / 3}
+    chi2 = sum(
+        (obs.get(dd, 0.0) - math.log10(1 + 1 / dd)) ** 2
+        / math.log10(1 + 1 / dd)
+        for dd in range(1, 10)
+    )
+    rows = q.QUERIES["z4_benford_first_digit"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 3
+    assert rows[0]["benford_chi2"] == pytest.approx(round(chi2, 6), abs=1e-6)

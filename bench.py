@@ -52,6 +52,10 @@ HEADLINE = [
     # near-dup -> decontaminate -> token budget -> pack) — the
     # end-to-end number a training-data pipeline actually cares about
     "curation_e2e",
+    # round-7: z4 training-corpus family representative — the
+    # inverted-index tf-idf top-k (term-join + pair-agg shape; the
+    # rest of the family is scale-probed in PERFORMANCE.md)
+    "z4_sparse_tfidf_topk",
 ]
 
 

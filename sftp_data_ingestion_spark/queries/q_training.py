@@ -848,3 +848,112 @@ def z4_benford_first_digit(spark, sf_dir):
         F.sum("c").alias("n"),
         F.round(F.sum(dev / p_benford), 6).alias("benford_chi2"),
     )
+
+
+@query(
+    "z4_dataset_card",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         round(
+           0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * least(
+               (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+                / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+               1.0)
+           + 0.2 * (1 - least(
+               (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+               1.0)),
+         6) AS quality
+  FROM documents
+), src AS (
+  SELECT source, count(*) AS c FROM base GROUP BY 1
+), lng AS (
+  SELECT lang, count(*) AS c FROM base GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM base)
+SELECT
+  (SELECT CAST(n_docs AS BIGINT) FROM n) AS n_docs,
+  (SELECT CAST(sum(length(string_split(norm, ' '))) AS BIGINT) FROM base)
+    AS n_tokens,
+  (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_sources,
+  (SELECT round(-sum((c / CAST(n.n_docs AS DOUBLE))
+                     * ln(c / CAST(n.n_docs AS DOUBLE))), 6)
+   FROM src, n) AS source_entropy,
+  (SELECT round(-sum((c / CAST(n.n_docs AS DOUBLE))
+                     * ln(c / CAST(n.n_docs AS DOUBLE))), 6)
+   FROM lng, n) AS lang_entropy,
+  (SELECT round(1.0 - count(DISTINCT sha256(norm))
+                      / CAST(count(*) AS DOUBLE), 6) FROM base)
+    AS exact_dup_rate,
+  (SELECT round(avg(quality), 6) FROM base) AS mean_quality
+""",
+)
+def z4_dataset_card(spark, sf_dir):
+    """One-row dataset card — the datasheet a corpus release ships
+    with, composed from the proven kernels: document/token/source
+    counts, source- and language-mix Shannon entropies (a skewed mix
+    collapses entropy — the one-number balance check), exact-dup rate
+    (1 - distinct normalized hashes / docs, `d_exact_dedup`'s
+    contract), and mean quality (`t_quality_score`'s exact
+    expression). Proves the kernels COMPOSE into a single-pass-able
+    summary, the way `curation_e2e` proves the pipeline stages
+    compose.
+
+    Scale shape: one scan feeds independent bounded aggregates
+    (map-side partials; the entropy inputs are source/lang
+    cardinality-sized); no joins, no windows, output is ONE row at
+    any corpus size."""
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = d.select(
+        "source",
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_tok"),
+        F.sha2(norm, 256).alias("h"),
+        ts.quality_score(F.col("text")).alias("quality"),
+    )
+
+    def entropy_of(col):
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        tot = counts.agg(F.sum("c").alias("t"))
+        p = F.col("c") / F.col("t").cast("double")
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(F.round(-F.sum(p * F.log(p)), 6))
+            .first()[0]
+        )
+
+    row = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(
+            1.0 - F.countDistinct("h") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    ).first()
+    # assemble the card as a one-row frame (entropies are two tiny
+    # independent aggregates — at scale these run as separate bounded
+    # jobs over the same scan, exactly how a datasheet generator works)
+    return d.sparkSession.createDataFrame(
+        [
+            (
+                row["n_docs"],
+                row["n_tokens"],
+                row["n_sources"],
+                entropy_of("source"),
+                entropy_of("lang"),
+                row["exact_dup_rate"],
+                row["mean_quality"],
+            )
+        ],
+        "n_docs long, n_tokens long, n_sources long, "
+        "source_entropy double, lang_entropy double, "
+        "exact_dup_rate double, mean_quality double",
+    )

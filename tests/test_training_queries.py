@@ -323,3 +323,30 @@ def test_benford_first_digit_hand_computed(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n"] == 3
     assert rows[0]["benford_chi2"] == pytest.approx(round(chi2, 6), abs=1e-6)
+
+
+def test_dataset_card_hand_computed(spark, tmp_path):
+    """4 docs, 2 sources (3:1 split), 2 langs (2:2), one exact dup
+    pair: n_tokens = 2+2+2+3 = 9; source entropy =
+    -(0.75 ln 0.75 + 0.25 ln 0.25); lang entropy = ln 2;
+    dup rate = 1 - 3/4 = 0.25."""
+    rows = [
+        (0, "a b", "en", "s1", 3),
+        (1, "a  b", "en", "s1", 4),   # normalizes equal to doc 0
+        (2, "c d", "de", "s1", 3),
+        (3, "e f g", "de", "s2", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    r = q.QUERIES["z4_dataset_card"](spark, d).collect()[0]
+    assert r["n_docs"] == 4 and r["n_tokens"] == 9
+    assert r["n_sources"] == 2
+    exp_src = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r["source_entropy"] == pytest.approx(round(exp_src, 6))
+    assert r["lang_entropy"] == pytest.approx(round(math.log(2), 6))
+    assert r["exact_dup_rate"] == 0.25
+    assert 0.0 <= r["mean_quality"] <= 1.0

@@ -904,8 +904,9 @@ def z4_dataset_card(spark, sf_dir):
 
     Scale shape: one scan feeds independent bounded aggregates
     (map-side partials; the entropy inputs are source/lang
-    cardinality-sized); no joins, no windows, output is ONE row at
-    any corpus size."""
+    cardinality-sized), assembled fully lazily by cross-joining the
+    one-row aggregate frames — no driver round-trip, no windows;
+    output is ONE row at any corpus size."""
     from sftp_data_ingestion_spark.ext import textstats as ts
 
     d = table(spark, sf_dir, "documents")
@@ -918,17 +919,16 @@ def z4_dataset_card(spark, sf_dir):
         ts.quality_score(F.col("text")).alias("quality"),
     )
 
-    def entropy_of(col):
+    def entropy_of(col, out):
         counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
         tot = counts.agg(F.sum("c").alias("t"))
         p = F.col("c") / F.col("t").cast("double")
         return (
             counts.crossJoin(F.broadcast(tot))
-            .agg(F.round(-F.sum(p * F.log(p)), 6))
-            .first()[0]
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias(out))
         )
 
-    row = base.agg(
+    card = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.countDistinct("source").alias("n_sources"),
@@ -937,23 +937,21 @@ def z4_dataset_card(spark, sf_dir):
             6,
         ).alias("exact_dup_rate"),
         F.round(F.avg("quality"), 6).alias("mean_quality"),
-    ).first()
-    # assemble the card as a one-row frame (entropies are two tiny
-    # independent aggregates — at scale these run as separate bounded
-    # jobs over the same scan, exactly how a datasheet generator works)
-    return d.sparkSession.createDataFrame(
-        [
-            (
-                row["n_docs"],
-                row["n_tokens"],
-                row["n_sources"],
-                entropy_of("source"),
-                entropy_of("lang"),
-                row["exact_dup_rate"],
-                row["mean_quality"],
-            )
-        ],
-        "n_docs long, n_tokens long, n_sources long, "
-        "source_entropy double, lang_entropy double, "
-        "exact_dup_rate double, mean_quality double",
+    )
+    # assemble the card fully LAZILY: the two entropy aggregates are
+    # independent one-row frames, cross-joined (broadcast) onto the
+    # main aggregate — no driver round-trip anywhere, so the card
+    # composes into larger plans and audits like any other query
+    return (
+        card.crossJoin(F.broadcast(entropy_of("source", "source_entropy")))
+        .crossJoin(F.broadcast(entropy_of("lang", "lang_entropy")))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            "source_entropy",
+            "lang_entropy",
+            "exact_dup_rate",
+            "mean_quality",
+        )
     )

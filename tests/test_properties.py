@@ -482,3 +482,118 @@ def test_bpe_merges_match_model_on_random_words(spark, words):
     model = _model_merges(words, 3)
     assert got == model[: len(got)]
     assert len(got) == len(model)
+
+
+# ---------------------------------------------------------------------------
+# interval x interval overlap join (r7): bucketed == brute force
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 40),          # start day offset
+            st.integers(0, 15),          # duration days (0 = instant)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 40),
+            st.integers(0, 15),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["1 day", "3 days", "7 days", "30 days"]),
+)
+def test_interval_join_matches_brute_force(spark, ls, rs, bucket):
+    """For ANY interval sets and ANY bucket width, the bucketed +
+    anchored join must produce exactly the closed-interval overlap
+    relation — once per pair (zero-length intervals, exact-touch
+    boundaries, and bucket-edge alignment included)."""
+    import datetime as dtm
+
+    from sftp_data_ingestion_spark.operators.temporal import (
+        interval_join_overlap,
+    )
+
+    base = dtm.datetime(2024, 1, 1)
+
+    def frame(rows, prefix):
+        data = [
+            (
+                k,
+                i,
+                base + dtm.timedelta(days=s),
+                base + dtm.timedelta(days=s + d),
+            )
+            for i, (k, s, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            f"k int, {prefix}id int, {prefix}s timestamp, {prefix}e timestamp",
+        )
+
+    left, right = frame(ls, "l"), frame(rs, "r")
+    got = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_join_overlap(
+            left, right, "ls", "le", "rs", "re", bucket=bucket, keys=["k"]
+        ).collect()
+    )
+    expect = sorted(
+        (lk, li, ri)
+        for li, (lk, lss, ld) in enumerate(ls)
+        for ri, (rk, rss, rd) in enumerate(rs)
+        if lk == rk and lss <= rss + rd and rss <= lss + ld
+    )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (r7): restart framing never changes pixels; error bounded
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([0, 1, 3, 5, 100]),
+)
+def test_jpeg_roundtrip_bounded_and_restart_invariant(w, h, seed, interval):
+    """For ANY dimensions and content: decode(encode(x)) preserves
+    dims exactly, bounds the per-pixel error, and a restart interval
+    changes FRAMING only — decoded bytes are bit-identical to the
+    non-restart encoding's decode."""
+    import numpy as np
+
+    from sftp_data_ingestion_spark.ext.jpeg import decode_gray, encode_gray
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (random DC per 8x8-ish region + mild noise)
+    # keeps the q90 error bound meaningful; pure noise is the codec's
+    # documented worst case and is covered by the fixed tests
+    img = (
+        rng.integers(0, 200, size=((h + 7) // 8, (w + 7) // 8))
+        .repeat(8, 0)
+        .repeat(8, 1)[:h, :w]
+        + rng.integers(0, 40, size=(h, w))
+    ).astype(np.uint8)
+    raw = img.tobytes()
+    base = decode_gray(encode_gray(w, h, raw, 90))
+    assert base[0] == w and base[1] == h and len(base[2]) == w * h
+    err = np.abs(
+        np.frombuffer(base[2], np.uint8).astype(int)
+        - np.frombuffer(raw, np.uint8).astype(int)
+    )
+    assert err.max() <= 64 and err.mean() <= 16
+    if interval:
+        rst = decode_gray(encode_gray(w, h, raw, 90, restart_interval=interval))
+        assert rst[2] == base[2]

@@ -955,3 +955,59 @@ def z4_dataset_card(spark, sf_dir):
             "mean_quality",
         )
     )
+
+
+@query(
+    "z4_zipf_slope_by_source",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (
+           PARTITION BY source ORDER BY c DESC, term) AS rnk
+  FROM counts
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+         AS zipf_slope
+FROM ranked GROUP BY source
+""",
+)
+def z4_zipf_slope_by_source(spark, sf_dir):
+    """Zipf's-law conformance per source: the slope of ln(frequency)
+    vs ln(rank) over each source's term distribution — natural
+    language sits near -1; machine-generated or template-heavy text
+    flattens or steepens the curve, making the slope a cheap
+    naturalness screen next to the LM cross-entropy gates.
+
+    Scale shape: one (source, term) groupBy with map-side partials,
+    rank via a window PARTITIONED by source (per-source vocab-sized,
+    never global), slope as the built-in ``regr_slope`` aggregate
+    (one pass, identical estimator in both engines). Output bounded
+    by source cardinality. Production pipelines cap the ranked tail
+    (top-10k terms) — the fixture vocab is far below any cap."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        _tokens(d)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("term")
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(rw))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("c").cast("double")),
+                F.log(F.col("rnk").cast("double")),
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )

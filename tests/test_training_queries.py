@@ -350,3 +350,43 @@ def test_dataset_card_hand_computed(spark, tmp_path):
     assert r["lang_entropy"] == pytest.approx(round(math.log(2), 6))
     assert r["exact_dup_rate"] == 0.25
     assert 0.0 <= r["mean_quality"] <= 1.0
+
+
+def test_zipf_slope_hand_computed(spark, tmp_path):
+    """One source, term counts 4/2/1 (a x4, b x2, c x1): ranks 1/2/3,
+    slope = regr_slope(ln c, ln rank) computed on paper via the
+    closed-form least-squares estimator."""
+    docs = _docs(spark, [("a a a a b b c", "s1")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    xb, yb = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - xb) * (y - yb) for x, y in zip(xs, ys)) / sum(
+        (x - xb) ** 2 for x in xs
+    )
+    rows = q.QUERIES["z4_zipf_slope_by_source"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_terms"] == 3
+    assert rows[0]["zipf_slope"] == pytest.approx(round(slope, 6), abs=1e-6)
+
+
+def test_shard_packing_round_robin_invariant(spark, tmp_path):
+    """Round-robin invariant for ANY doc mix: within each source the
+    shard doc-counts differ by at most 1."""
+    import random
+
+    rnd = random.Random(13)
+    rows = [
+        (("w " * rnd.randrange(1, 30)).strip(), f"s{rnd.randrange(3)}")
+        for _ in range(50)
+    ]
+    docs = _docs(spark, rows)
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = q.QUERIES["z4_shard_packing"](spark, d).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r["n_docs"])
+    for source, counts in by_source.items():
+        assert max(counts) - min(counts) <= 1, source

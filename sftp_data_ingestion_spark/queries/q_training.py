@@ -1,6 +1,6 @@
 """Training-corpus construction operators, round 7 (`z4_` family).
 
-Four operators a large-scale LLM-data pipeline runs between curation
+The operators a large-scale LLM-data pipeline runs between curation
 and tokenization, each with a full DuckDB oracle:
 
 * sparse lexical similarity (tf-idf cosine top-k) — the classic
@@ -11,7 +11,19 @@ and tokenization, each with a full DuckDB oracle:
   documents to output shards, the write-path step before training;
 * per-source Jensen-Shannon divergence — distribution drift of each
   source against the corpus, the information-theoretic cousin of the
-  chi-square drift gate (`g_drift_chisq`).
+  chi-square drift gate (`g_drift_chisq`);
+* per-doc n-gram novelty (shingle first-owner, no pair fanout);
+* directed shingle containment (the asymmetric quote-inclusion
+  signal Jaccard dilutes);
+* quality-score calibration bins (reliability diagram before model
+  scores become sampling weights);
+* positional token entropy (template/boilerplate prefix detection);
+* binned two-sample KS drift (distribution-SHAPE drift, scale-safe);
+* Benford first-digit conformance (numeric-fabrication screen);
+* bucketed interval x interval overlap join (anchor-bucket matching,
+  `operators/temporal.interval_join_overlap`);
+* Zipf's-law slope per source (naturalness screen, `regr_slope`);
+* one-row dataset card (the corpus release datasheet).
 
 All tokenization uses the repo-wide convention (lower, collapse
 whitespace, split on single space) so oracles share the exact token

@@ -77,6 +77,7 @@ PROBES = [
     "z4_ngram_novelty",           # shingle first-owner join
     "z4_cooccur_pmi",             # per-doc pair explode + agg
     "z4_js_divergence_sources",   # three groupBys, broadcast global
+    "z4_interval_overlap_join",   # bucketed interval join (orders)
 ]
 
 

@@ -295,3 +295,56 @@ def test_text_png_histogram_mass_sums_to_one(spark):
     for r in rows.values():
         assert (r["width"], r["height"]) == (16, 16)
         assert abs(sum(r["luma_hist"]) - 1.0) < 1e-12
+
+
+def test_png_unfilter_property_all_filters_16bit():
+    """Property-style sweep: for random 16-bit RGB images and EVERY
+    filter type, a hand-built pre-filtered PNG decodes to exactly the
+    high bytes — the filters must run at the 2-byte-per-sample stride
+    (a decoder reusing the 8-bit bpp corrupts everything after the
+    first pixel). The reference filtering is an independent pure-
+    python model of the PNG spec, not the decoder's own code."""
+    import random
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    rnd = random.Random(99)
+    w, h, bpp = 6, 4, 6  # 16-bit RGB: 6 bytes per pixel
+    for ft in range(5):
+        # raw big-endian rows: value v -> bytes (v, v) per channel
+        raw_rows = [
+            [rnd.randrange(256) for _ in range(w * 3)] for _ in range(h)
+        ]
+        raw = [
+            b"".join(bytes((v, v)) for v in row) for row in raw_rows
+        ]
+        filt = []
+        prev = bytes(w * bpp)
+        for row in raw:
+            out = bytearray([ft])
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    out.append(row[i])
+                elif ft == 1:
+                    out.append((row[i] - a) % 256)
+                elif ft == 2:
+                    out.append((row[i] - b) % 256)
+                elif ft == 3:
+                    out.append((row[i] - (a + b) // 2) % 256)
+                else:
+                    out.append((row[i] - paeth(a, b, c)) % 256)
+            filt.append(bytes(out))
+            prev = row
+        png = _hand_png(w, h, 16, 2, filt)
+        exp = bytes(v for row in raw_rows for v in row)
+        assert mm.decode_png(png) == (w, h, exp), f"filter {ft}"

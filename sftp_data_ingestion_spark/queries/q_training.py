@@ -125,6 +125,17 @@ def z4_sparse_tfidf_topk(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # materialize the postings ONCE: four consumers read tf (df
+    # counts, norms, probe side, corpus side) and would otherwise
+    # re-tokenize + re-aggregate the corpus per branch (measured 3.52
+    # -> 2.53 s at sf0.1). Hash-partitioned by term so the downstream
+    # posting joins reuse the layout. At 100 TB this boundary is the
+    # inverted index a retrieval pipeline MATERIALIZES to a table by
+    # definition; localCheckpoint is the in-session equivalent (same
+    # pattern as curation_e2e's survivor set).
+    tf = tf.repartition(
+        spark.sparkContext.defaultParallelism, "term"
+    ).localCheckpoint()
     n_docs = d.select(
         F.countDistinct("doc_id").alias("n_docs")
     )

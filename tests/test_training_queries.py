@@ -121,6 +121,10 @@ def test_z4_plans_scale_shapes(spark):
     )
     assert "BroadcastHashJoin" in p1
     assert "BatchEvalPython" not in p1
+    # the postings are materialized ONCE behind the checkpoint: no
+    # consumer re-tokenizes the corpus (Generate = the explode; it
+    # must not appear in the post-checkpoint plan at all)
+    assert "Generate" not in p1
 
     p2 = (
         q.QUERIES["z4_cooccur_pmi"](spark, SF)

@@ -236,8 +236,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     RGB (2), gray+alpha (4) or RGBA (6) form to (width, height,
     top-down 8-bit RGB bytes) — pure stdlib (zlib inflate + the five
     standard scanline unfilters). Alpha is dropped, grayscale
-    replicates to RGB, and 16-bit samples keep their high byte (the
-    exact 255/65535 rescale, since 0xNNNN -> 0xNN * 257). Palette (3)
+    replicates to RGB, and 16-bit samples keep their high byte —
+    floor(v/256), within 1 LSB of the exact round(v*255/65535) rescale
+    (they coincide exactly for v = hi*257; for other samples, e.g.
+    0x01FF, truncation gives 1 where the exact rescale rounds to 2).
+    Palette (3)
     and interlaced forms raise with a clear message (Pillow, when
     importable, handles those via :func:`_real_decode_image`)."""
     import struct

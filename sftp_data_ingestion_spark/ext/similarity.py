@@ -1251,7 +1251,9 @@ def semantic_contamination(
 
     ``approx=None`` picks automatically with one tiny bounded probe
     job (``limit(bucket_min_eval+1).count()``) at composition time;
-    pass ``approx`` explicitly to stay fully lazy. Thresholding uses
+    pass ``approx`` explicitly to stay fully lazy (the graded entry
+    point does: it passes ``approx=False`` so explain-only tooling on
+    the registered query never runs a cluster action). Thresholding uses
     the ROUNDED similarity so the keep/drop boundary is
     engine-portable (same contract as every graded cosine query
     here)."""
@@ -1269,6 +1271,7 @@ def semantic_contamination(
         e = _norm_side(evalset, id_col, vec_col, "eval_id", "ev", "en", dim)
         scored = t.crossJoin(F.broadcast(e)).select(
             "train_id",
+            "eval_id",
             F.round(
                 _pair_sim(
                     F.col("tv"), F.col("ev"), F.col("tn"), F.col("en"), dim
@@ -1276,11 +1279,16 @@ def semantic_contamination(
                 6,
             ).alias("sim"),
         )
+        # countDistinct, not count(1): the approx path below counts
+        # DISTINCT eval ids (multi-table collisions duplicate pairs),
+        # so the exact path must share the same contract — otherwise a
+        # duplicate eval_id row would make the bucket_min_eval
+        # auto-switch silently change output semantics
         return (
             scored.where(F.col("sim") >= threshold)
             .groupBy("train_id")
             .agg(
-                F.count(F.lit(1)).alias("n_eval_hits"),
+                F.countDistinct("eval_id").alias("n_eval_hits"),
                 F.max("sim").alias("max_sim"),
             )
         )

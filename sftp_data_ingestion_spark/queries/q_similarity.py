@@ -336,13 +336,13 @@ WITH base AS (
   UNION ALL
   SELECT vec_id, v FROM leak
 ), sims AS (
-  SELECT t.vec_id AS train_id,
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
          round(list_dot_product(t.v, e.v)
                / (sqrt(list_dot_product(t.v, t.v))
                   * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
   FROM train t CROSS JOIN ev e
 )
-SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+SELECT train_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hits,
        max(sim) AS max_sim
 FROM sims WHERE sim >= 0.9 GROUP BY train_id
 """,
@@ -359,7 +359,13 @@ def v_semantic_decontaminate(spark, sf_dir):
     max similarity. Registered after the driver-grading backlog (the
     registry self-orders unproven-first)."""
     train, ev = _decontaminate_frames(spark, sf_dir)
-    return sim.semantic_contamination(train, ev, threshold=0.9, dim=64)
+    # approx=False explicitly: the eval side (1-in-25) is broadcast
+    # range at every graded SF, and an explicit flag keeps composition
+    # fully lazy (approx=None runs a bounded probe count at compose
+    # time, which would make even explain-only tooling run a job)
+    return sim.semantic_contamination(
+        train, ev, threshold=0.9, dim=64, approx=False
+    )
 
 
 def _decontaminate_frames(spark, sf_dir):

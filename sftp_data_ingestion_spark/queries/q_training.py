@@ -67,6 +67,36 @@ def _tokens(d):
     )
 
 
+def _tfidf_weights(tf, n_docs, broadcast_idf=True):
+    """tf-idf weights (doc_id, term, wt) from a (doc_id, term, tf)
+    postings frame. ``broadcast_idf`` gates the physical strategy for
+    the idf join: idf has one row per DISTINCT TERM, so at fixture
+    scale it is broadcast range, but at 100 TB the vocabulary
+    (10^7-10^8 terms) exceeds any broadcast budget — callers at that
+    scale pass False, which removes the FORCED hint and hands the
+    strategy back to Catalyst: with real 100 TB stats (or broadcast
+    disabled) that plans the standard term-key shuffle join. A
+    production pipeline amortizes that shuffle by materializing the
+    postings as a term-BUCKETED table — the in-session
+    localCheckpoint approximation cannot carry partitioning metadata
+    across the RDD boundary (measured: the checkpoint scan replans
+    ENSURE_REQUIREMENTS exchanges even when pre-repartitioned by
+    term), so bucketing, not repartition-before-checkpoint, is the
+    real exchange-elimination lever at scale. The plan test pins both
+    regimes and their value agreement."""
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+    )
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    return tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+
+
 @query(
     "z4_sparse_tfidf_topk",
     oracle=f"""
@@ -84,7 +114,11 @@ WITH toks AS (
   SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS wt
   FROM tf JOIN idf USING (term)
 ), nrm AS (
+  -- zero-norm guard: a degenerate doc whose every term has df=N has
+  -- norm 0; Spark division yields NULL there but DuckDB IEEE float
+  -- division yields inf/NaN, so both engines drop such docs up front
   SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1
+  HAVING sqrt(sum(wt * wt)) > 0
 ), dots AS (
   SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
          sum(q.wt * c.wt) AS dot
@@ -128,29 +162,30 @@ def z4_sparse_tfidf_topk(spark, sf_dir):
     # materialize the postings ONCE: four consumers read tf (df
     # counts, norms, probe side, corpus side) and would otherwise
     # re-tokenize + re-aggregate the corpus per branch (measured 3.52
-    # -> 2.53 s at sf0.1). Hash-partitioned by term so the downstream
-    # posting joins reuse the layout. At 100 TB this boundary is the
-    # inverted index a retrieval pipeline MATERIALIZES to a table by
-    # definition; localCheckpoint is the in-session equivalent (same
-    # pattern as curation_e2e's survivor set).
+    # -> 2.53 s at sf0.1). The repartition sizes/balances the
+    # checkpoint blocks; note partitioning METADATA does not survive
+    # the RDD boundary (measured — downstream joins replan their own
+    # exchanges), so at 100 TB this boundary is the inverted index a
+    # retrieval pipeline materializes as a term-BUCKETED table, which
+    # is what makes the posting joins exchange-free at scale;
+    # localCheckpoint is the in-session equivalent (same pattern as
+    # curation_e2e's survivor set).
     tf = tf.repartition(
         spark.sparkContext.defaultParallelism, "term"
     ).localCheckpoint()
     n_docs = d.select(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
-    )
-    w = tf.join(F.broadcast(idf), "term").select(
-        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("wt")
-    )
+    # fixture-scale vocab -> broadcast idf; at 100 TB pass
+    # broadcast_idf=False to hand the strategy back to Catalyst
+    # (plain term-key shuffle join; see _tfidf_weights)
+    w = _tfidf_weights(tf, n_docs, broadcast_idf=True)
+    # zero-norm guard: a doc whose every term has df=N gets norm 0;
+    # Spark division yields NULL but DuckDB yields inf/NaN — drop such
+    # docs in both engines (oracle mirrors with HAVING nrm > 0)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
+    ).where(F.col("nrm") > 0)
     q = w.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"), "term", F.col("wt").alias("qwt")
     )
@@ -460,7 +495,7 @@ FROM inter JOIN sizes sa ON sa.doc_id = id_a
 WHERE round(CAST(i AS DOUBLE) / sa.n, 6) >= 0.6
 """,
 )
-def z4_containment_pairs(spark, sf_dir):
+def z4_containment_pairs(spark, sf_dir, max_df=None):
     """DIRECTED shingle containment |A∩B| / |A| — the asymmetric
     near-dup measure Jaccard misses: a short document quoted whole
     inside a long one has high containment but low Jaccard (the union
@@ -473,26 +508,20 @@ def z4_containment_pairs(spark, sf_dir):
     `d_ngram_jaccard_pairs` (shared-shingle equi-join, map-side
     partial counts, per-side size join) with the threshold applied on
     the ROUNDED value so the keep/drop boundary is engine-portable.
-    Production pipelines bound the posting-list fanout by df-pruning
-    hot shingles; the fixture cap (doc_id < 150) keeps the graded
-    pair set aligned with the Jaccard query's."""
+    ``max_df`` (default off at fixture scale — graded hash unchanged)
+    df-prunes hot shingles before the self-join, bounding the pair
+    fanout at corpus scale (``dd.prune_hot_postings``); the
+    denominator stays the UNPRUNED |A|, so pruning only drops
+    candidates, never inflates containment. The fixture cap
+    (doc_id < 150) keeps the graded pair set aligned with the Jaccard
+    query's."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     toks = d.select(
         "doc_id", F.explode(dd.shingles(F.col("text"), 3)).alias("sh")
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
+    inter = dd.shared_shingle_intersections(
+        toks, id_col="doc_id", directed=True, max_df=max_df
     )
     return (
         inter.join(
@@ -1012,9 +1041,17 @@ def z4_zipf_slope_by_source(spark, sf_dir):
     rank via a window PARTITIONED by source (per-source vocab-sized,
     never global), slope as the built-in ``regr_slope`` aggregate
     (one pass, identical estimator in both engines). Output bounded
-    by source cardinality. Production pipelines cap the ranked tail
-    (top-10k terms) — the fixture vocab is far below any cap."""
-    d = table(spark, sf_dir, "documents")
+    by source cardinality. ``top_k`` caps the ranked tail — the
+    window's rank filter sits directly on the row_number so Spark
+    plans a WindowGroupLimit (per-partition top-k pushed BELOW the
+    window shuffle: each map task keeps only its local top-k, so no
+    task ever sorts a source's full vocabulary); the default is far
+    above the fixture vocab, leaving the graded hash unchanged, and a
+    100 TB run passes top_k=10_000."""
+    return _zipf_slope(table(spark, sf_dir, "documents"))
+
+
+def _zipf_slope(d, top_k=10_000_000):
     counts = (
         _tokens(d)
         .groupBy("source", "term")
@@ -1023,7 +1060,9 @@ def z4_zipf_slope_by_source(spark, sf_dir):
     rw = Window.partitionBy("source").orderBy(
         F.col("c").desc(), F.col("term")
     )
-    ranked = counts.withColumn("rnk", F.row_number().over(rw))
+    ranked = counts.withColumn("rnk", F.row_number().over(rw)).where(
+        F.col("rnk") <= top_k
+    )
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(

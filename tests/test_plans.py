@@ -724,5 +724,9 @@ def test_semantic_decontaminate_broadcasts_eval_side(spark):
     p = plan(df)
     assert "BroadcastNestedLoopJoin" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    # the only shuffle is the post-filter groupBy on train_id
-    assert n_exchanges(p) <= 2  # agg exchange (+ fixture fan_out)
+    # the only shuffles sit ABOVE the sim >= threshold filter (pinned
+    # below: it rides the join condition), so they carry contaminated
+    # pairs only: the two-phase count(DISTINCT eval_id) agg (shared
+    # contract with the SRP path) + the fixture fan_out
+    assert n_exchanges(p) <= 3
+    assert ">= 0.9" in p.split("Exchange", 1)[1]  # filter below agg

@@ -394,3 +394,122 @@ def test_shard_packing_round_robin_invariant(spark, tmp_path):
         by_source.setdefault(r["source"], []).append(r["n_docs"])
     for source, counts in by_source.items():
         assert max(counts) - min(counts) <= 1, source
+
+
+def test_max_df_bounds_hot_shingle_fanout(spark):
+    """df-pruning discipline (the 100 TB fanout bound): one planted
+    boilerplate shingle shared by 10 docs fans out 10*9 = 90 directed
+    pairs; with max_df=5 the hot posting list is dropped BEFORE the
+    self-join and only the rare-shingle pairs survive."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+
+    rows = [(i, "hot") for i in range(10)] + [(0, "rare"), (1, "rare")]
+    toks = spark.createDataFrame(rows, "doc_id long, sh string")
+
+    unpruned = dd.shared_shingle_intersections(toks, directed=True)
+    assert unpruned.count() == 90  # hot fanout dominates ((0,1) i=2)
+
+    pruned = dd.shared_shingle_intersections(toks, directed=True, max_df=5)
+    got = {(r["id_a"], r["id_b"]): r["i"] for r in pruned.collect()}
+    assert got == {(0, 1): 1, (1, 0): 1}
+
+    # the prune must reach the join as a broadcast anti-join on the
+    # (few) hot keys, not a posting-stream shuffle
+    p = (
+        pruned._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in p and "Broadcast" in p
+
+
+def test_containment_pairs_max_df_param(spark, tmp_path):
+    """The graded query exposes max_df end-to-end: a boilerplate
+    footer shared by every doc creates cross-pairs at default, and
+    max_df prunes them while genuine containment survives."""
+    boiler = "all rights reserved worldwide"
+    # one unique token + 4 boilerplate: 3 shingles/doc, 2 shared ->
+    # containment 2/3 >= 0.6 for every ordered boiler pair at default
+    docs = _docs(
+        spark,
+        [(f"u{i} {boiler}", "s") for i in range(8)]
+        + [("p q r", "s"), ("p q r s t", "s")],
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    capped = q.QUERIES["z4_containment_pairs"](spark, d, max_df=4).collect()
+    # only the genuine quote-inclusion pair survives: doc 8 'p q r'
+    # (1 shingle) fully contained in doc 9 'p q r s t'
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in capped] == [
+        (8, 9, 1.0)
+    ]
+    # default (no cap) also reports boilerplate-driven pairs
+    assert len(q.QUERIES["z4_containment_pairs"](spark, d).collect()) > 1
+
+
+def test_tfidf_idf_join_regimes(spark):
+    """The idf join must not be PINNED to broadcast above broadcast
+    range (a 100 TB vocabulary is 10^7-10^8 rows): broadcast_idf=True
+    forces the hint regardless of optimizer settings, while False
+    hands the strategy back to Catalyst — emulated here by disabling
+    auto-broadcast, the decision 100 TB stats would produce — which
+    plans the standard term-key shuffle join. Both regimes agree
+    exactly on values."""
+    from sftp_data_ingestion_spark.queries.q_training import (
+        _tfidf_weights,
+        _tokens,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tf = (
+        _tokens(d)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(8, "term")
+        .localCheckpoint()
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        wb = _tfidf_weights(tf, n_docs, broadcast_idf=True)
+        ws = _tfidf_weights(tf, n_docs, broadcast_idf=False)
+
+        pb = wb._jdf.queryExecution().executedPlan().toString()
+        ps = ws._jdf.queryExecution().executedPlan().toString()
+        # the hint overrides the disabled threshold...
+        assert "BroadcastHashJoin" in pb
+        # ...and without it the idf side joins by shuffle, never NL
+        assert "BroadcastHashJoin" not in ps
+        assert "SortMergeJoin" in ps or "ShuffledHashJoin" in ps
+        assert "BroadcastNestedLoopJoin [term" not in ps
+
+        got_b = {
+            (r["doc_id"], r["term"]): r["wt"] for r in wb.collect()
+        }
+        got_s = {
+            (r["doc_id"], r["term"]): r["wt"] for r in ws.collect()
+        }
+        assert got_b == got_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zipf_tail_cap_plan_windowgrouplimit(spark, tmp_path):
+    """top_k caps the ranked tail INSIDE the window operator:
+    WindowGroupLimit pushes the per-source top-k below the shuffle so
+    no task ever sorts a full vocabulary, and the capped slope is the
+    2-point exact line: counts 4/2 at ranks 1/2 -> slope -1."""
+    from sftp_data_ingestion_spark.queries.q_training import _zipf_slope
+
+    docs = _docs(spark, [("a a a a b b c", "s1")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    capped = _zipf_slope(
+        spark.read.parquet(f"{d}/documents.parquet"), top_k=2
+    )
+    p = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    rows = capped.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_terms"] == 2
+    assert rows[0]["zipf_slope"] == pytest.approx(-1.0, abs=1e-6)

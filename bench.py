@@ -56,6 +56,10 @@ HEADLINE = [
     # inverted-index tf-idf top-k (term-join + pair-agg shape; the
     # rest of the family is scale-probed in PERFORMANCE.md)
     "z4_sparse_tfidf_topk",
+    # round-8: the composed release run (score gate -> exact dedup ->
+    # shard packing -> manifest + card) — the z4 family's end-to-end
+    # counterpart of curation_e2e
+    "corpus_release_e2e",
 ]
 
 

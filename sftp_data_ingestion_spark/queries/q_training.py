@@ -1073,3 +1073,138 @@ def _zipf_slope(d, top_k=10_000_000):
             6,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "corpus_release_e2e",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         round(1.0 / (1.0 + exp(-(
+           -1.5 + 0.9 * (n_chars / 1000.0)
+           + 0.7 * (len(string_split(text, ' ')) / 100.0)
+           + -2.0 * (length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     / CAST(greatest(n_chars, 1) AS DOUBLE))))), 6) AS prob
+  FROM documents
+), flagged AS (
+  SELECT doc_id, source, prob, (prob >= 0.3) AS gated,
+         length(string_split(norm, ' ')) AS n_tok,
+         row_number() OVER (
+           PARTITION BY (prob >= 0.3), sha256(norm) ORDER BY doc_id) AS rn
+  FROM scored
+), release AS (
+  SELECT * FROM flagged WHERE gated AND rn = 1
+), drops AS (
+  SELECT CAST(count(*) FILTER (WHERE NOT gated) AS BIGINT) AS n_gated,
+         CAST(count(*) FILTER (WHERE gated AND rn > 1) AS BIGINT)
+           AS n_dup_dropped
+  FROM flagged
+), card AS (
+  SELECT CAST(count(*) AS BIGINT) AS release_docs,
+         CAST(sum(n_tok) AS BIGINT) AS release_tokens,
+         round(avg(prob), 6) AS mean_prob
+  FROM release
+), ranked AS (
+  SELECT source, doc_id, n_tok,
+         CAST((row_number() OVER (
+            PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) % 8
+          AS INT) AS shard
+  FROM release
+), manifest AS (
+  SELECT source, shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+  FROM ranked GROUP BY 1, 2
+)
+SELECT m.source, m.shard, m.n_docs, m.n_tokens, m.max_doc_tokens,
+       c.release_docs, c.release_tokens, c.mean_prob,
+       d.n_gated, d.n_dup_dropped
+FROM manifest m CROSS JOIN card c CROSS JOIN drops d
+""",
+)
+def corpus_release_e2e(spark, sf_dir):
+    """The z4 accounting/packing family composed into ONE corpus
+    release plan — the proof the new family composes, the way
+    `curation_e2e` proved it for the curation stages:
+
+      model-score gate (the `z4_score_calibration_bins` scorer,
+      keep rounded prob >= 0.3, cheapest stage first)
+      -> exact-dedup survivors among the gated set (sha256 of
+         normalized text, keep lowest doc_id — `d_exact_dedup`'s
+         contract)
+      -> balanced shard packing of the release set (size-ranked
+         round-robin into 8 shards per source —
+         `z4_shard_packing`'s discipline)
+      -> shard MANIFEST + release CARD in one output frame: per
+         (source, shard) doc/token accounting, plus the one-row
+         release datasheet (docs/tokens/mean score) and the drop
+         ledger (gate drops, dup drops) cross-joined onto every
+         manifest row.
+
+    Scale shape: one scan scores + hashes + sizes every doc in a
+    single codegen pass; ONE window keyed (gated, content_hash) —
+    sha256-distributed, no skew — ranks duplicates; the scored set
+    materializes once at the checkpoint boundary (it feeds the drop
+    ledger, the card, and the manifest — at 100 TB this is the point
+    a release pipeline writes the scored+deduped corpus to a table,
+    same pattern as curation_e2e's survivor set); packing is one
+    window per source shard (partitioned, never global); the card and
+    ledger are one-row broadcast cross-joins, so manifest parallelism
+    is untouched. Gate and dedup thresholds use ROUNDED values
+    (engine-portable boundaries)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    margin = (
+        F.lit(-1.5)
+        + 0.9 * (F.col("n_chars") / 1000.0)
+        + 0.7 * (F.size(F.split(F.col("text"), " ")) / 100.0)
+        + -2.0
+        * (
+            F.length(F.regexp_replace("text", "[^A-Z]", ""))
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm, " ")).alias("n_tok"),
+        F.sha2(norm, 256).alias("h"),
+        F.round(1.0 / (1.0 + F.exp(-margin)), 6).alias("prob"),
+    ).withColumn("gated", F.col("prob") >= 0.3)
+    dw = Window.partitionBy("gated", "h").orderBy(F.col("doc_id"))
+    flagged = (
+        scored.withColumn("rn", F.row_number().over(dw))
+        .drop("h")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint()
+    )
+    drops = flagged.agg(
+        F.sum(F.when(~F.col("gated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gated"),
+        F.sum(F.when(F.col("gated") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+    )
+    release = flagged.where(F.col("gated") & (F.col("rn") == 1))
+    card = release.agg(
+        F.count(F.lit(1)).alias("release_docs"),
+        F.sum("n_tok").cast("bigint").alias("release_tokens"),
+        F.round(F.avg("prob"), 6).alias("mean_prob"),
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    ranked = release.withColumn(
+        "shard", ((F.row_number().over(rw) - 1) % 8).cast("int")
+    )
+    manifest = ranked.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+    )
+    return manifest.crossJoin(F.broadcast(card)).crossJoin(
+        F.broadcast(drops)
+    )

@@ -513,3 +513,69 @@ def test_zipf_tail_cap_plan_windowgrouplimit(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_terms"] == 2
     assert rows[0]["zipf_slope"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def _release_prob(text):
+    """The exact corpus_release_e2e / z4_score_calibration_bins
+    scorer, recomputed in plain python for fixture assertions."""
+    n_chars = len(text)
+    caps = sum(1 for c in text if c.isupper())
+    margin = (
+        -1.5
+        + 0.9 * (n_chars / 1000.0)
+        + 0.7 * (len(text.split(" ")) / 100.0)
+        + -2.0 * (caps / max(n_chars, 1))
+    )
+    return round(1.0 / (1.0 + math.exp(-margin)), 6)
+
+
+def test_corpus_release_e2e_hand_computed(spark, tmp_path):
+    """Composed release: a short doc fails the 0.3 gate, a planted
+    exact duplicate among the gated docs drops in dedup (lowest id
+    survives), and the survivors round-robin into shards size-first.
+    Every output column is recomputed in plain python."""
+    long1 = " ".join(f"w{i}" for i in range(80))   # gated
+    long2 = " ".join(f"v{i}" for i in range(70))   # gated, 2nd size
+    short = "aa bb cc"                              # fails the gate
+    docs = _docs(
+        spark,
+        [(long1, "s"), (long1, "s"), (long2, "s"), (short, "s")],
+    )
+    assert _release_prob(long1) >= 0.3
+    assert _release_prob(long2) >= 0.3
+    assert _release_prob(short) < 0.3
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    rows = q.QUERIES["corpus_release_e2e"](spark, d).collect()
+    # release = docs 0 (dup survivor) and 2; shards by size rank
+    got = {
+        (r["source"], r["shard"]): (r["n_docs"], r["n_tokens"])
+        for r in rows
+    }
+    assert got == {("s", 0): (1, 80), ("s", 1): (1, 70)}
+    r0 = rows[0]
+    assert r0["release_docs"] == 2
+    assert r0["release_tokens"] == 150
+    assert r0["n_gated"] == 1          # the short doc
+    assert r0["n_dup_dropped"] == 1    # the planted copy of long1
+    assert r0["mean_prob"] == pytest.approx(
+        round((_release_prob(long1) + _release_prob(long2)) / 2, 6),
+        abs=2e-6,
+    )
+    assert r0["max_doc_tokens"] == 80
+
+
+def test_corpus_release_e2e_plan_shape(spark):
+    """Plan pins above the checkpoint boundary: the packing window is
+    PARTITIONED by source (never global), the card and drop ledger
+    ride one-row broadcast cross-joins, and nothing falls back to
+    Python row UDFs."""
+    p = (
+        q.QUERIES["corpus_release_e2e"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(source" in p
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    assert "BatchEvalPython" not in p

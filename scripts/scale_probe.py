@@ -78,6 +78,8 @@ PROBES = [
     "z4_cooccur_pmi",             # per-doc pair explode + agg
     "z4_js_divergence_sources",   # three groupBys, broadcast global
     "z4_interval_overlap_join",   # bucketed interval join (orders)
+    # r8: the composed release run (documents)
+    "corpus_release_e2e",         # gate + dedup + pack + card/manifest
 ]
 
 

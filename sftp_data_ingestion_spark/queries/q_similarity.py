@@ -397,3 +397,89 @@ def _decontaminate_frames(spark, sf_dir):
     )
     train = base.where(F.col("vec_id") % 25 != 0).unionAll(leak)
     return train, ev
+
+
+_KM_ASSIGN = """
+  SELECT vec_id, v, cell{score} FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           round(list_dot_product(b.v, c.c), 6) AS sc,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(list_dot_product(b.v, c.c), 6) DESC,
+                      c.cell DESC) AS rn
+    FROM base b CROSS JOIN {cents} c
+  ) WHERE rn = 1
+"""
+
+_KM_UPDATE = """
+{m} AS (
+  SELECT cell, j, round(avg(v[j]), 6) AS m
+  FROM {asg} CROSS JOIN range(1, 65) t(j)
+  GROUP BY cell, j
+), {arr} AS (
+  SELECT cell, list(m ORDER BY j) AS mv FROM {m} GROUP BY cell
+), {out} AS (
+  -- keep-previous on an empty cell (COALESCE), normalize + round the
+  -- components: the rounded boundary is what makes the next
+  -- iteration's argmax engine-portable
+  SELECT p.cell,
+         COALESCE(list_transform(a.mv, x -> round(x /
+             CASE WHEN list_dot_product(a.mv, a.mv) = 0 THEN 1.0
+                  ELSE sqrt(list_dot_product(a.mv, a.mv)) END, 6)),
+           p.c) AS c
+  FROM {prev} p LEFT JOIN {arr} a USING (cell)
+)
+"""
+
+
+@query(
+    "v_kmeans_corpus_clusters",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (SELECT count(*) AS n FROM base),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT b.vec_id, b.v FROM base b, nn
+        WHERE b.vec_id % greatest(nn.n // 8, 1) = 0
+        ORDER BY b.vec_id LIMIT 8)
+), cents0 AS (
+  SELECT cell, list_transform(v, x -> round(x /
+           CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
+  FROM seeds
+), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0")}),
+{_KM_UPDATE.format(m="m1", asg="asg1", arr="arr1", out="cents1",
+                   prev="cents0")},
+asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1")}),
+{_KM_UPDATE.format(m="m2", asg="asg2", arr="arr2", out="cents2",
+                   prev="cents1")},
+fin AS ({_KM_ASSIGN.format(score=", sc AS score", cents="cents2")})
+SELECT CAST(cell AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(score), 6) AS mean_sim
+FROM fin GROUP BY 1
+""",
+)
+def v_kmeans_corpus_clusters(spark, sf_dir):
+    """Corpus clustering for training-mix diversity accounting: the
+    IVF coarse-quantizer training loop (stride seeding + 2 Lloyd
+    iterations + final assignment, k=8) run as a GRADED query — the
+    oracle re-derives the identical loop in SQL, which only works
+    because every cross-stage value is rounded to 6 dp (assignment
+    argmax on the rounded dot with ties to the larger cell, per-dim
+    centroid means, normalized components — see
+    ``ext.similarity.kmeans_corpus_clusters``). This grades the
+    TRAINING loop itself; `v_ivf_ann_topk` grades only the search
+    path against exact brute force.
+
+    Scale shape: centroids are k x dim literals (never a join side);
+    each iteration is one scan + a (cell, dim)-bounded aggregate with
+    only k x dim floats reaching the driver; output is k rows at any
+    corpus size. At 100 TB, Lloyd iterations run on a bounded sample
+    and only the final assignment touches the full corpus."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    return sim.kmeans_corpus_clusters(
+        e, k=8, n_iters=2, vec_col="embedding", id_col="vec_id"
+    )

@@ -317,3 +317,56 @@ def test_semantic_contamination_bucketed_matches_exact(spark):
         assert exact[k][1] == v[1], k  # max_sim identical
         assert v[0] <= exact[k][0], k  # hit count is a lower bound
     assert len(approx) == len(exact)  # complete on this fixture
+
+
+def test_kmeans_corpus_clusters_hand_computed(spark):
+    """4 unit-ish vectors in 2 natural groups, k=2, one Lloyd
+    iteration from stride seeds (ids 0 and 2): membership is
+    {v0, v1} / {v2, v3}, the updated centroids are the normalized
+    member means rounded at 6 dp, and mean_sim is the average rounded
+    member-centroid dot — all recomputed in plain python."""
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["cluster_id"]: (r["n_vecs"], r["mean_sim"])
+        for r in sim.kmeans_corpus_clusters(
+            df, k=2, n_iters=1
+        ).collect()
+    }
+
+    def norm_round(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [round(x / n, 6) for x in v]
+
+    # seeds (1,0), (0,1); members after assign: {0,1} -> cell 0
+    c0 = norm_round([0.95, 0.05])
+    c1 = norm_round([0.05, 0.95])
+
+    def score(v, c):
+        return round(sum(x * y for x, y in zip(v, c)), 6)
+
+    exp0 = round((score(vecs[0][1], c0) + score(vecs[1][1], c0)) / 2, 6)
+    exp1 = round((score(vecs[2][1], c1) + score(vecs[3][1], c1)) / 2, 6)
+    assert out[0][0] == 2 and out[1][0] == 2
+    assert out[0][1] == pytest.approx(exp0, abs=2e-6)
+    assert out[1][1] == pytest.approx(exp1, abs=2e-6)
+
+
+def test_kmeans_clusters_partition_corpus(spark):
+    """Invariants at fixture scale: cluster sizes sum to the corpus
+    (every vector assigned exactly once), ids stay in [0, k), and
+    coherence is a valid rounded cosine-range value."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = sim.kmeans_corpus_clusters(e, k=8, n_iters=2).collect()
+    assert sum(r["n_vecs"] for r in rows) == e.count()
+    assert all(0 <= r["cluster_id"] < 8 for r in rows)
+    assert all(-1.0001 <= r["mean_sim"] <= 1.0001 for r in rows)

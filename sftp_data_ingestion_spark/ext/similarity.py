@@ -681,7 +681,7 @@ def train_centroids_kmeans(
     return cents
 
 
-def kmeans_corpus_clusters(
+def kmeans_assignments(
     df: DataFrame,
     k: int = 8,
     n_iters: int = 2,
@@ -689,33 +689,33 @@ def kmeans_corpus_clusters(
     id_col: str = "vec_id",
     digits: int = 6,
 ) -> DataFrame:
-    """Corpus clustering via the IVF coarse-quantizer training loop,
-    made ENGINE-PORTABLE for grading: every cross-stage value is
-    rounded to ``digits`` — assignment scores (argmax over the rounded
-    dot, ties to the larger cell: the exact tiebreak
-    :func:`ivf_assign`'s reverse(array_sort) produces), per-dim
-    centroid means, and normalized centroid components — so an oracle
-    re-deriving the identical loop (stride seeding, Lloyd updates,
-    final assignment) lands on bit-equal cluster boundaries instead of
-    drifting apart at fp-summation-order ulps. The use case is
-    diversity accounting for training mixes: cluster the embedding
-    corpus, report per-cluster mass and coherence.
+    """Per-vector assignment ``(id, cluster_id, score)`` from the
+    engine-portable k-means training loop — exposed so samplers and
+    per-cluster consumers can compose on the assignment without
+    re-deriving the loop (:func:`kmeans_corpus_clusters` builds its
+    k-row summary on this).
+
+    The loop is the IVF coarse-quantizer trainer
+    (:func:`train_centroids_kmeans`) made ENGINE-PORTABLE for
+    grading: every cross-stage value is rounded to ``digits`` —
+    assignment scores (argmax over the rounded dot, ties to the
+    larger cell: the exact tiebreak :func:`ivf_assign`'s
+    reverse(array_sort) produces), per-dim centroid means, and
+    normalized centroid components — so an oracle re-deriving the
+    identical loop (stride seeding, Lloyd updates, final assignment)
+    lands on bit-equal cluster boundaries instead of drifting apart
+    at fp-summation-order ulps.
 
     Scale shape: centroids travel as literal arrays (k x dim floats —
     never a join side); each Lloyd update is one scan + one
     (cell, dim)-bounded aggregate, with only k x dim floats reaching
-    the driver per iteration; the final pass is one scan + a k-row
-    aggregate. Like :func:`train_centroids_kmeans`, assignment uses
-    the interpreted higher-order dot on purpose — the literals change
-    per iteration, and unrolled codegen was measured to cost ~15 s of
-    Janino compilation per distinct centroid set. At 100 TB, run the
-    Lloyd iterations on a bounded ``df.sample`` and only the final
-    assignment over the full corpus (both stages are scan-shaped).
-
-    Output: ``(cluster_id, n_vecs, mean_sim)`` — k rows at any corpus
-    size, where mean_sim averages each member's rounded dot with its
-    final (L2-normalized) centroid."""
-    import math
+    the driver per iteration; the final pass is one scan. Like
+    :func:`train_centroids_kmeans`, assignment uses the interpreted
+    higher-order dot on purpose — the literals change per iteration,
+    and unrolled codegen was measured to cost ~15 s of Janino
+    compilation per distinct centroid set. At 100 TB, run the Lloyd
+    iterations on a bounded ``df.sample`` and only the final
+    assignment over the full corpus (both stages are scan-shaped)."""
 
     v = as_double(F.col(vec_col))
 
@@ -756,8 +756,9 @@ def kmeans_corpus_clusters(
         )
         top = F.element_at(F.reverse(F.array_sort(scored)), 1)
         return df.select(
+            F.col(id_col).alias("id"),
             v.alias("__v"),
-            top["cell"].alias("cluster_id"),
+            top["cell"].cast("int").alias("cluster_id"),
             top["score"].alias("score"),
         )
 
@@ -784,18 +785,27 @@ def kmeans_corpus_clusters(
         new = {r["cluster_id"]: list(r["c"]) for r in rows}
         cents = [new.get(i, cents[i]) for i in range(k)]
 
-    return (
-        assign(cents)
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("score"), digits).alias("mean_sim"),
-        )
-        .select(
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            "n_vecs",
-            "mean_sim",
-        )
+    return assign(cents).select("id", "cluster_id", "score")
+
+
+def kmeans_corpus_clusters(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Corpus clustering summary for training-mix diversity
+    accounting: ``(cluster_id, n_vecs, mean_sim)`` — k rows at any
+    corpus size, where mean_sim averages each member\'s rounded dot
+    with its final (L2-normalized) centroid. Built on
+    :func:`kmeans_assignments` (which see, for the engine-portable
+    rounding contract and the 100 TB shape)."""
+    a = kmeans_assignments(df, k, n_iters, vec_col, id_col, digits)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("score"), digits).alias("mean_sim"),
     )
 
 

@@ -483,3 +483,67 @@ def v_kmeans_corpus_clusters(spark, sf_dir):
     return sim.kmeans_corpus_clusters(
         e, k=8, n_iters=2, vec_col="embedding", id_col="vec_id"
     )
+
+
+@query(
+    "v_cluster_diversity_sample",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nn AS (SELECT count(*) AS n FROM base),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT b.vec_id, b.v FROM base b, nn
+        WHERE b.vec_id % greatest(nn.n // 8, 1) = 0
+        ORDER BY b.vec_id LIMIT 8)
+), cents0 AS (
+  SELECT cell, list_transform(v, x -> round(x /
+           CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
+  FROM seeds
+), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0")}),
+{_KM_UPDATE.format(m="m1", asg="asg1", arr="arr1", out="cents1",
+                   prev="cents0")},
+asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1")}),
+{_KM_UPDATE.format(m="m2", asg="asg2", arr="arr2", out="cents2",
+                   prev="cents1")},
+fin AS ({_KM_ASSIGN.format(score="", cents="cents2")})
+SELECT vec_id, CAST(cell AS INT) AS cluster_id FROM (
+  SELECT vec_id, cell, row_number() OVER (
+           PARTITION BY cell
+           ORDER BY ((vec_id * 2654435761) % 10000), vec_id) AS rn
+  FROM fin
+) WHERE rn <= 10
+""",
+)
+def v_cluster_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (the SemDeDup-style mix
+    step): k-means the embedding corpus (the graded engine-portable
+    loop of `v_kmeans_corpus_clusters`), then take an EXACT quota of
+    10 vectors per cluster by the repo's deterministic Knuth hash —
+    every cluster contributes equally regardless of its mass, the
+    sampling lever that stops a dominant mode from swamping the mix.
+    Reproducible on any cluster size (pure key-hash order, no rand).
+
+    Scale shape: assignment is one scan against literal centroids;
+    the quota is a per-cluster window whose `rn <= 10` filter plans
+    as WindowGroupLimit (map-side pre-trim to 10 per cluster before
+    the k-way shuffle), so the sample never materializes more than
+    k x 10 x partitions rows."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+    from sftp_data_ingestion_spark.queries.q_sampling import split_bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    a = sim.kmeans_assignments(
+        e, k=8, n_iters=2, vec_col="embedding", id_col="vec_id"
+    ).select(F.col("id").alias("vec_id"), "cluster_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        split_bucket(F.col("vec_id")), F.col("vec_id")
+    )
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "cluster_id")
+    )

@@ -370,3 +370,26 @@ def test_kmeans_clusters_partition_corpus(spark):
     assert sum(r["n_vecs"] for r in rows) == e.count()
     assert all(0 <= r["cluster_id"] < 8 for r in rows)
     assert all(-1.0001 <= r["mean_sim"] <= 1.0001 for r in rows)
+
+
+def test_cluster_diversity_sample_quota_and_plan(spark):
+    """Exact per-cluster quota with WindowGroupLimit below the
+    cluster shuffle, and the sample is a deterministic function of
+    the key hash (rerun-identical)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    df = q.QUERIES["v_cluster_diversity_sample"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    rows = sorted((r["cluster_id"], r["vec_id"]) for r in df.collect())
+    again = sorted(
+        (r["cluster_id"], r["vec_id"])
+        for r in q.QUERIES["v_cluster_diversity_sample"](
+            spark, SF
+        ).collect()
+    )
+    assert rows == again
+    from collections import Counter
+
+    per = Counter(c for c, _ in rows)
+    assert all(n <= 10 for n in per.values())

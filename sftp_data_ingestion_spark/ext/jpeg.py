@@ -73,6 +73,43 @@ _AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Annex K.2 chrominance quantization table and the K.3 standard
+# CHROMINANCE Huffman tables (DC table K.4 / AC table K.6) — the
+# second table set a 3-component 4:2:0 scan declares alongside the
+# luminance set above.
+_QUANT_BASE_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ]
+)
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 
 def _huff_encode_table(bits, vals):
     """symbol -> (code, length) per T.81 C.2 canonical assignment."""
@@ -96,6 +133,10 @@ _DC_ENC = _huff_encode_table(_DC_BITS, _DC_VALS)
 _AC_ENC = _huff_encode_table(_AC_BITS, _AC_VALS)
 _DC_DEC = _huff_decode_table(_DC_BITS, _DC_VALS)
 _AC_DEC = _huff_decode_table(_AC_BITS, _AC_VALS)
+_DC_ENC_C = _huff_encode_table(_DC_BITS_C, _DC_VALS_C)
+_AC_ENC_C = _huff_encode_table(_AC_BITS_C, _AC_VALS_C)
+_DC_DEC_C = _huff_decode_table(_DC_BITS_C, _DC_VALS_C)
+_AC_DEC_C = _huff_decode_table(_AC_BITS_C, _AC_VALS_C)
 
 _DCT = np.zeros((8, 8))
 for _k in range(8):
@@ -105,11 +146,12 @@ for _k in range(8):
         )
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """IJG quality scaling of the Annex K table (1..100)."""
+def _quant_table(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (1..100); defaults to
+    the K.1 luminance table, pass ``_QUANT_BASE_C`` for chroma."""
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    t = (_QUANT_BASE * scale + 50) // 100
+    t = ((_QUANT_BASE if base is None else base) * scale + 50) // 100
     return np.clip(t, 1, 255).astype(np.int32)
 
 
@@ -420,6 +462,275 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, pix[:height, :width].tobytes()
 
 
+def _emit_block(w, block, qt, dc_enc, ac_enc, prev_dc):
+    """Quantize + zigzag + entropy-code one 8x8 block (the shared
+    kernel of the gray and 4:2:0 color scan loops); returns the new
+    DC predictor for this block's component."""
+    coef = _DCT @ block @ _DCT.T
+    qz = np.round(coef / qt).astype(np.int64)
+    zz = [int(qz[r, c]) for (r, c) in _ZIGZAG]
+    cat, bits = _magnitude(zz[0] - prev_dc)
+    code, ln = dc_enc[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_enc[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(bits, cat)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        w.write(code, ln)
+    return zz[0]
+
+
+def _read_block(reader, dc_dec, ac_dec, qt, prev_dc):
+    """Entropy-decode + dequantize + inverse-DCT one 8x8 block;
+    returns (spatial block, new DC predictor)."""
+    zz = [0] * 64
+    cat = _huff_read(reader, dc_dec)
+    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_read(reader, ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.read_bits(cat), cat)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    for k2, (r, c) in enumerate(_ZIGZAG):
+        coef[r, c] = zz[k2] * qt[r, c]
+    return _DCT.T @ coef @ _DCT, dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return (
+        bytes([0xFF, marker])
+        + struct.pack(">H", len(payload) + 2)
+        + payload
+    )
+
+
+def encode_color(
+    width: int, height: int, rgb: bytes, quality: int = 75
+) -> bytes:
+    """Encode ``width*height`` interleaved 8-bit RGB pixels as a
+    baseline 4:2:0 (2x2-subsampled chroma) YCbCr JPEG — the framing
+    virtually every camera/web JPEG uses. BT.601 full-range color
+    transform, box-averaged chroma subsampling, the Annex K.2 chroma
+    quantization table under the same IJG quality scaling, the K.3
+    standard chrominance Huffman set, and interleaved 16x16 MCUs
+    (4 Y blocks + Cb + Cr) with one DC predictor per component."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    img = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    mh = (height + 15) // 16 * 16
+    mw = (width + 15) // 16 * 16
+
+    def pad(p):
+        return np.pad(
+            p, ((0, mh - height), (0, mw - width)), mode="edge"
+        )
+
+    y = pad(y) - 128.0
+    # 4:2:0: box-average each 2x2 chroma neighborhood (matches the
+    # replicate upsampling in decode_color)
+    cbs = pad(cb).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
+    crs = pad(cr).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    qy = _quant_table(quality)
+    qc = _quant_table(quality, _QUANT_BASE_C)
+    w = _BitWriter()
+    dcs = [0, 0, 0]
+    for my in range(0, mh, 16):
+        for mx in range(0, mw, 16):
+            for sy in (0, 8):
+                for sx in (0, 8):
+                    blk = y[my + sy : my + sy + 8, mx + sx : mx + sx + 8]
+                    dcs[0] = _emit_block(w, blk, qy, _DC_ENC, _AC_ENC, dcs[0])
+            cy, cx = my // 2, mx // 2
+            dcs[1] = _emit_block(
+                w, cbs[cy : cy + 8, cx : cx + 8], qc, _DC_ENC_C, _AC_ENC_C, dcs[1]
+            )
+            dcs[2] = _emit_block(
+                w, crs[cy : cy + 8, cx : cx + 8], qc, _DC_ENC_C, _AC_ENC_C, dcs[2]
+            )
+    w.flush()
+
+    def zz_of(qt):
+        return bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+
+    dqt = _seg(0xDB, b"\x00" + zz_of(qy)) + _seg(0xDB, b"\x01" + zz_of(qc))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + _seg(0xC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+def decode_color(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline 4:2:0 three-component YCbCr JPEG (streams
+    from :func:`encode_color`, or foreign files of the same shape) to
+    (width, height, interleaved top-down RGB bytes). Chroma upsamples
+    by 2x2 replication (the box-average inverse); other sampling
+    grids and progressive scans are rejected loudly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_qt: dict[int, int] = {}
+    comp_tables: dict[int, tuple[int, int]] = {}
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i + 65 <= len(body):
+                tid = body[i] & 0x0F
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    t[r, c] = body[i + 1 + k]
+                qts[tid] = t
+                i += 65
+        elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 3:
+                raise ValueError("decode_color handles 3-component scans"
+                                 " (use decode_gray for 1)")
+            samp = []
+            for ci in range(3):
+                cid, sf, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                samp.append(sf)
+                comp_qt[cid] = tq
+            if samp != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 sampling is supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "only baseline DCT (SOF0) is supported, got "
+                f"SOF{marker - 0xC0}"
+            )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("expected a 3-component scan")
+            for ci in range(3):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                comp_tables[cid] = (tabs >> 4, tabs & 0x0F)
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if not qts or width is None or scan_start is None:
+        raise ValueError("incomplete JPEG stream")
+
+    reader = _BitReader(payload[scan_start : len(payload) - 2])
+    mh = (height + 15) // 16 * 16
+    mw = (width + 15) // 16 * 16
+    y = np.zeros((mh, mw), dtype=np.float64)
+    cbs = np.zeros((mh // 2, mw // 2), dtype=np.float64)
+    crs = np.zeros((mh // 2, mw // 2), dtype=np.float64)
+    dcs = {1: 0, 2: 0, 3: 0}
+    for my in range(0, mh, 16):
+        for mx in range(0, mw, 16):
+            for sy in (0, 8):
+                for sx in (0, 8):
+                    blk, dcs[1] = _read_block(
+                        reader,
+                        huff[(0, comp_tables[1][0])],
+                        huff[(1, comp_tables[1][1])],
+                        qts[comp_qt[1]],
+                        dcs[1],
+                    )
+                    y[my + sy : my + sy + 8, mx + sx : mx + sx + 8] = blk
+            cy, cx = my // 2, mx // 2
+            blk, dcs[2] = _read_block(
+                reader,
+                huff[(0, comp_tables[2][0])],
+                huff[(1, comp_tables[2][1])],
+                qts[comp_qt[2]],
+                dcs[2],
+            )
+            cbs[cy : cy + 8, cx : cx + 8] = blk
+            blk, dcs[3] = _read_block(
+                reader,
+                huff[(0, comp_tables[3][0])],
+                huff[(1, comp_tables[3][1])],
+                qts[comp_qt[3]],
+                dcs[3],
+            )
+            crs[cy : cy + 8, cx : cx + 8] = blk
+
+    yy = y + 128.0
+    cb = np.repeat(np.repeat(cbs, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(crs, 2, axis=0), 2, axis=1)
+    r = yy + 1.402 * cr
+    g = yy - 0.344136 * cb - 0.714136 * cr
+    b = yy + 1.772 * cb
+    rgb = np.stack(
+        [
+            np.clip(np.round(ch), 0, 255).astype(np.uint8)
+            for ch in (r, g, b)
+        ],
+        axis=-1,
+    )
+    return width, height, rgb[:height, :width].tobytes()
+
+
 def text_jpeg_roundtrip(
     df,
     id_col: str = "doc_id",
@@ -467,6 +778,62 @@ def text_jpeg_roundtrip(
             yield pd.DataFrame(
                 out,
                 columns=[id_col, "n_pixels", "mean_err", "max_err", "n_bytes"],
+            )
+
+    schema = (
+        f"{id_col} long, n_pixels long, mean_err double, "
+        "max_err int, n_bytes int"
+    )
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def text_jpeg_color_roundtrip(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side: int = 48,
+    quality: int = 75,
+):
+    """Arrow-batched round-trip through the 4:2:0 COLOR codec: each
+    document's UTF-8 bytes tile a ``side`` x ``side`` interleaved-RGB
+    image (three consecutive bytes per pixel — high-frequency content
+    in all three channels, the hard case for subsampled chroma),
+    encoded and decoded in one task. Emits the same gradeable facts
+    as :func:`text_jpeg_roundtrip` — exact pixel count, bounded
+    mean/max reconstruction error over all three channels, real
+    compression — and a broken color transform, chroma table, or MCU
+    interleave fails the bounds immediately."""
+    n_px = side * side
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or " ").encode("utf-8")
+                reps = (n_px * 3) // len(b) + 1
+                rgb = (b * reps)[: n_px * 3]
+                enc = encode_color(side, side, rgb, quality=quality)
+                w, h, dec = decode_color(enc)
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                c = np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                err = np.abs(a - c)
+                out.append(
+                    (
+                        did,
+                        w * h,
+                        float(err.mean()),
+                        int(err.max()),
+                        len(enc),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_pixels", "mean_err", "max_err", "n_bytes",
+                ],
             )
 
     schema = (

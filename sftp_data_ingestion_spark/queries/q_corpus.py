@@ -928,6 +928,40 @@ def z3_jpeg_codec_roundtrip(spark, sf_dir):
 
 
 @query(
+    "z3_jpeg_color_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(2304 AS BIGINT) AS n_pixels,
+       TRUE AS mean_err_ok, TRUE AS max_err_ok, TRUE AS compressed
+FROM documents WHERE doc_id < 100
+""",
+)
+def z3_jpeg_color_roundtrip(spark, sf_dir):
+    """The 4:2:0 COLOR JPEG path graded end-to-end (r8 codec-matrix
+    extension): each document's UTF-8 bytes tile a 48x48 interleaved
+    RGB image pushed through the pure in-container color encoder AND
+    decoder (`ext/jpeg.py` encode_color/decode_color — BT.601
+    transform, box-averaged 2x2 chroma subsampling, Annex-K.2 chroma
+    quantization, the standard chrominance Huffman set, interleaved
+    16x16 MCUs) in one Arrow task. Byte-noise RGB is the hostile case
+    for subsampled chroma, so the bounds are wider than the grayscale
+    gate's but still unreachable by a broken stage: mean error <= 35
+    and max <= 192 at q75 (measured ~22.2 / 126; a garbage decode or
+    a swapped chroma plane means ~80 mean), plus real compression
+    below the 3-byte-per-pixel raw size."""
+    from sftp_data_ingestion_spark.ext.jpeg import text_jpeg_color_roundtrip
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rt = text_jpeg_color_roundtrip(d, side=48, quality=75)
+    return rt.select(
+        "doc_id",
+        "n_pixels",
+        (F.col("mean_err") <= 35.0).alias("mean_err_ok"),
+        (F.col("max_err") <= 192).alias("max_err_ok"),
+        (F.col("n_bytes") < 3 * F.col("n_pixels")).alias("compressed"),
+    )
+
+
+@query(
     "z3_y4m_frame_sample",
     oracle="""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),

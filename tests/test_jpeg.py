@@ -177,3 +177,83 @@ def test_truncated_segments_raise_valueerror():
     bad = enc[:2] + seg(0xDB, b"\x00" + bytes(10)) + enc[2:]
     with pytest.raises(ValueError, match="truncated DQT"):
         decode_gray(bad)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 color path (r8)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_rgb(w, h):
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xs * 5) % 256, (ys * 7) % 256, ((xs + ys) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_color_roundtrip_bounded_and_deterministic():
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    rgb = _gradient_rgb(50, 34)  # non-multiple-of-16 dims on purpose
+    enc = encode_color(50, 34, rgb.tobytes(), quality=85)
+    assert enc == encode_color(50, 34, rgb.tobytes(), quality=85)
+    assert len(enc) < 50 * 34 * 3
+    w, h, dec = decode_color(enc)
+    assert (w, h) == (50, 34)
+    got = np.frombuffer(dec, np.uint8).reshape(34, 50, 3).astype(np.int32)
+    err = np.abs(got - rgb.astype(np.int32))
+    assert err.mean() < 8 and err.max() < 48
+
+
+def test_color_solid_is_near_exact():
+    """A solid color has zero AC energy in every component, so the
+    only loss is the quantized DC: the round-trip must be exact."""
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    solid = np.full((16, 16, 3), [200, 64, 32], np.uint8)
+    _, _, dec = decode_color(encode_color(16, 16, solid.tobytes(), 90))
+    got = np.frombuffer(dec, np.uint8).reshape(16, 16, 3).astype(np.int32)
+    assert np.abs(got - solid.astype(np.int32)).max() <= 1
+
+
+def test_color_chroma_actually_subsampled():
+    """The stream must declare 4:2:0 (0x22 luma sampling in SOF0) and
+    carry 6 blocks per MCU — a same-size grayscale stream of the same
+    content is smaller, a 4:4:4 stream would be larger."""
+    from sftp_data_ingestion_spark.ext.jpeg import encode_color
+
+    rgb = _gradient_rgb(32, 32)
+    enc = encode_color(32, 32, rgb.tobytes(), quality=75)
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    ncomp = enc[sof + 9]
+    assert ncomp == 3
+    assert enc[sof + 11] == 0x22  # luma 2x2 sampling
+    assert enc[sof + 14] == 0x11 and enc[sof + 17] == 0x11
+
+
+def test_color_rejects_gray_and_vice_versa():
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_color,
+        decode_gray,
+        encode_color,
+        encode_gray,
+    )
+
+    gray = encode_gray(16, 16, bytes(range(256)), 75)
+    with pytest.raises(ValueError, match="3-component"):
+        decode_color(gray)
+    color = encode_color(16, 16, _gradient_rgb(16, 16).tobytes(), 75)
+    with pytest.raises(ValueError, match="single-component"):
+        decode_gray(color)
+
+
+def test_color_buffer_size_validated():
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import encode_color
+
+    with pytest.raises(ValueError, match="does not match"):
+        encode_color(10, 10, bytes(10), 75)

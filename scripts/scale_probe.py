@@ -78,8 +78,13 @@ PROBES = [
     "z4_cooccur_pmi",             # per-doc pair explode + agg
     "z4_js_divergence_sources",   # three groupBys, broadcast global
     "z4_interval_overlap_join",   # bucketed interval join (orders)
-    # r8: the composed release run (documents)
+    # r8: the composed release run (documents), the graded k-means
+    # loop + its cluster-balanced sampler (embeddings), and the
+    # color-JPEG Arrow kernel (documents)
     "corpus_release_e2e",         # gate + dedup + pack + card/manifest
+    "v_kmeans_corpus_clusters",   # 2-iteration Lloyd loop, literal centroids
+    "v_cluster_diversity_sample", # assignment + per-cluster hash quota
+    "z3_jpeg_color_roundtrip",    # 4:2:0 codec in one Arrow task
 ]
 
 

@@ -495,3 +495,100 @@ def wh_ivfpq_ann_recall(spark, sf_dir):
         F.count("en").alias("n_expected"),
         ((F.count("an") / F.count("en")) >= 0.85).alias("recall_ok"),
     )
+
+
+@query(
+    "wh_cdc_scd2_reconcile",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+), hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), open_h AS (
+  SELECT user_id, event_type AS current_state, valid_from AS state_since
+  FROM hist WHERE valid_to IS NULL
+), nch AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals
+  FROM hist GROUP BY 1
+), cur AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'D'
+)
+SELECT c.user_id, c.value AS cur_value,
+       o.current_state, o.state_since, n.n_intervals
+FROM cur c JOIN open_h o USING (user_id) JOIN nch n USING (user_id)
+""",
+)
+def wh_cdc_scd2_reconcile(spark, sf_dir):
+    """Warehouse composition proof (the curation_e2e pattern for the
+    modeling family): the SAME changelog drives merge-on-read CDC
+    (`operators/scd2.cdc_apply_changes` — latest change per key wins,
+    delete-latest keys drop) AND the type-2 history build
+    (`scd2_from_changelog`), then the two models reconcile in one
+    plan: each surviving current-state row joins its OPEN history
+    interval plus the per-key interval count. A drifting pair of
+    implementations (e.g. different tiebreaks or delete semantics)
+    breaks the join or the joined state — the reconciliation check a
+    warehouse runs after every CDC batch, graded end-to-end.
+
+    Scale shape: each branch shuffles exactly once, all on the same
+    key (user_id) — the CDC window, the SCD2 windows, and the
+    interval-count groupBy — so the reconciliation joins are key-local
+    above those exchanges (broadcast at fixture key-cardinality,
+    co-partitioned sort-merge at scale; either way no additional
+    shuffle). No branch materializes more than its own model."""
+    from sftp_data_ingestion_spark.operators.scd2 import (
+        cdc_apply_changes,
+        scd2_from_changelog,
+    )
+
+    e = table(spark, sf_dir, "events")
+    changelog = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    cur = cdc_apply_changes(
+        changelog.select("user_id", "ts", "event_id", "value", "op"),
+        key="user_id",
+        ts="ts",
+        op_col="op",
+        tiebreak="event_id",
+    ).select("user_id", F.col("value").alias("cur_value"))
+    hist = scd2_from_changelog(
+        changelog.select("user_id", "event_id", "ts", "event_type"),
+        key="user_id",
+        ts="ts",
+        state_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    open_h = hist.where(F.col("is_current")).select(
+        "user_id",
+        F.col("event_type").alias("current_state"),
+        F.col("valid_from").alias("state_since"),
+    )
+    nch = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals")
+    )
+    return cur.join(open_h, "user_id").join(nch, "user_id").select(
+        "user_id", "cur_value", "current_state", "state_since",
+        "n_intervals",
+    )

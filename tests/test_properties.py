@@ -597,3 +597,95 @@ def test_jpeg_roundtrip_bounded_and_restart_invariant(w, h, seed, interval):
     if interval:
         rst = decode_gray(encode_gray(w, h, raw, 90, restart_interval=interval))
         assert rst[2] == base[2]
+
+
+# ---------------------------------------------------------------------------
+# shared-shingle pair intersections vs a pure-Python posting model
+# (the r8 max_df df-pruning discipline)
+# ---------------------------------------------------------------------------
+
+
+def model_pairs(postings, max_df, directed):
+    from collections import Counter, defaultdict
+
+    by_key = defaultdict(list)
+    df = Counter(k for _, k in postings)
+    for i, k in postings:
+        if max_df is None or df[k] <= max_df:
+            by_key[k].append(i)
+    out = Counter()
+    for ids in by_key.values():
+        for a in ids:
+            for b in ids:
+                if a == b:
+                    continue
+                if directed:
+                    out[(a, b)] += 1
+                elif a < b:
+                    out[(a, b)] += 1
+    return dict(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.sampled_from([None, 1, 2, 3]),
+    st.booleans(),
+)
+def test_shared_shingle_pairs_match_model(spark, postings, max_df, directed):
+    from sftp_data_ingestion_spark.ext.dedup import (
+        shared_shingle_intersections,
+    )
+
+    toks = spark.createDataFrame(
+        [(i, f"s{k}") for i, k in postings], "doc_id long, sh string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["i"]
+        for r in shared_shingle_intersections(
+            toks, directed=directed, max_df=max_df
+        ).collect()
+    }
+    want = model_pairs([(i, f"s{k}") for i, k in postings], max_df, directed)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-means assignments: partition + determinism invariants for any corpus
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+def test_kmeans_assignments_partition_any_corpus(spark, vecs):
+    from sftp_data_ingestion_spark.ext.similarity import kmeans_assignments
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 3
+    a = kmeans_assignments(df, k=k, n_iters=1).collect()
+    # exactly one assignment per vector, ids within [0, k)
+    assert sorted(r["id"] for r in a) == list(range(len(vecs)))
+    assert all(0 <= r["cluster_id"] < k for r in a)
+    # deterministic under re-run (no RNG anywhere in the loop)
+    b = kmeans_assignments(df, k=k, n_iters=1).collect()
+    assert sorted((r["id"], r["cluster_id"]) for r in a) == sorted(
+        (r["id"], r["cluster_id"]) for r in b
+    )

@@ -797,7 +797,10 @@ def kmeans_assignments(
         )
         rows = _normalize(upd, "c").collect()
         new = {r["cluster_id"]: list(r["c"]) for r in rows}
-        cents = [new.get(i, cents[i]) for i in range(k)]
+        # range over the SEEDED count, not k: a corpus smaller than k
+        # yields fewer stride seeds, and the effective cluster count
+        # is theirs (cells are dense 0..len(cents)-1 by construction)
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
 
     return assign(cents, df).select("id", "cluster_id", "score")
 

@@ -269,3 +269,66 @@ FROM doc_words JOIN wmap USING (word)
 WHERE word <> ''
 GROUP BY doc_id"""
     )
+
+
+def bpe_fertility_by_source(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Tokenizer FERTILITY per source: BPE tokens emitted per word,
+    by corpus source — the tokenizer-fit metric a data pipeline
+    watches per language/domain (a source whose fertility is far
+    above the corpus norm is poorly served by the learned vocabulary
+    and will eat a disproportionate share of the training token
+    budget). Same economics as :func:`bpe_token_counts`: training is
+    histogram-bounded, the vocabulary is a broadcastable |V|-row map,
+    and scoring the corpus is one map-side join + a
+    source-cardinality-bounded aggregate."""
+    _, vocab = train_bpe_merges(
+        df, text_col, n_merges, return_vocab=True
+    )
+    wmap = vocab.select(
+        "word", F.size(_symbols(F.col("seq"))).alias("n_syms")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = df.select(
+        "source", F.explode(F.split(norm, " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(wmap), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_fertility_by_source` — the training
+    CTE chain of :func:`bpe_oracle_sql` plus the per-source scoring
+    aggregate."""
+    train = bpe_oracle_sql(n_merges)
+    cte_end = train.rindex(")")
+    ctes = train[: cte_end + 1]
+    return (
+        ctes
+        + f""", wmap AS (
+  SELECT word,
+         length(list_filter(string_split(seq, '||'), x -> x <> ''))
+           AS n_syms
+  FROM vocab{int(n_merges)}
+), src_words AS (
+  SELECT source, unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_syms) * 1.0 / count(*), 6) AS fertility
+FROM src_words JOIN wmap USING (word)
+WHERE word <> ''
+GROUP BY source"""
+    )

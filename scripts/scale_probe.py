@@ -86,6 +86,7 @@ PROBES = [
     "v_cluster_diversity_sample", # assignment + per-cluster hash quota
     "z3_jpeg_color_roundtrip",    # 4:2:0 codec in one Arrow task
     "z3_bpe_fertility_by_source", # histogram-bounded BPE + scoring join
+    "d_dup_rate_by_source",       # sha256 groupBy + hash-keyed join
 ]
 
 

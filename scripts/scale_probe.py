@@ -87,6 +87,7 @@ PROBES = [
     "z3_jpeg_color_roundtrip",    # 4:2:0 codec in one Arrow task
     "z3_bpe_fertility_by_source", # histogram-bounded BPE + scoring join
     "d_dup_rate_by_source",       # sha256 groupBy + hash-keyed join
+    "wh_cdc_scd2_reconcile",      # 3 branches, one key shuffle each (events)
 ]
 
 

@@ -885,25 +885,34 @@ def d_dup_rate_by_source(spark, sf_dir):
     the syndication signal that drives inter-source dedup priority).
     Same normalization + sha256 contract as `d_exact_dedup_*`.
 
-    Scale shape: one scan computes the hash; the hash->source-count
-    map is one uniform groupBy (sha256 keys cannot skew); the join
-    back is hash-keyed and co-partitioned with the per-source
-    aggregate's distinct stage. Output is source-cardinality-bounded;
-    no window, no pair stage."""
+    Scale shape: one scan computes the hash; ONE distinct stage
+    (groupBy source+hash, sha256 keys cannot skew) collapses the
+    corpus to its (source, hash) multiplicity frame, after which
+    every output column is a plain per-source SUM — no
+    multi-countDistinct aggregate, so no Expand row-replication in
+    the plan (an earlier shape ran three countDistincts in one
+    aggregate, tripling shuffle volume at scale). The hash->ns map
+    is a plain count over the already-distinct frame, and the join
+    back is hash-keyed. Output is source-cardinality-bounded; no
+    window, no pair stage."""
     d = table(spark, sf_dir, "documents")
     h = d.select("source", dd.content_hash(F.col("text")).alias("ch"))
-    g = h.groupBy("ch").agg(F.countDistinct("source").alias("ns"))
+    # the ONE distinct stage: per-(source, hash) multiplicity
+    sc = h.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    # rows of sc are (source, ch)-distinct, so sources-per-hash is a
+    # plain count, not a countDistinct
+    g = sc.groupBy("ch").agg(F.count(F.lit(1)).alias("ns"))
     return (
-        h.join(g, "ch")
+        sc.join(g, "ch")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("ch").alias("n_unique"),
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
             F.round(
-                1.0 - F.countDistinct("ch") / F.count(F.lit(1)), 6
+                1.0 - F.count(F.lit(1)) / F.sum("cnt"), 6
             ).alias("dup_rate"),
-            F.countDistinct(
-                F.when(F.col("ns") >= 2, F.col("ch"))
+            F.sum(
+                F.when(F.col("ns") >= 2, 1).otherwise(0)
             ).alias("n_shared_hashes"),
         )
     )

@@ -582,3 +582,20 @@ def test_dup_rate_by_source_hand_computed(spark):
     }
     assert got["s0"] == (3, 2, round(1 - 2 / 3, 6), 1)
     assert got["s1"] == (2, 2, 0.0, 1)
+
+
+def test_dup_rate_by_source_plan_no_expand(spark):
+    """d_dup_rate_by_source must keep ONE distinct stage: the
+    (source, hash) groupBy. A multi-countDistinct aggregate would
+    plan an Expand (x3 row replication before the per-source
+    aggregate) — the shape this query was rewritten away from."""
+    from sftp_data_ingestion_spark import queries as q
+
+    p = (
+        q.QUERIES["d_dup_rate_by_source"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in p
+    assert "BatchEvalPython" not in p

@@ -379,3 +379,52 @@ def test_scd2_incremental_matches_full_rebuild(spark):
     assert full.exceptAll(inc).count() == 0
     # the heartbeat u2 batch row must NOT have opened a new interval
     assert inc.where(F.col("k") == "u2").count() == 1
+
+
+def test_wh_cdc_scd2_reconcile_hand_computed(spark, tmp_path):
+    """End-to-end reconciliation on a hand-worked changelog covering
+    the three tricky regimes: a delete-latest key (u2's last event is
+    'error' -> CDC drops it, so it must vanish from the output even
+    though it HAS an open history interval), a same-ts tiebreak
+    collision (u3: two events at t=50 ordered by event_id -> the
+    later event_id wins both the current value and the open state),
+    and a reopened state (u4: click -> view -> click = three
+    intervals, not two)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = [
+        # (event_id, ts_sec, user_id, event_type, value)
+        (1, 10, 1, "click", 1.0),
+        (2, 20, 1, "click", 2.0),   # repeat state: no new interval
+        (3, 30, 1, "view", 3.0),
+        (4, 10, 2, "click", 4.0),
+        (5, 20, 2, "error", 5.0),   # delete-latest: u2 drops from cur
+        (6, 50, 3, "view", 6.0),    # same ts as event 7 ...
+        (7, 50, 3, "click", 7.0),   # ... event_id tiebreak wins
+        (8, 10, 4, "click", 8.0),
+        (9, 20, 4, "view", 9.0),
+        (10, 30, 4, "click", 10.0),  # reopened state: 3rd interval
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["user_id"]: (
+            r["cur_value"],
+            r["current_state"],
+            r["state_since"].timestamp(),
+            r["n_intervals"],
+        )
+        for r in q.QUERIES["wh_cdc_scd2_reconcile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        1: (3.0, "view", 30.0, 2),
+        3: (7.0, "click", 50.0, 2),
+        4: (10.0, "click", 30.0, 3),
+    }

@@ -376,6 +376,11 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         if marker == 0xDB:
             if len(body) < 65:
                 raise ValueError("truncated DQT segment")
+            if body[0] >> 4 != 0:
+                raise ValueError(
+                    "baseline JPEG requires 8-bit (Pq=0) quantization "
+                    "tables"
+                )
             if body[0] & 0x0F == 0:
                 t = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(_ZIGZAG):
@@ -531,7 +536,11 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def encode_color(
-    width: int, height: int, rgb: bytes, quality: int = 75
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 75,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode ``width*height`` interleaved 8-bit RGB pixels as a
     baseline 4:2:0 (2x2-subsampled chroma) YCbCr JPEG — the framing
@@ -539,7 +548,10 @@ def encode_color(
     transform, box-averaged chroma subsampling, the Annex K.2 chroma
     quantization table under the same IJG quality scaling, the K.3
     standard chrominance Huffman set, and interleaved 16x16 MCUs
-    (4 Y blocks + Cb + Cr) with one DC predictor per component."""
+    (4 Y blocks + Cb + Cr) with one DC predictor per component.
+    ``restart_interval`` > 0 emits a DRI segment and an RST0..RST7
+    marker after every that-many MCUs (byte-aligned, all three DC
+    predictors reset), as in :func:`encode_gray`."""
     if len(rgb) != width * height * 3:
         raise ValueError("pixel buffer does not match dimensions")
     img = (
@@ -569,8 +581,18 @@ def encode_color(
     qc = _quant_table(quality, _QUANT_BASE_C)
     w = _BitWriter()
     dcs = [0, 0, 0]
+    mcu = 0
+    rst = 0
     for my in range(0, mh, 16):
         for mx in range(0, mw, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # restart: 1-pad to byte boundary, raw marker (markers
+                # are never byte-stuffed), reset ALL DC predictors
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                dcs = [0, 0, 0]
+            mcu += 1
             for sy in (0, 8):
                 for sx in (0, 8):
                     blk = y[my + sy : my + sy + 8, mx + sx : mx + sx + 8]
@@ -600,15 +622,26 @@ def encode_color(
         + _seg(0xC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
     )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dri + dht + sos + bytes(w.out) + b"\xff\xd9"
+    )
 
 
 def decode_color(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline 4:2:0 three-component YCbCr JPEG (streams
     from :func:`encode_color`, or foreign files of the same shape) to
     (width, height, interleaved top-down RGB bytes). Chroma upsamples
-    by 2x2 replication (the box-average inverse); other sampling
-    grids and progressive scans are rejected loudly."""
+    by 2x2 replication (the box-average inverse). Restart intervals
+    are supported as in :func:`decode_gray` (DRI + RSTn sequence
+    check, all DC predictors reset); components resolve by SOF
+    position, so foreign id schemes (0/1/2, ...) decode correctly;
+    other sampling grids, 16-bit quant tables, and progressive scans
+    are rejected loudly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -617,6 +650,9 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comp_qt: dict[int, int] = {}
     comp_tables: dict[int, tuple[int, int]] = {}
+    sof_ids: list[int] | None = None
+    sos_ids: list[int] = []
+    interval = 0
     scan_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -628,7 +664,17 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
             i = 0
-            while i + 65 <= len(body):
+            while i < len(body):
+                if body[i] >> 4 != 0:
+                    # a 16-bit (Pq=1) table is 129 bytes, not 65 —
+                    # parsing it as 8-bit would corrupt both the
+                    # values and the offset of any following table
+                    raise ValueError(
+                        "baseline JPEG requires 8-bit (Pq=0) "
+                        "quantization tables"
+                    )
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 tid = body[i] & 0x0F
                 t = np.zeros((8, 8), dtype=np.int32)
                 for k, (r, c) in enumerate(_ZIGZAG):
@@ -643,10 +689,12 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("decode_color handles 3-component scans"
                                  " (use decode_gray for 1)")
             samp = []
+            sof_ids = []
             for ci in range(3):
                 cid, sf, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 samp.append(sf)
                 comp_qt[cid] = tq
+                sof_ids.append(cid)
             if samp != [0x22, 0x11, 0x11]:
                 raise ValueError("only 4:2:0 sampling is supported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
@@ -654,6 +702,10 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
                 "only baseline DCT (SOF0) is supported, got "
                 f"SOF{marker - 0xC0}"
             )
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -672,11 +724,22 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
             for ci in range(3):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
                 comp_tables[cid] = (tabs >> 4, tabs & 0x0F)
+                sos_ids.append(cid)
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
-    if not qts or width is None or scan_start is None:
+    if not qts or width is None or scan_start is None or sof_ids is None:
         raise ValueError("incomplete JPEG stream")
+    # components are resolved by SOF POSITION, not by hard-coded ids:
+    # the 0x22-sampled (first) SOF component is luma; the interleaved
+    # scan must list the same components with luma first (T.81 B.2.3
+    # orders scan components as in the frame header)
+    if sos_ids != sof_ids:
+        raise ValueError(
+            f"SOS component order {sos_ids} does not match SOF order "
+            f"{sof_ids} (interleaved baseline requires frame order)"
+        )
+    cid_y, cid_cb, cid_cr = sof_ids
 
     reader = _BitReader(payload[scan_start : len(payload) - 2])
     mh = (height + 15) // 16 * 16
@@ -684,34 +747,47 @@ def decode_color(payload: bytes) -> tuple[int, int, bytes]:
     y = np.zeros((mh, mw), dtype=np.float64)
     cbs = np.zeros((mh // 2, mw // 2), dtype=np.float64)
     crs = np.zeros((mh // 2, mw // 2), dtype=np.float64)
-    dcs = {1: 0, 2: 0, 3: 0}
+    dcs = {cid: 0 for cid in sof_ids}
+    mcu = 0
+    expected_rst = 0
     for my in range(0, mh, 16):
         for mx in range(0, mw, 16):
+            if interval and mcu and mcu % interval == 0:
+                n = reader.sync_restart()
+                if n != expected_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: got RST{n}, "
+                        f"expected RST{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                for cid in dcs:
+                    dcs[cid] = 0
+            mcu += 1
             for sy in (0, 8):
                 for sx in (0, 8):
-                    blk, dcs[1] = _read_block(
+                    blk, dcs[cid_y] = _read_block(
                         reader,
-                        huff[(0, comp_tables[1][0])],
-                        huff[(1, comp_tables[1][1])],
-                        qts[comp_qt[1]],
-                        dcs[1],
+                        huff[(0, comp_tables[cid_y][0])],
+                        huff[(1, comp_tables[cid_y][1])],
+                        qts[comp_qt[cid_y]],
+                        dcs[cid_y],
                     )
                     y[my + sy : my + sy + 8, mx + sx : mx + sx + 8] = blk
             cy, cx = my // 2, mx // 2
-            blk, dcs[2] = _read_block(
+            blk, dcs[cid_cb] = _read_block(
                 reader,
-                huff[(0, comp_tables[2][0])],
-                huff[(1, comp_tables[2][1])],
-                qts[comp_qt[2]],
-                dcs[2],
+                huff[(0, comp_tables[cid_cb][0])],
+                huff[(1, comp_tables[cid_cb][1])],
+                qts[comp_qt[cid_cb]],
+                dcs[cid_cb],
             )
             cbs[cy : cy + 8, cx : cx + 8] = blk
-            blk, dcs[3] = _read_block(
+            blk, dcs[cid_cr] = _read_block(
                 reader,
-                huff[(0, comp_tables[3][0])],
-                huff[(1, comp_tables[3][1])],
-                qts[comp_qt[3]],
-                dcs[3],
+                huff[(0, comp_tables[cid_cr][0])],
+                huff[(1, comp_tables[cid_cr][1])],
+                qts[comp_qt[cid_cr]],
+                dcs[cid_cr],
             )
             crs[cy : cy + 8, cx : cx + 8] = blk
 

@@ -257,3 +257,127 @@ def test_color_buffer_size_validated():
 
     with pytest.raises(ValueError, match="does not match"):
         encode_color(10, 10, bytes(10), 75)
+
+
+def test_color_restart_interval_roundtrip_bit_exact():
+    """Color RSTn round-trip: for each interval the decode is
+    BIT-IDENTICAL to the non-restart encoding's decode (markers
+    change framing, never coefficients), the scan carries the
+    correctly-sequenced marker count, and all THREE DC predictors
+    reset (an un-reset chroma predictor would shift whole MCUs)."""
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    rgb = _gradient_rgb(72, 40)  # 5x3 = 15 MCUs of 16x16
+    baseline = decode_color(encode_color(72, 40, rgb.tobytes(), 80))[2]
+    n_mcus = 15
+    for interval in (1, 2, 4, 7, 15, 100):
+        enc = encode_color(72, 40, rgb.tobytes(), 80, restart_interval=interval)
+        w, h, dec = decode_color(enc)
+        assert (w, h) == (72, 40)
+        assert dec == baseline, f"interval={interval}"
+        scan = enc[enc.find(b"\xff\xda") :]
+        n_expected = (n_mcus - 1) // interval
+        found = [
+            scan[i + 1] - 0xD0
+            for i in range(len(scan) - 1)
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7
+        ]
+        assert len(found) == n_expected, f"interval={interval}"
+        assert found == [i % 8 for i in range(n_expected)]
+
+
+def test_color_dri_without_markers_rejected():
+    """A DRI segment declaring an interval over a scan that carries
+    no RST markers must fail loudly, not decode corrupt pixels — the
+    regression the r8 decoder had (DRI fell through the generic
+    segment skip and restarts were never consumed)."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    rgb = _gradient_rgb(48, 16)  # 3 MCUs, no restart markers
+    enc = encode_color(48, 16, rgb.tobytes(), 80)
+    dri = b"\xff\xdd\x00\x04\x00\x01"  # declare interval=1
+    patched = enc[:2] + dri + enc[2:]
+    with pytest.raises(ValueError, match="RST"):
+        decode_color(patched)
+
+
+def test_color_restart_marker_out_of_sequence_rejected():
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    rgb = _gradient_rgb(64, 32)  # 8 MCUs
+    enc = encode_color(64, 32, rgb.tobytes(), 75, restart_interval=2)
+    scan_at = enc.find(b"\xff\xda")
+    for i in range(scan_at, len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            corrupted = enc[: i + 1] + bytes([0xD6]) + enc[i + 2 :]
+            break
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_color(corrupted)
+
+
+def test_color_foreign_component_ids_decode_by_sof_position():
+    """Foreign encoders may number components 0/1/2 (the ids are
+    arbitrary labels); the decoder must resolve by SOF position, not
+    assume 1/2/3. Patch the ids consistently in SOF and SOS and the
+    decode must be byte-identical."""
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    rgb = _gradient_rgb(32, 32)
+    enc = encode_color(32, 32, rgb.tobytes(), 85)
+    want = decode_color(enc)
+    b = bytearray(enc)
+    sof = enc.find(b"\xff\xc0")
+    sos = enc.find(b"\xff\xda")
+    for ci in range(3):
+        assert b[sof + 10 + 3 * ci] == ci + 1
+        b[sof + 10 + 3 * ci] = ci        # 1/2/3 -> 0/1/2
+        assert b[sos + 5 + 2 * ci] == ci + 1
+        b[sos + 5 + 2 * ci] = ci
+    assert decode_color(bytes(b)) == want
+
+
+def test_color_sos_order_mismatch_rejected():
+    """A scan listing components in a different order than the frame
+    header is rejected with a clear message (interleaved baseline
+    requires frame order), never decoded with swapped chroma."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    enc = encode_color(16, 16, _gradient_rgb(16, 16).tobytes(), 85)
+    b = bytearray(enc)
+    sos = enc.find(b"\xff\xda")
+    # swap the Cb and Cr entries (id+table pairs) in the SOS header
+    b[sos + 7 : sos + 9], b[sos + 9 : sos + 11] = (
+        bytes(b[sos + 9 : sos + 11]),
+        bytes(b[sos + 7 : sos + 9]),
+    )
+    with pytest.raises(ValueError, match="does not match SOF"):
+        decode_color(bytes(b))
+
+
+def test_sixteen_bit_quant_table_rejected():
+    """A Pq=1 (16-bit) DQT is not baseline; parsing it as 8-bit would
+    corrupt the table values AND the offset of any following table in
+    the same segment — both decoders must reject it up front."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color, encode_color
+
+    enc = encode_color(16, 16, _gradient_rgb(16, 16).tobytes(), 85)
+    b = bytearray(enc)
+    dqt = enc.find(b"\xff\xdb")
+    assert b[dqt + 4] == 0x00
+    b[dqt + 4] = 0x10  # Pq=1, Tq=0
+    with pytest.raises(ValueError, match="Pq=0"):
+        decode_color(bytes(b))
+
+    g = bytearray(encode_gray(16, 16, bytes(range(256)), 85))
+    gq = bytes(g).find(b"\xff\xdb")
+    g[gq + 4] = 0x10
+    with pytest.raises(ValueError, match="Pq=0"):
+        decode_gray(bytes(g))

@@ -723,7 +723,18 @@ def kmeans_assignments(
     size, never ``rand()``) while the FINAL assignment still covers
     every vector. Centroid quality needs a sample; membership needs
     the corpus. Default None (train on everything) keeps graded
-    hashes unchanged."""
+    hashes unchanged.
+
+    NOTE — EAGER at composition time: unlike every other query
+    builder in the repo, calling this function RUNS the training
+    loop (a count + one k x dim collect per Lloyd iteration) before
+    returning the assignment frame, because the next iteration's
+    plan embeds the previous iteration's centroids as literals.
+    Explain-only tooling over the ``v_kmeans_*`` /
+    ``v_cluster_diversity_sample`` queries therefore executes
+    training for real — budget for it (or skip those entries) when
+    adding such tooling; ``scripts/dump_plans.py`` only walks
+    ``bench.HEADLINE``, which excludes them."""
 
     v = as_double(F.col(vec_col))
 
@@ -812,14 +823,18 @@ def kmeans_corpus_clusters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     digits: int = 6,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Corpus clustering summary for training-mix diversity
     accounting: ``(cluster_id, n_vecs, mean_sim)`` — k rows at any
     corpus size, where mean_sim averages each member\'s rounded dot
     with its final (L2-normalized) centroid. Built on
     :func:`kmeans_assignments` (which see, for the engine-portable
-    rounding contract and the 100 TB shape)."""
-    a = kmeans_assignments(df, k, n_iters, vec_col, id_col, digits)
+    rounding contract, the ``train_frac`` sampling lever, and the
+    100 TB shape)."""
+    a = kmeans_assignments(
+        df, k, n_iters, vec_col, id_col, digits, train_frac=train_frac
+    )
     return a.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("score"), digits).alias("mean_sim"),

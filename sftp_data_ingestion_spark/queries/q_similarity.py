@@ -406,7 +406,7 @@ _KM_ASSIGN = """
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY round(list_dot_product(b.v, c.c), 6) DESC,
                       c.cell DESC) AS rn
-    FROM base b CROSS JOIN {cents} c
+    FROM {src} b CROSS JOIN {cents} c
   ) WHERE rn = 1
 """
 
@@ -447,13 +447,13 @@ seeds AS (
            CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
                 ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
   FROM seeds
-), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0")}),
+), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0", src="base")}),
 {_KM_UPDATE.format(m="m1", asg="asg1", arr="arr1", out="cents1",
                    prev="cents0")},
-asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1")}),
+asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1", src="base")}),
 {_KM_UPDATE.format(m="m2", asg="asg2", arr="arr2", out="cents2",
                    prev="cents1")},
-fin AS ({_KM_ASSIGN.format(score=", sc AS score", cents="cents2")})
+fin AS ({_KM_ASSIGN.format(score=", sc AS score", cents="cents2", src="base")})
 SELECT CAST(cell AS INT) AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(score), 6) AS mean_sim
@@ -476,7 +476,12 @@ def v_kmeans_corpus_clusters(spark, sf_dir):
     each iteration is one scan + a (cell, dim)-bounded aggregate with
     only k x dim floats reaching the driver; output is k rows at any
     corpus size. At 100 TB, Lloyd iterations run on a bounded sample
-    and only the final assignment touches the full corpus."""
+    and only the final assignment touches the full corpus.
+
+    EAGER at composition time: building this frame runs the Lloyd
+    loop (centroids become literals in the returned plan), so
+    explain-only tooling that calls the query fn executes training —
+    see ``ext.similarity.kmeans_assignments``."""
     from sftp_data_ingestion_spark.ext import similarity as sim
 
     e = table(spark, sf_dir, "embeddings")
@@ -501,13 +506,13 @@ seeds AS (
            CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
                 ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
   FROM seeds
-), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0")}),
+), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0", src="base")}),
 {_KM_UPDATE.format(m="m1", asg="asg1", arr="arr1", out="cents1",
                    prev="cents0")},
-asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1")}),
+asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1", src="base")}),
 {_KM_UPDATE.format(m="m2", asg="asg2", arr="arr2", out="cents2",
                    prev="cents1")},
-fin AS ({_KM_ASSIGN.format(score="", cents="cents2")})
+fin AS ({_KM_ASSIGN.format(score="", cents="cents2", src="base")})
 SELECT vec_id, CAST(cell AS INT) AS cluster_id FROM (
   SELECT vec_id, cell, row_number() OVER (
            PARTITION BY cell
@@ -529,7 +534,9 @@ def v_cluster_diversity_sample(spark, sf_dir):
     the quota is a per-cluster window whose `rn <= 10` filter plans
     as WindowGroupLimit (map-side pre-trim to 10 per cluster before
     the k-way shuffle), so the sample never materializes more than
-    k x 10 x partitions rows."""
+    k x 10 x partitions rows. EAGER at composition time (the Lloyd
+    loop runs when the frame is built — see
+    ``ext.similarity.kmeans_assignments``)."""
     from sftp_data_ingestion_spark.ext import similarity as sim
     from sftp_data_ingestion_spark.queries.q_sampling import split_bucket
 
@@ -546,4 +553,60 @@ def v_cluster_diversity_sample(spark, sf_dir):
         a.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 10)
         .select("vec_id", "cluster_id")
+    )
+
+
+@query(
+    "v_kmeans_sampled_train",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), samp AS (
+  SELECT * FROM base WHERE (vec_id * 2654435761) % 10000 < 5000
+), nn AS (SELECT count(*) AS n FROM samp),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT b.vec_id, b.v FROM samp b, nn
+        WHERE b.vec_id % greatest(nn.n // 8, 1) = 0
+        ORDER BY b.vec_id LIMIT 8)
+), cents0 AS (
+  SELECT cell, list_transform(v, x -> round(x /
+           CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
+  FROM seeds
+), asg1 AS ({_KM_ASSIGN.format(score="", cents="cents0", src="samp")}),
+{_KM_UPDATE.format(m="m1", asg="asg1", arr="arr1", out="cents1",
+                   prev="cents0")},
+asg2 AS ({_KM_ASSIGN.format(score="", cents="cents1", src="samp")}),
+{_KM_UPDATE.format(m="m2", asg="asg2", arr="arr2", out="cents2",
+                   prev="cents1")},
+fin AS ({_KM_ASSIGN.format(score=", sc AS score", cents="cents2",
+                           src="base")})
+SELECT CAST(cell AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(score), 6) AS mean_sim
+FROM fin GROUP BY 1
+""",
+)
+def v_kmeans_sampled_train(spark, sf_dir):
+    """The 100 TB k-means operating point, graded end-to-end: Lloyd
+    ITERATIONS (seeding included) run on the deterministic Knuth-hash
+    HALF of the corpus ((vec_id * 2654435761) mod 10000 < 5000 — the
+    repo's engine-portable sampling discipline, never rand()), while
+    the FINAL assignment covers every vector. Centroid quality needs
+    a sample; membership needs the corpus — at 100 TB this is the
+    difference between Lloyd passes over terabytes and Lloyd passes
+    over a bounded sample, with exactly one full-corpus scan at the
+    end. The oracle replays the identical subset selection and
+    unrolled loop, so the sampled-train path is hash-graded with the
+    same rigor as the full-train `v_kmeans_corpus_clusters`.
+
+    EAGER at composition time (the Lloyd loop runs when the frame is
+    built — see ``ext.similarity.kmeans_assignments``)."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    return sim.kmeans_corpus_clusters(
+        e, k=8, n_iters=2, vec_col="embedding", id_col="vec_id",
+        train_frac=0.5,
     )

@@ -409,3 +409,15 @@ def test_kmeans_train_frac_lever(spark):
     assert sorted((r["id"], r["cluster_id"]) for r in rows) == sorted(
         (r["id"], r["cluster_id"]) for r in again.collect()
     )
+
+
+def test_kmeans_sampled_train_covers_full_corpus(spark):
+    """The graded sampled-train query: Lloyd runs on the Knuth-hash
+    half, but the summary must still account for EVERY vector (the
+    final assignment is full-corpus by contract)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    out = q.QUERIES["v_kmeans_sampled_train"](spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert sum(r["n_vecs"] for r in out) == e.count()
+    assert {r["cluster_id"] for r in out} <= set(range(8))

@@ -1057,17 +1057,13 @@ def z_pruned_scan_agg(spark, sf_dir):
         "ts_sec", F.unix_timestamp("ts")
     )
     root = tempfile.mkdtemp(prefix="prune_")
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        from sftp_data_ingestion_spark.io.layout import clustered
+    from sftp_data_ingestion_spark.io.layout import clustered
 
-        vt.commit(
-            clustered(e, ["ts_sec"], 8), root, stats_cols=["ts_sec"]
-        )
-    finally:
-        spark.conf.set(key, prev)
+    # repartitionByRange with an EXPLICIT partition count is exempt
+    # from AQE coalescing (REPARTITION_BY_NUM shuffle origin), so the
+    # 8-file layout is honored without any session conf flip
+    # (verified: 8 part files under coalescePartitions=true)
+    vt.commit(clustered(e, ["ts_sec"], 8), root, stats_cols=["ts_sec"])
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-12 00:00:00").cast("timestamp")
     lo_s = 1704844800  # 2024-01-10 00:00:00 UTC

@@ -66,3 +66,53 @@ def test_headline_queries_audit_clean(spark):
     for name in bench.HEADLINE:
         df = q.QUERIES[name](spark, SF)
         plans.assert_clean(df, allow=("nested_loop_join",))
+
+
+def test_no_unjustified_session_conf_flips_in_query_bodies():
+    """Session-global conf mutations inside query bodies are visible
+    to concurrent queries on the shared session, so they are allowed
+    ONLY where no DataFrame-level lever exists:
+
+    - streaming queries: `spark.sql.shuffle.partitions` fixes the
+      state-store partition count at checkpoint creation (a
+      session-conf-only knob);
+    - recursive CTEs: no repartition hint can be injected into the
+      recursion (measured 14% regression without the flip);
+    - `nanosAsLong`: an idempotent read-format set (same value
+      always, never restored).
+
+    Every batch query must instead rely on AQE coalescing or
+    explicit repartition/coalesce. This pins the allowed set — a new
+    conf.set in a query body must either move to a DataFrame-level
+    shape or be justified here."""
+    import ast
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "sftp_data_ingestion_spark",
+        "queries",
+    )
+    allowed = {
+        ("q_analytics.py", "z_stream_mv_merge"),       # streaming state
+        ("q_corpus.py", "z3_stream_ingest_neardup"),   # streaming state
+        ("q_corpus.py", "z3_recursive_supplier_reach"),  # recursive CTE
+        ("q_streaming.py", "_events_stream"),          # nanosAsLong
+        ("q_streaming.py", "_drain"),                  # streaming state
+        ("q_streaming.py", "st_stream_cms_topk"),      # streaming state
+        ("q_warehouse.py", "wh_stream_multibatch_counts"),  # streaming
+        ("registry.py", "table"),                      # nanosAsLong
+    }
+    found = set()
+    for path in glob.glob(os.path.join(pkg, "*.py")):
+        src = open(path).read()
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef):
+                seg = ast.get_source_segment(src, node) or ""
+                if "conf.set(" in seg:
+                    found.add((os.path.basename(path), node.name))
+    assert found == allowed, (
+        f"unexpected conf.set sites: {found - allowed}; "
+        f"stale allowance: {allowed - found}"
+    )

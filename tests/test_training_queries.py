@@ -579,3 +579,78 @@ def test_corpus_release_e2e_plan_shape(spark):
     assert "hashpartitioning(source" in p
     assert p.count("BroadcastNestedLoopJoin") == 2
     assert "BatchEvalPython" not in p
+
+
+def test_tfidf_bucketed_postings_exchange_free(spark, tmp_path):
+    """The 100 TB postings layout, pinned: with the inverted index
+    materialized as a term-BUCKETED table, the df/idf aggregate and
+    the postings side of the idf join (broadcast_idf=False — the
+    at-scale regime where the vocabulary exceeds any broadcast
+    budget) read HashPartitioning(term) off the scan and plan NO
+    term exchange. The localCheckpoint path cannot do this
+    (partitioning metadata does not survive the RDD boundary —
+    measured, PERFORMANCE.md r8), which is why bucketing is the
+    exchange-elimination lever.
+
+    Also pins value agreement: the full top-k on the bucketed layout
+    must equal the graded query's rows exactly."""
+    from sftp_data_ingestion_spark.queries.q_training import (
+        _tfidf_weights,
+        term_bucketed_postings,
+        tfidf_topk_from_postings,
+    )
+    from sftp_data_ingestion_spark.queries.registry import table as t
+
+    d = t(spark, SF, "documents")
+    btf = term_bucketed_postings(
+        spark, d, "tfidf_postings_bucketed_test",
+        str(tmp_path / "postings"), num_buckets=8,
+    )
+    try:
+        n_docs = d.select(F.count_distinct("doc_id").alias("n_docs"))
+        # pin the AT-SCALE regime: disable auto-broadcast so fixture
+        # stats can't pick a broadcast join (at 100 TB neither side
+        # of the term join fits a broadcast budget)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            w = _tfidf_weights(btf, n_docs, broadcast_idf=False)
+            p = w._jdf.queryExecution().executedPlan().toString()
+            # no exchange anywhere on the term key: the bucketed scan
+            # satisfies both the df aggregate and the idf join
+            assert "Exchange hashpartitioning(term" not in p
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+            assert "Bucketed: true" in p
+
+            # contrast: the same regime over a NON-bucketed postings
+            # frame must shuffle on term (proves the assertion above
+            # is the layout's doing, not a planner accident)
+            from sftp_data_ingestion_spark.queries.q_training import (
+                _tf_postings,
+            )
+
+            ps = (
+                _tfidf_weights(_tf_postings(d), n_docs, broadcast_idf=False)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange hashpartitioning(term" in ps
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        # value agreement: full top-k over the bucketed layout ==
+        # the graded query's result
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"], r["rnk"])
+            for r in tfidf_topk_from_postings(
+                d, btf, broadcast_idf=False
+            ).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["neighbor_id"], r["sim"], r["rnk"])
+            for r in q.QUERIES["z4_sparse_tfidf_topk"](spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tfidf_postings_bucketed_test")

@@ -47,11 +47,11 @@ def _parse_data_insercao(c: Column) -> Column:
         F.lit("dd/MM/yyyy HH:mm:ss"),
     )
     iso_in = F.replace(t, F.lit("T"), F.lit(" "))
-    iso = F.coalesce(
-        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd HH:mm:ss")),
-        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd HH:mm")),
-        F.try_to_timestamp(iso_in, F.lit("yyyy-MM-dd")),
-    )
+    # length dispatch under the ISO guard (see cleaning._iso_dispatch:
+    # one parse per row instead of a failed-try coalesce chain)
+    from sftp_data_ingestion_spark.functions.cleaning import _iso_dispatch
+
+    iso = _iso_dispatch(iso_in)
     return (
         F.when(t.rlike(r"^\d{2}/\d{2}/\d{4}( \d{2}:\d{2}:\d{2})?$"), dmy)
         .when(t.rlike(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$"), iso)

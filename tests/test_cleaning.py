@@ -158,3 +158,48 @@ def test_parse_decimal_scale2(spark, raw, expected):
 def test_parse_decimal_scale3(spark):
     assert _run_one(spark, lambda c: C.parse_decimal(c, 12, 3), "1.234,567") == Decimal("1234.567")
     assert _run_one(spark, lambda c: C.parse_decimal(c, 12, 3), "12,345") == Decimal("12.345")
+
+
+def test_iso_dispatch_equals_coalesce_chain(spark):
+    """_iso_dispatch replaced the COALESCE(try ss, try mm, try date)
+    chain for performance (each FAILED try_to_timestamp costs a Java
+    exception; date-only inputs paid two per row — measured 6.51s ->
+    3.82s on the full 6M-row cascade). Under the regex guard the two
+    are pointwise equal because length determines the only format
+    that can parse; pin that on every shape plus invalid-calendar
+    and unguarded-garbage inputs."""
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.functions.cleaning import _iso_dispatch
+
+    rows = [
+        ("2024-01-15",),           # len 10 -> date-only
+        ("2024-01-15 10:30",),     # len 16 -> minutes
+        ("2024-01-15 10:30:45",),  # len 19 -> seconds
+        ("2024-02-30",),           # invalid calendar -> NULL both ways
+        ("2024-13-01 10:30",),     # invalid month -> NULL
+        ("garbage",),              # unguarded -> NULL both ways
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    old = F.coalesce(
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd HH:mm")),
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd")),
+    )
+    got = df.select(
+        _iso_dispatch(F.col("s")).alias("new"), old.alias("old")
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], r
+    # the time-mandatory variant (timestamp parsers): len 16/19 only
+    old2 = F.coalesce(
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd HH:mm")),
+    )
+    got2 = df.where(F.length("s") != 10).select(
+        _iso_dispatch(F.col("s"), with_date_only=False).alias("new"),
+        old2.alias("old"),
+    ).collect()
+    for r in got2:
+        assert r["new"] == r["old"], r

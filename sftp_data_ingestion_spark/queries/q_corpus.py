@@ -293,10 +293,9 @@ _SHINGLE_SQL = rf"""
 """
 
 
-@query(
-    "z3_stream_ingest_neardup",
-    oracle=rf"""
-WITH sh AS ({_SHINGLE_SQL}),
+# the four-batch sequential-admission replay (exact Jaccard), shared
+# by the plain ingest grade and the streaming-release composition
+_ADMIT_CTES = rf"""sh AS ({_SHINGLE_SQL}),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
@@ -326,6 +325,12 @@ s2 AS (SELECT doc_id FROM b2 WHERE NOT EXISTS
 c3 AS (SELECT doc_id FROM c2 UNION ALL SELECT doc_id FROM s2),
 s3 AS (SELECT doc_id FROM b3 WHERE NOT EXISTS
         (SELECT 1 FROM pj JOIN c3 c ON pj.ib = c.doc_id WHERE pj.ia = b3.doc_id))
+"""
+
+@query(
+    "z3_stream_ingest_neardup",
+    oracle=rf"""
+WITH {_ADMIT_CTES}
 SELECT doc_id, CAST(0 AS INTEGER) AS batch_seq FROM s0
 UNION ALL SELECT doc_id, CAST(1 AS INTEGER) FROM s1
 UNION ALL SELECT doc_id, CAST(2 AS INTEGER) FROM s2
@@ -354,6 +359,18 @@ def z3_stream_ingest_neardup(spark, sf_dir):
     hash: micro-batch ordering, the replay guard never double-admits,
     the anti-join admission logic, and incremental-LSH correctness
     against a GROWING corpus."""
+    return _stream_ingest_admitted(spark, sf_dir).select(
+        "doc_id", "batch_seq"
+    )
+
+
+def _stream_ingest_admitted(spark, sf_dir):
+    """Run the four-batch LSH-admission drain of
+    :func:`z3_stream_ingest_neardup` (planted near-dup pair included,
+    forced mtime order, replay-guarded appends) and return the
+    ADMITTED docs ``(doc_id, text, batch_seq)`` — shared by the
+    plain ingest grade and the streaming-release composition
+    (``st_stream_release_e2e``)."""
     import glob
     import os
     import shutil
@@ -416,11 +433,7 @@ def z3_stream_ingest_neardup(spark, sf_dir):
         if q is not None:
             q.stop()
         spark.conf.set(key, prev)
-    return (
-        spark.read.parquet(corpus_path)
-        .where(F.col("batch_seq") >= 0)
-        .select("doc_id", "batch_seq")
-    )
+    return spark.read.parquet(corpus_path).where(F.col("batch_seq") >= 0)
 
 
 @query(
@@ -1059,3 +1072,151 @@ def z3_bpe_fertility_by_source(spark, sf_dir):
     # tiny per-step aggregates: AQE coalescing, no conf flip (see
     # z3_bpe_merges; measured equal-or-faster without the flip)
     return bpe_fertility_by_source(d, n_merges=3).localCheckpoint()
+
+
+@query(
+    "st_stream_release_e2e",
+    oracle=rf"""
+WITH {_ADMIT_CTES},
+admitted AS (
+  SELECT doc_id, CAST(0 AS INTEGER) AS batch_seq FROM s0
+  UNION ALL SELECT doc_id, CAST(1 AS INTEGER) FROM s1
+  UNION ALL SELECT doc_id, CAST(2 AS INTEGER) FROM s2
+  UNION ALL SELECT doc_id, CAST(3 AS INTEGER) FROM s3
+), adocs AS (
+  SELECT a.doc_id, a.batch_seq, d.text
+  FROM admitted a JOIN ({_DOCS_SQL}) d USING (doc_id)
+), scored AS (
+  SELECT doc_id, batch_seq,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         round(1.0 / (1.0 + exp(-(
+           -1.5 + 0.9 * (length(text) / 1000.0)
+           + 0.7 * (len(string_split(text, ' ')) / 100.0)
+           + -2.0 * (length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     / CAST(greatest(length(text), 1) AS DOUBLE))))), 6)
+           AS prob
+  FROM adocs
+), flagged AS (
+  SELECT doc_id, batch_seq, prob, (prob >= 0.3) AS gated,
+         length(string_split(norm, ' ')) AS n_tok,
+         row_number() OVER (
+           PARTITION BY (prob >= 0.3), sha256(norm) ORDER BY doc_id) AS rn
+  FROM scored
+), release AS (
+  SELECT * FROM flagged WHERE gated AND rn = 1
+), drops AS (
+  SELECT CAST(count(*) FILTER (WHERE NOT gated) AS BIGINT) AS n_gated,
+         CAST(count(*) FILTER (WHERE gated AND rn > 1) AS BIGINT)
+           AS n_dup_dropped
+  FROM flagged
+), card AS (
+  SELECT CAST(count(*) AS BIGINT) AS release_docs,
+         CAST(sum(n_tok) AS BIGINT) AS release_tokens,
+         round(avg(prob), 6) AS mean_prob
+  FROM release
+), ranked AS (
+  SELECT batch_seq, doc_id, n_tok,
+         CAST((row_number() OVER (
+            PARTITION BY batch_seq ORDER BY n_tok DESC, doc_id) - 1) % 4
+          AS INT) AS shard
+  FROM release
+), manifest AS (
+  SELECT batch_seq, shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+  FROM ranked GROUP BY 1, 2
+)
+SELECT m.batch_seq, m.shard, m.n_docs, m.n_tokens, m.max_doc_tokens,
+       c.release_docs, c.release_tokens, c.mean_prob,
+       d.n_gated, d.n_dup_dropped
+FROM manifest m CROSS JOIN card c CROSS JOIN drops d
+""",
+)
+def st_stream_release_e2e(spark, sf_dir):
+    """Streaming ingest -> admission -> RELEASE, composed end-to-end
+    (the r8 verdict's suggested chaining of
+    `z3_stream_ingest_neardup` into `corpus_release_e2e`'s
+    accounting): the four-batch LSH-admission drain runs for real
+    (forced mtime order, planted near-dup pair, replay-guarded
+    appends — `_stream_ingest_admitted`), then the ADMITTED shipment
+    goes through the release algebra — model-score gate (length-based
+    logistic, keep rounded prob >= 0.3), sha256 exact-dedup
+    survivors, size-ranked round-robin packing into 4 shards PER
+    INGEST BATCH, and the per-(batch, shard) manifest with the
+    release card + drop ledger cross-joined on. The oracle replays
+    the sequential admissions (the proven unrolled-CTE chain, shared
+    verbatim via `_ADMIT_CTES`) and the release SQL over the same
+    admitted set, so stream ordering, admission, and release
+    accounting are graded in ONE hash.
+
+    This is the incremental-release pattern a production corpus
+    pipeline runs per ingest window: each drained shipment is gated,
+    deduped, and packed while the stream is stopped — the batch twin
+    of a foreachBatch release hook.
+
+    Scale shape: admission is the proven incremental-LSH plan; the
+    release side is `corpus_release_e2e`'s (one scoring scan, ONE
+    (gated, sha256) window — hash-distributed, no skew — a
+    checkpoint at the scored boundary, per-batch packing windows,
+    one-row broadcast cross-joins for card and ledger). The scorer
+    derives every feature from the streamed text itself
+    (length-based), so the release needs NO join back to the
+    dimension table — at 100 TB the shipment never re-reads the
+    corpus store."""
+    from pyspark.sql import Window
+
+    admitted = _stream_ingest_admitted(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    n_chars = F.length("text")
+    margin = (
+        F.lit(-1.5)
+        + 0.9 * (n_chars / 1000.0)
+        + 0.7 * (F.size(F.split(F.col("text"), " ")) / 100.0)
+        + -2.0
+        * (
+            F.length(F.regexp_replace("text", "[^A-Z]", ""))
+            / F.greatest(n_chars, F.lit(1)).cast("double")
+        )
+    )
+    scored = admitted.select(
+        "doc_id",
+        "batch_seq",
+        F.size(F.split(norm, " ")).alias("n_tok"),
+        F.sha2(norm, 256).alias("h"),
+        F.round(1.0 / (1.0 + F.exp(-margin)), 6).alias("prob"),
+    ).withColumn("gated", F.col("prob") >= 0.3)
+    dw = Window.partitionBy("gated", "h").orderBy(F.col("doc_id"))
+    flagged = (
+        scored.withColumn("rn", F.row_number().over(dw))
+        .drop("h")
+        .localCheckpoint()
+    )
+    drops = flagged.agg(
+        F.sum(F.when(~F.col("gated"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gated"),
+        F.sum(F.when(F.col("gated") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_dropped"),
+    )
+    release = flagged.where(F.col("gated") & (F.col("rn") == 1))
+    card = release.agg(
+        F.count(F.lit(1)).alias("release_docs"),
+        F.sum("n_tok").cast("bigint").alias("release_tokens"),
+        F.round(F.avg("prob"), 6).alias("mean_prob"),
+    )
+    rw = Window.partitionBy("batch_seq").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    ranked = release.withColumn(
+        "shard", ((F.row_number().over(rw) - 1) % 4).cast("int")
+    )
+    manifest = ranked.groupBy("batch_seq", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_doc_tokens"),
+    )
+    return manifest.crossJoin(F.broadcast(card)).crossJoin(
+        F.broadcast(drops)
+    )

@@ -599,3 +599,37 @@ def test_dup_rate_by_source_plan_no_expand(spark):
     )
     assert "Expand" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_stream_release_e2e_invariants(spark):
+    """The streaming-release composition at sf0.001: the manifest
+    must account exactly — per-batch shard counts sum to the release
+    card, every admitted doc is either released, gate-dropped, or
+    dup-dropped, shards stay in 0..3, and round-robin packing keeps
+    per-batch shard doc-counts within 1 of each other."""
+    from sftp_data_ingestion_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["st_stream_release_e2e"](spark, sf).collect()
+    assert rows, "empty manifest"
+    card = (rows[0]["release_docs"], rows[0]["release_tokens"],
+            rows[0]["n_gated"], rows[0]["n_dup_dropped"])
+    for r in rows:
+        assert (r["release_docs"], r["release_tokens"],
+                r["n_gated"], r["n_dup_dropped"]) == card
+        assert 0 <= r["shard"] <= 3 and 0 <= r["batch_seq"] <= 3
+        assert r["max_doc_tokens"] <= r["n_tokens"]
+    assert sum(r["n_docs"] for r in rows) == card[0]
+    assert sum(r["n_tokens"] for r in rows) == card[1]
+    # round-robin balance within each batch
+    from collections import defaultdict
+
+    per_batch = defaultdict(list)
+    for r in rows:
+        per_batch[r["batch_seq"]].append(r["n_docs"])
+    for b, counts in per_batch.items():
+        assert max(counts) - min(counts) <= 1, (b, counts)
+    # conservation against the plain ingest grade: released + dropped
+    # == admitted
+    admitted = q.QUERIES["z3_stream_ingest_neardup"](spark, sf).count()
+    assert card[0] + card[2] + card[3] == admitted

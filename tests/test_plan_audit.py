@@ -95,7 +95,7 @@ def test_no_unjustified_session_conf_flips_in_query_bodies():
     )
     allowed = {
         ("q_analytics.py", "z_stream_mv_merge"),       # streaming state
-        ("q_corpus.py", "z3_stream_ingest_neardup"),   # streaming state
+        ("q_corpus.py", "_stream_ingest_admitted"),    # streaming state
         ("q_corpus.py", "z3_recursive_supplier_reach"),  # recursive CTE
         ("q_streaming.py", "_events_stream"),          # nanosAsLong
         ("q_streaming.py", "_drain"),                  # streaming state

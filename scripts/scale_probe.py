@@ -88,6 +88,10 @@ PROBES = [
     "z3_bpe_fertility_by_source", # histogram-bounded BPE + scoring join
     "d_dup_rate_by_source",       # sha256 groupBy + hash-keyed join
     "wh_cdc_scd2_reconcile",      # 3 branches, one key shuffle each (events)
+    # r9: sampled-train Lloyd (embeddings) and the streaming-release
+    # composition (documents; includes a real 4-batch stream drain)
+    "v_kmeans_sampled_train",     # Knuth-hash half-train, full assign
+    "st_stream_release_e2e",      # drain + admit + gate/dedup/pack
 ]
 
 

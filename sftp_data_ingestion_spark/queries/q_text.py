@@ -916,3 +916,136 @@ def d_dup_rate_by_source(spark, sf_dir):
             ).alias("n_shared_hashes"),
         )
     )
+
+
+# decomposed 'café' — 'e' + combining acute (U+0301): canonically
+# equivalent to the composed form but byte- and codepoint-different,
+# the hash-splitting hazard the NFC audit exists to catch
+_NFC_PLANT = " café déjà"
+
+
+@query(
+    "t_nfc_normalization_report",
+    oracle=f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE s <> nfc_normalize(s)) AS BIGINT)
+         AS n_non_nfc,
+       CAST(sum(length(s) - length(nfc_normalize(s))) AS BIGINT)
+         AS n_cp_delta
+FROM (
+  SELECT source,
+         text || CASE WHEN doc_id % 11 = 0 THEN '{_NFC_PLANT}'
+                      ELSE '' END AS s
+  FROM documents
+)
+GROUP BY source
+""",
+)
+def t_nfc_normalization_report(spark, sf_dir):
+    """Unicode NFC conformance audit per source — the normalization
+    gate a multilingual pipeline runs before content hashing (two
+    canonically-equivalent strings hash differently, so an
+    un-normalized corpus under-deduplicates). The fixture is pure
+    ASCII, so a decomposed-form suffix ('e' + combining acute —
+    codepoints long-stable across Unicode versions) is planted on
+    every 11th doc in BOTH engines; the report counts non-NFC docs
+    and the total codepoint shrinkage under NFC.
+
+    Spark has no Unicode-normalization builtin: the per-doc flags
+    come from ONE Arrow `mapInPandas` kernel (stdlib unicodedata —
+    `ext/textnorm.nfc_flags`, the same vectorized-Python discipline
+    as the codec kernels), graded against DuckDB's utf8proc
+    `nfc_normalize`. Scale shape: scan-local Arrow map + a
+    source-cardinality-bounded aggregate; no shuffle before the
+    flags, no driver traffic."""
+    from sftp_data_ingestion_spark.ext.textnorm import nfc_flags
+
+    d = table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_NFC_PLANT)).otherwise(
+            F.lit("")
+        ),
+    )
+    rep = nfc_flags(d.select("source", s.alias("text")))
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("non_nfc").cast("bigint").alias("n_non_nfc"),
+        F.sum("cp_delta").cast("bigint").alias("n_cp_delta"),
+    )
+
+
+_URL_RE = r"https?://([A-Za-z0-9.-]+)[A-Za-z0-9./_?=&%-]*"
+
+
+@query(
+    "t_url_domain_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' see https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.example.com/item/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 14 = 0
+                 THEN ' and http://api.example.org/v1?id='
+                      || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS s
+  FROM documents
+), hits AS (
+  SELECT doc_id, unnest(regexp_extract_all(s, '{_URL_RE}', 1)) AS domain
+  FROM s
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hits GROUP BY domain
+""",
+)
+def t_url_domain_stats(spark, sf_dir):
+    """Per-domain URL extraction stats — the crawl-provenance view a
+    web-corpus pipeline builds before per-domain sampling caps (a
+    handful of template domains usually dominate raw crawls). The
+    fixture text has no natural URLs, so deterministic ones are
+    planted in both engines (every 7th doc a cdn{0,1,2}.example.com
+    link, every 14th additionally an api.example.org link) — which
+    also proves NO false positives across the real fixture text. The
+    regex sticks to constructs Java regex and RE2 share.
+
+    Scale shape: extract+explode is scan-local; the per-(domain, doc)
+    pre-aggregate keeps ONE distinct stage (no mixed
+    distinct/non-distinct Expand — the d_dup_rate_by_source
+    discipline), then a domain-bounded final aggregate."""
+    d = table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" see https://cdn"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".example.com/item/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 14 == 0,
+            F.concat(
+                F.lit(" and http://api.example.org/v1?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    hits = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(s, F.lit(_URL_RE), F.lit(1))
+        ).alias("domain"),
+    )
+    per = hits.groupBy("domain", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per.groupBy("domain").agg(
+        F.sum("cnt").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

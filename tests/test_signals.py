@@ -448,3 +448,53 @@ def test_wav_ahash_rejects_uneven_blocks(spark):
     df = spark.createDataFrame([(1, "x")], ["media_id", "text"])
     with pytest.raises(ValueError, match="multiple of n_blocks"):
         mm.text_wav_ahash(df, n_samples=250, n_blocks=64)
+
+
+def test_nfc_flags_hand_computed(spark):
+    """Composed 'café' is NFC-normal (flag 0, delta 0); the
+    decomposed twin ('e' + U+0301) is not (flag 1) and shrinks by
+    exactly its combining-mark count under NFC; ASCII is untouched."""
+    from sftp_data_ingestion_spark.ext.textnorm import nfc_flags
+
+    rows = [
+        ("s0", "café"),            # composed: NFC-normal
+        ("s0", "café"),           # decomposed: 5 cps -> 4
+        ("s1", "plain ascii"),
+        ("s1", "déjà vu"),  # two combining marks -> -2
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = sorted(
+        (r["source"], r["non_nfc"], r["cp_delta"])
+        for r in nfc_flags(df).collect()
+    )
+    assert got == [
+        ("s0", 0, 0),
+        ("s0", 1, 1),
+        ("s1", 0, 0),
+        ("s1", 1, 2),
+    ]
+
+
+def test_url_domain_stats_hand_computed(spark, tmp_path):
+    """doc 0 hits both plant branches (cdn0 + api), doc 7 only the
+    cdn branch (cdn1: 7%3=1), docs 1..6 plant nothing and must
+    produce NO domains (no false positives on plain text)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = [(i, f"plain text {i}", "en", "s0", 12) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["domain"]: (r["n_urls"], r["n_docs"])
+        for r in q.QUERIES["t_url_domain_stats"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "cdn0.example.com": (1, 1),
+        "cdn1.example.com": (1, 1),
+        "api.example.org": (1, 1),
+    }

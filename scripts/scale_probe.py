@@ -92,6 +92,8 @@ PROBES = [
     # composition (documents; includes a real 4-batch stream drain)
     "v_kmeans_sampled_train",     # Knuth-hash half-train, full assign
     "st_stream_release_e2e",      # drain + admit + gate/dedup/pack
+    "t_nfc_normalization_report", # Arrow unicodedata kernel + agg
+    "t_url_domain_stats",         # regex extract/explode, one distinct
 ]
 
 

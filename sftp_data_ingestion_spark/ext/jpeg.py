@@ -3,7 +3,7 @@
 `ext/multimodal.py`) to the lossy family without Pillow.
 
 Implements the subset of ITU-T T.81 a single-component baseline file
-needs: 8x8 forward/inverse DCT (numpy matrix form), the Annex K.1
+needs (plus 4:2:0 color and SOF2 spectral-selection progressive): 8x8 forward/inverse DCT (numpy matrix form), the Annex K.1
 luminance quantization table with IJG quality scaling, zigzag, DC
 prediction, the Annex K.3 standard Huffman tables, 0xFF byte
 stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker skeleton. All
@@ -917,3 +917,325 @@ def text_jpeg_color_roundtrip(
         "max_err int, n_bytes int"
     )
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) grayscale: spectral selection
+# ---------------------------------------------------------------------------
+
+
+def _quantized_blocks(width, height, pixels, quality):
+    """Shared with the baseline path: pad to 8x8 blocks, DCT,
+    quantize, zigzag — returns (list of 64-coefficient lists in
+    raster block order, quant table, padded dims)."""
+    qt = _quant_table(quality)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    padded = np.pad(
+        img, ((0, bh - height), (0, bw - width)), mode="edge"
+    ).astype(np.float64) - 128.0
+    zzs = []
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            coef = _DCT @ padded[by : by + 8, bx : bx + 8] @ _DCT.T
+            qz = np.round(coef / qt).astype(np.int64)
+            zzs.append([int(qz[r, c]) for (r, c) in _ZIGZAG])
+    return zzs, qt, bh, bw
+
+
+def encode_gray_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 75,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode as a SOF2 PROGRESSIVE grayscale JPEG using spectral
+    selection: one DC scan (Ss=Se=0) followed by one AC scan per
+    entry of ``bands`` — the multi-pass framing web browsers render
+    coarse-to-fine. Successive approximation is not used (Ah=Al=0
+    in every scan; the decoder rejects anything else loudly).
+
+    ``bands`` must tile 1..63 contiguously: the quantized
+    coefficients are then IDENTICAL to :func:`encode_gray`'s at the
+    same quality, so the progressive decode is BIT-EXACT against the
+    baseline round-trip — the grading contract of
+    `z3_jpeg_progressive_roundtrip`. AC scans use the progressive
+    EOB0 code (T.81 G.1.2.2: RRRRSSSS with SSSS=0 is an EOB RUN of
+    2^RRRR blocks; the encoder emits run length 1, the decoder
+    handles the general EOBn form)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    prev_end = 0
+    for ss, se in bands:
+        if ss != prev_end + 1 or se < ss or se > 63:
+            raise ValueError(
+                "bands must tile 1..63 contiguously (bit-exact "
+                f"contract); got {bands}"
+            )
+        prev_end = se
+    if prev_end != 63:
+        raise ValueError("bands must end at coefficient 63")
+
+    zzs, qt, _bh, _bw = _quantized_blocks(width, height, pixels, quality)
+
+    # DC scan: baseline DC coding, block raster order
+    w = _BitWriter()
+    prev = 0
+    for zz in zzs:
+        cat, bits = _magnitude(zz[0] - prev)
+        prev = zz[0]
+        code, ln = _DC_ENC[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(bits, cat)
+    w.flush()
+    dc_scan = bytes(w.out)
+
+    ac_scans = []
+    for ss, se in bands:
+        w = _BitWriter()
+        for zz in zzs:
+            run = 0
+            for k in range(ss, se + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    w.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = _AC_ENC[(run << 4) | cat]
+                w.write(code, ln)
+                w.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = _AC_ENC[0x00]  # EOB0 (run of exactly 1)
+                w.write(code, ln)
+        w.flush()
+        ac_scans.append(((ss, se), bytes(w.out)))
+
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + zz_q)
+    out += _seg(
+        0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_scan
+    for (ss, se), data in ac_scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0])) + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Index of the next REAL marker at/after ``pos``: 0xFF followed
+    by anything except 0x00 (stuffing) or RST0-7 (in-scan resync)."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00 and not (
+            0xD0 <= payload[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    raise ValueError("unterminated scan (no trailing marker)")
+
+
+def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a SOF2 spectral-selection progressive grayscale JPEG
+    (streams from :func:`encode_gray_progressive`, or foreign files
+    of the same shape). Coefficients accumulate across scans into
+    one coefficient plane; dequantization + IDCT run once at the
+    end, so the pixel math is shared bit-for-bit with the baseline
+    decoder. Handles the general EOBn run code. Rejected loudly:
+    successive approximation (Ah/Al != 0), restart intervals,
+    multi-component frames, baseline SOF0 (use :func:`decode_gray`),
+    16-bit quant tables."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt = None
+    width = height = None
+    tables: dict[tuple[int, int], dict] = {}
+    scans = []  # (ss, se, td, ta, entropy bytes)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            if len(body) < 65:
+                raise ValueError("truncated DQT segment")
+            if body[0] >> 4 != 0:
+                raise ValueError(
+                    "baseline JPEG requires 8-bit (Pq=0) quantization "
+                    "tables"
+                )
+            if body[0] & 0x0F == 0:
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    t[r, c] = body[1 + k]
+                qt = t
+        elif marker == 0xC2:
+            if len(body) < 6:
+                raise ValueError("truncated SOF2 segment")
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError(
+                    "only single-component progressive is supported"
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "decode_gray_progressive handles SOF2 only (use "
+                f"decode_gray for SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError(
+                    "restart intervals are not supported in the "
+                    "progressive decoder"
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                tables[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("expected a single-component scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se, ah_al = body[3], body[4], body[5]
+            if ah_al != 0:
+                raise ValueError(
+                    "successive approximation (Ah/Al != 0) is not "
+                    "supported"
+                )
+            start = pos + 2 + ln
+            end = _next_marker(payload, start)
+            scans.append((ss, se, td, ta, payload[start:end]))
+            pos = end
+            continue
+        pos += 2 + ln
+    if qt is None or width is None or not scans:
+        raise ValueError("incomplete JPEG stream")
+
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    n_blocks = (bh // 8) * (bw // 8)
+    coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+    for ss, se, td, ta, data in scans:
+        reader = _BitReader(data)
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "a progressive DC scan must have Ss=Se=0"
+                )
+            dc_dec = tables[(0, td)]
+            prev = 0
+            for b in range(n_blocks):
+                cat = _huff_read(reader, dc_dec)
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                prev += diff
+                coefs[b, 0] = prev
+        else:
+            if not (1 <= ss <= se <= 63):
+                raise ValueError("invalid spectral band")
+            ac_dec = tables[(1, ta)]
+            eobrun = 0
+            for b in range(n_blocks):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _huff_read(reader, ac_dec)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        # EOBn: run of 2^r blocks (this one included)
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "AC coefficient index beyond the scan band"
+                        )
+                    coefs[b, k] = _extend(reader.read_bits(s), s)
+                    k += 1
+
+    out = np.zeros((bh, bw), dtype=np.float64)
+    b = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = coefs[b, k2] * qt[r, c]
+            out[by : by + 8, bx : bx + 8] = _DCT.T @ coef @ _DCT
+            b += 1
+    pix = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+    return width, height, pix[:height, :width].tobytes()
+
+
+def text_jpeg_progressive_roundtrip(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side: int = 48,
+    quality: int = 75,
+):
+    """Arrow-batched progressive round-trip graded BIT-EXACTLY: each
+    document's UTF-8 bytes tile a grayscale image pushed through BOTH
+    the baseline codec and the 3-scan progressive codec in the same
+    task. Because spectral selection re-frames the SAME quantized
+    coefficients, the two decodes must agree byte for byte — a far
+    stronger gate than the lossy error bounds, and one that any
+    EOB-run, band-split, or multi-scan bookkeeping bug breaks."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or " ").encode("utf-8")
+                n_px = side * side
+                reps = n_px // len(b) + 1
+                pix = (b * reps)[:n_px]
+                base = decode_gray(encode_gray(side, side, pix, quality))[2]
+                enc = encode_gray_progressive(side, side, pix, quality)
+                prog = decode_gray_progressive(enc)[2]
+                out.append(
+                    (did, n_px, prog == base, len(enc), 3)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_pixels", "bit_exact", "n_bytes",
+                    "n_scans",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id long, n_pixels long, bit_exact boolean, n_bytes long,"
+        " n_scans int",
+    )

@@ -1220,3 +1220,40 @@ def st_stream_release_e2e(spark, sf_dir):
     return manifest.crossJoin(F.broadcast(card)).crossJoin(
         F.broadcast(drops)
     )
+
+
+@query(
+    "z3_jpeg_progressive_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(2304 AS BIGINT) AS n_pixels, TRUE AS bit_exact,
+       TRUE AS compressed, CAST(3 AS INTEGER) AS n_scans
+FROM documents WHERE doc_id < 100
+""",
+)
+def z3_jpeg_progressive_roundtrip(spark, sf_dir):
+    """PROGRESSIVE (SOF2, spectral-selection) JPEG graded end-to-end
+    — the multi-scan framing web images actually ship, rounding out
+    the codec matrix (baseline gray, 4:2:0 color w/ restarts, now
+    progressive). Each document's UTF-8 bytes tile a 48x48 grayscale
+    image pushed through BOTH codecs in one Arrow task: baseline
+    encode->decode, and a 3-scan progressive encode (DC scan + AC
+    bands 1-5 and 6-63, T.81 G.1.2.2 EOB-run coding)
+    -> progressive decode. Spectral selection re-frames the SAME
+    quantized coefficients, so the gate is BIT-EXACT equality of the
+    two decodes — strictly stronger than the lossy error bounds the
+    other codec queries use, and broken by any EOB-run, band-split,
+    or multi-scan bookkeeping bug. `compressed` pins the stream
+    under the raw pixel size; `n_scans` pins the framing."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        text_jpeg_progressive_roundtrip,
+    )
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rt = text_jpeg_progressive_roundtrip(d, side=48, quality=75)
+    return rt.select(
+        "doc_id",
+        "n_pixels",
+        "bit_exact",
+        (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
+        "n_scans",
+    )

@@ -381,3 +381,113 @@ def test_sixteen_bit_quant_table_rejected():
     g[gq + 4] = 0x10
     with pytest.raises(ValueError, match="Pq=0"):
         decode_gray(bytes(g))
+
+
+def test_progressive_bit_exact_across_band_splits():
+    """Spectral selection re-frames the SAME quantized coefficients,
+    so every band tiling must decode bit-identically to the baseline
+    round-trip — including non-multiple-of-8 dims."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(37, 51), dtype=np.uint8)
+    base = decode_gray(encode_gray(51, 37, img.tobytes(), 80))[2]
+    for bands in (
+        ((1, 63),),
+        ((1, 5), (6, 63)),
+        ((1, 1), (2, 9), (10, 35), (36, 63)),
+    ):
+        enc = encode_gray_progressive(51, 37, img.tobytes(), 80, bands)
+        w, h, dec = decode_gray_progressive(enc)
+        assert (w, h) == (51, 37)
+        assert dec == base, bands
+        assert enc[:2] == b"\xff\xd8" and b"\xff\xc2" in enc
+
+
+def test_progressive_rejects_bad_bands_and_wrong_decoder():
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    img = bytes(range(256))
+    with pytest.raises(ValueError, match="tile 1..63"):
+        encode_gray_progressive(16, 16, img, 75, bands=((1, 5), (7, 63)))
+    with pytest.raises(ValueError, match="end at coefficient 63"):
+        encode_gray_progressive(16, 16, img, 75, bands=((1, 40),))
+    # baseline stream -> progressive decoder rejects by SOF
+    with pytest.raises(ValueError, match="SOF2 only"):
+        decode_gray_progressive(encode_gray(16, 16, img, 75))
+    # progressive stream -> baseline decoder rejects by SOF
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_gray(encode_gray_progressive(16, 16, img, 75))
+
+
+def test_progressive_general_eobn_run_decodes():
+    """Our encoder only emits EOB0, but T.81 G.1.2.2 allows EOB runs
+    spanning up to 2^14 blocks with a custom Huffman table. Craft a
+    stream whose single AC scan covers four all-zero-AC blocks with
+    ONE EOB2 symbol (run of 4) under a custom DHT — the general
+    eobrun path a foreign progressive encoder exercises."""
+    import struct
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+        _quant_table,
+        decode_gray_progressive,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    qt = _quant_table(75)
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+    # 32x8 flat-128 image = 4 blocks; every coefficient quantizes to 0
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    # custom AC table: symbol 0x20 (EOB2) with a 1-bit code '0'
+    ac_bits = [1] + [0] * 15
+    dht_ac = seg(0xC4, b"\x10" + bytes(ac_bits) + bytes([0x20]))
+    # DC scan: 4 blocks x (category 0) — std DC code for 0 is '00'
+    # (2 bits) -> 8 bits total = 0b00000000
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes([0x00])
+    # AC scan: ONE EOB2 symbol = bit '0', 1-padded to 0b01111111
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes([0x7F])
+    stream = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q) + sof + dht_dc + dht_ac
+        + sos_dc + sos_ac + b"\xff\xd9"
+    )
+    w, h, pix = decode_gray_progressive(stream)
+    assert (w, h) == (32, 8)
+    assert pix == bytes([128]) * (32 * 8)
+
+
+def test_progressive_successive_approximation_rejected():
+    """Ah/Al != 0 (successive approximation) is out of scope and must
+    fail loudly, never decode approximately."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    enc = bytearray(encode_gray_progressive(16, 16, bytes(range(256)), 75))
+    # find the AC SOS (Ss=1) and set Al=1
+    i = 0
+    while True:
+        i = enc.index(b"\xff\xda", i + 1)
+        if enc[i + 7] == 1:  # Ss byte of this scan
+            enc[i + 9] = 0x01
+            break
+    with pytest.raises(ValueError, match="successive approximation"):
+        decode_gray_progressive(bytes(enc))

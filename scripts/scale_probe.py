@@ -94,6 +94,7 @@ PROBES = [
     "st_stream_release_e2e",      # drain + admit + gate/dedup/pack
     "t_nfc_normalization_report", # Arrow unicodedata kernel + agg
     "t_url_domain_stats",         # regex extract/explode, one distinct
+    "z3_jpeg_progressive_roundtrip",  # SOF2 multi-scan codec, Arrow task
 ]
 
 

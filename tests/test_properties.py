@@ -689,3 +689,46 @@ def test_kmeans_assignments_partition_any_corpus(spark, vecs):
     assert sorted((r["id"], r["cluster_id"]) for r in a) == sorted(
         (r["id"], r["cluster_id"]) for r in b
     )
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG: spectral selection is a pure re-framing
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(                                  # interior band cuts
+        st.integers(min_value=2, max_value=63),
+        max_size=4, unique=True,
+    ),
+    st.integers(min_value=1, max_value=100),  # quality
+)
+def test_progressive_bit_exact_property(w, h, seed, cuts, quality):
+    """For ANY dims, pixels, quality, and contiguous band tiling of
+    1..63, the progressive decode equals the baseline round-trip
+    byte for byte — spectral selection re-frames the same quantized
+    coefficients, so any divergence is a codec bug by construction."""
+    import numpy as np
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray,
+        decode_gray_progressive,
+        encode_gray,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=h * w, dtype=np.uint8).tobytes()
+    edges = [1] + sorted(cuts) + [64]
+    bands = tuple(
+        (a, b - 1) for a, b in zip(edges, edges[1:]) if a <= b - 1
+    )
+    base = decode_gray(encode_gray(w, h, pix, quality))[2]
+    enc = encode_gray_progressive(w, h, pix, quality, bands=bands)
+    got_w, got_h, dec = decode_gray_progressive(enc)
+    assert (got_w, got_h) == (w, h)
+    assert dec == base

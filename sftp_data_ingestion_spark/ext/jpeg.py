@@ -1099,6 +1099,8 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 f"decode_gray for SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             if struct.unpack(">H", body[:2])[0] != 0:
                 raise ValueError(
                     "restart intervals are not supported in the "
@@ -1146,6 +1148,10 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(
                     "a progressive DC scan must have Ss=Se=0"
                 )
+            if (0, td) not in tables:
+                raise ValueError(
+                    f"scan references undefined DC Huffman table {td}"
+                )
             dc_dec = tables[(0, td)]
             prev = 0
             for b in range(n_blocks):
@@ -1156,6 +1162,10 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
         else:
             if not (1 <= ss <= se <= 63):
                 raise ValueError("invalid spectral band")
+            if (1, ta) not in tables:
+                raise ValueError(
+                    f"scan references undefined AC Huffman table {ta}"
+                )
             ac_dec = tables[(1, ta)]
             eobrun = 0
             for b in range(n_blocks):
@@ -1169,6 +1179,11 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     if s == 0:
                         if r == 15:
                             k += 16  # ZRL
+                            if k > se + 1:
+                                raise ValueError(
+                                    "ZRL run extends beyond the scan "
+                                    "band"
+                                )
                             continue
                         # EOBn: run of 2^r blocks (this one included)
                         eobrun = (1 << r) - 1

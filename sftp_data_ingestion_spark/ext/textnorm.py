@@ -22,15 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def nfc_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+def nfc_flags(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
     """Per-document NFC conformance flags: returns
     ``(source, non_nfc, cp_delta)`` — 1 if the text is NOT in NFC
-    form, and the codepoint-count shrinkage under NFC (composed forms
-    are never longer than their decompositions).
+    form, and the signed codepoint delta under NFC (positive for the
+    common composed-shorter case; composition exclusions such as
+    U+0958 → U+0915 U+093C can make it negative).
 
     Scale shape: one Arrow-batched map over the scan (no shuffle, no
     driver traffic); callers aggregate the flags. At 100 TB this runs
     scan-local on every executor like any projection."""
+    missing = [c for c in (text_col, group_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"nfc_flags: column(s) {missing} not in input "
+            f"(have {df.columns})"
+        )
 
     def fn(batches):
         import unicodedata
@@ -46,7 +55,7 @@ def nfc_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
             yield pd.DataFrame(
                 {
-                    "source": pdf["source"],
+                    "source": pdf[group_col],
                     "non_nfc": (s != norm).astype("int32"),
                     "cp_delta": (
                         s.str.len() - norm.str.len()

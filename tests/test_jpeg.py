@@ -491,3 +491,94 @@ def test_progressive_successive_approximation_rejected():
             break
     with pytest.raises(ValueError, match="successive approximation"):
         decode_gray_progressive(bytes(enc))
+
+
+def test_progressive_truncated_dri_and_undefined_tables():
+    """r9 ADVICE: malformed foreign streams must fail with ValueError
+    on every path — a truncated DRI body (<2 bytes) and scans that
+    reference Huffman tables no DHT defined previously leaked
+    struct.error / KeyError."""
+    import struct
+
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+        _quant_table,
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    # Truncated DRI: splice a 1-byte-body DRI right after SOI.
+    enc = encode_gray_progressive(16, 16, bytes(range(256)), 75)
+    bad = enc[:2] + seg(0xDD, b"\x00") + enc[2:]
+    with pytest.raises(ValueError, match="truncated DRI"):
+        decode_gray_progressive(bad)
+
+    qt = _quant_table(75)
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes([0x00])
+    # AC scan referencing table 1 that no DHT defined
+    sos_ac = seg(0xDA, bytes([1, 1, 0x01, 1, 63, 0])) + bytes([0x7F])
+    stream = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q) + sof + dht_dc
+        + sos_dc + sos_ac + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="undefined AC Huffman"):
+        decode_gray_progressive(stream)
+
+    # DC scan referencing table 1 that no DHT defined
+    sos_dc_bad = seg(0xDA, bytes([1, 1, 0x10, 0, 0, 0])) + bytes([0x00])
+    stream = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q) + sof + dht_dc
+        + sos_dc_bad + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="undefined DC Huffman"):
+        decode_gray_progressive(stream)
+
+
+def test_progressive_zrl_beyond_band_rejected():
+    """r9 ADVICE: a ZRL that pushes k past the scan band must fail
+    loudly like the coefficient path does, not silently desync."""
+    import struct
+
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+        _quant_table,
+        decode_gray_progressive,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    qt = _quant_table(75)
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+    sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    # custom AC table: ZRL symbol 0xF0 with a 1-bit code '0'
+    ac_bits = [1] + [0] * 15
+    dht_ac = seg(0xC4, b"\x10" + bytes(ac_bits) + bytes([0xF0]))
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes([0x00])
+    # narrow band Ss=1..Se=5: a ZRL jumps k from 1 to 17 > 6
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0])) + bytes([0x7F])
+    stream = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + zz_q) + sof + dht_dc + dht_ac
+        + sos_dc + sos_ac + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="ZRL run extends beyond"):
+        decode_gray_progressive(stream)

@@ -103,15 +103,37 @@ def test_no_unjustified_session_conf_flips_in_query_bodies():
         ("q_warehouse.py", "wh_stream_multibatch_counts"),  # streaming
         ("registry.py", "table"),                      # nanosAsLong
     }
+    def _is_conf_set(call):
+        # Matches any attribute chain ending in `.conf.set(...)`
+        # (e.g. spark.conf.set, self.spark.conf.set) — real calls
+        # only, so comments/docstrings can't false-positive and
+        # module-level or lambda-scoped calls can't escape.
+        f = call.func
+        return (
+            isinstance(f, ast.Attribute)
+            and f.attr == "set"
+            and isinstance(f.value, ast.Attribute)
+            and f.value.attr == "conf"
+        )
+
     found = set()
     for path in glob.glob(os.path.join(pkg, "*.py")):
         src = open(path).read()
         tree = ast.parse(src)
-        for node in ast.walk(tree):
-            if isinstance(node, ast.FunctionDef):
-                seg = ast.get_source_segment(src, node) or ""
-                if "conf.set(" in seg:
-                    found.add((os.path.basename(path), node.name))
+        # Map every node to its innermost enclosing function name
+        # (module level → "<module>") by walking scopes explicitly.
+        def scan(node, scope):
+            for child in ast.iter_child_nodes(node):
+                child_scope = scope
+                if isinstance(
+                    child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    child_scope = child.name
+                if isinstance(child, ast.Call) and _is_conf_set(child):
+                    found.add((os.path.basename(path), scope))
+                scan(child, child_scope)
+
+        scan(tree, "<module>")
     assert found == allowed, (
         f"unexpected conf.set sites: {found - allowed}; "
         f"stale allowance: {allowed - found}"

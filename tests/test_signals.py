@@ -475,6 +475,23 @@ def test_nfc_flags_hand_computed(spark):
     ]
 
 
+def test_nfc_flags_validates_columns_and_takes_group_col(spark):
+    """r9 ADVICE: a missing text/group column must raise a clear
+    driver-side ValueError, not a KeyError deep in the Arrow kernel;
+    and the group column is parameterizable."""
+    from sftp_data_ingestion_spark.ext.textnorm import nfc_flags
+
+    df = spark.createDataFrame(
+        [("lang0", "cafe\u0301")], "lang string, body string"
+    )
+    with pytest.raises(ValueError, match="not in input"):
+        nfc_flags(df)  # neither 'text' nor 'source' exists
+    got = nfc_flags(df, text_col="body", group_col="lang").collect()
+    assert [(r["source"], r["non_nfc"], r["cp_delta"]) for r in got] == [
+        ("lang0", 1, 1)
+    ]
+
+
 def test_url_domain_stats_hand_computed(spark, tmp_path):
     """doc 0 hits both plant branches (cdn0 + api), doc 7 only the
     cdn branch (cdn1: 7%3=1), docs 1..6 plant nothing and must

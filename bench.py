@@ -63,6 +63,32 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Host-throughput anchor: a fixed, deterministic, CPU-bound
+    aggregate with a pinned plan (range -> xxhash64 -> 1000-key
+    hash agg; no IO, no AQE sensitivity, all whole-stage codegen).
+    Three rounds running, the absolute bench artifact drifted 20-40%
+    on byte-identical code because the host's throughput varies
+    between sessions; `calib_s` lets any reader divide that out —
+    query_time / calib_s is comparable across hosts, query_time
+    alone is not. Min-of-3 after one warmup run."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 600_000_000, 1, 32)
+        .select((F.xxhash64("id") % 1000).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    df.write.format("noop").mode("overwrite").save()  # warmup/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,6 +118,8 @@ def main() -> None:
     # differently at each SF), and d_minhash_lsh_near_dup showed
     # 5.6 s / 9.1 s / 2.35 s / 2.32 s across four back-to-back runs —
     # two runs can both land in the compile window, three don't.
+    calib_pre = _calibrate(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
@@ -101,6 +129,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    calib_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +143,12 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": 3,
                 "agg": "min",
+                # Fixed CPU-bound anchor (see _calibrate): divide any
+                # query time by calib_s to compare across hosts/rounds.
+                # pre/post expose drift during this very run.
+                "calib_s": round(min(calib_pre, calib_post), 3),
+                "calib_pre_s": calib_pre,
+                "calib_post_s": calib_post,
             }
         )
     )

@@ -135,9 +135,10 @@ def _tfidf_weights(tf, n_docs, broadcast_idf=True):
     )
 
 
-@query(
-    "z4_sparse_tfidf_topk",
-    oracle=f"""
+# Shared by z4_sparse_tfidf_topk and its bucketed-regime twin: the
+# layout changes the physical plan, never the rows, so both grade
+# against the identical SQL.
+_TFIDF_TOPK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
   FROM documents
@@ -175,8 +176,10 @@ SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rnk FROM (
     PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
   FROM sims
 ) WHERE rnk <= 3
-""",
-)
+"""
+
+
+@query("z4_sparse_tfidf_topk", oracle=_TFIDF_TOPK_ORACLE)
 def z4_sparse_tfidf_topk(spark, sf_dir):
     """Sparse lexical top-k: tf-idf cosine neighbors per query doc via
     an inverted-index (term) join — the retrieval shape BM25 engines
@@ -266,6 +269,33 @@ def tfidf_topk_from_postings(d, tf, broadcast_idf=True):
         .where(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+@query("z4_sparse_tfidf_topk_bucketed", oracle=_TFIDF_TOPK_ORACLE)
+def z4_sparse_tfidf_topk_bucketed(spark, sf_dir):
+    """The 100 TB regime of the sparse tf-idf top-k, graded
+    end-to-end: the inverted index is materialized as a term-BUCKETED
+    external table (`term_bucketed_postings` — ONE organize-time
+    shuffle) and the retrieval algebra runs with
+    ``broadcast_idf=False`` — the strategy a 10^7-10^8-term
+    vocabulary forces, where idf cannot broadcast and every term-keyed
+    stage instead reads HashPartitioning(term) straight off the
+    bucketed scan (zero term exchanges above it, plan-pinned in
+    tests/test_training_queries.py::test_tfidf_bucketed_postings_exchange_free).
+
+    Same oracle as `z4_sparse_tfidf_topk`: the layout is a physical
+    lever only — both regimes must produce identical rows. Tables are
+    external (tempdir path) + in-memory catalog entries, so a grading
+    run leaves nothing behind in the repo."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="z4_tfidf_bucketed_")
+    btf = term_bucketed_postings(
+        spark, d, "z4_tfidf_postings_bucketed", f"{base}/postings",
+        num_buckets=32,
+    )
+    return tfidf_topk_from_postings(d, btf, broadcast_idf=False)
 
 
 @query(

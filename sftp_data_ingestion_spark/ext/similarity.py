@@ -681,7 +681,33 @@ def train_centroids_kmeans(
     return cents
 
 
-def kmeans_assignments(
+def _kmeans_assign(frame, cents, vec_col, id_col, digits):
+    """Lazy assignment projection: argmax over the rounded dot with
+    the centroid literals, ties to the larger cell (the exact
+    tiebreak :func:`ivf_assign`'s reverse(array_sort) produces).
+    Keeps ``__v`` so the Lloyd update can posexplode without
+    re-normalizing."""
+    v = as_double(F.col(vec_col))
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    scored = F.transform(
+        cent,
+        lambda c, i: F.struct(
+            F.round(dot(v, c), digits).alias("score"),
+            i.alias("cell"),
+        ),
+    )
+    top = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return frame.select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        top["cell"].cast("int").alias("cluster_id"),
+        top["score"].alias("score"),
+    )
+
+
+def kmeans_train(
     df: DataFrame,
     k: int = 8,
     n_iters: int = 2,
@@ -689,52 +715,35 @@ def kmeans_assignments(
     id_col: str = "vec_id",
     digits: int = 6,
     train_frac: float | None = None,
-) -> DataFrame:
-    """Per-vector assignment ``(id, cluster_id, score)`` from the
-    engine-portable k-means training loop — exposed so samplers and
-    per-cluster consumers can compose on the assignment without
-    re-deriving the loop (:func:`kmeans_corpus_clusters` builds its
-    k-row summary on this).
+) -> list[list[float]]:
+    """The EAGER half of the engine-portable k-means: stride-sample
+    seeding + ``n_iters`` Lloyd iterations, returning the final
+    L2-normalized centroids as plain Python floats. Eagerness lives
+    HERE by necessity (each iteration's plan embeds the previous
+    iteration's centroids as literals, so training must run jobs);
+    assignment composition stays lazy — train once with this, then
+    pass the result to :func:`kmeans_assignments` ``centroids=`` and
+    compose/`explain` freely with zero jobs.
 
-    The loop is the IVF coarse-quantizer trainer
-    (:func:`train_centroids_kmeans`) made ENGINE-PORTABLE for
-    grading: every cross-stage value is rounded to ``digits`` —
-    assignment scores (argmax over the rounded dot, ties to the
-    larger cell: the exact tiebreak :func:`ivf_assign`'s
-    reverse(array_sort) produces), per-dim centroid means, and
-    normalized centroid components — so an oracle re-deriving the
-    identical loop (stride seeding, Lloyd updates, final assignment)
-    lands on bit-equal cluster boundaries instead of drifting apart
-    at fp-summation-order ulps.
+    Every cross-stage value is rounded to ``digits`` — assignment
+    scores, per-dim centroid means, normalized components — so an
+    oracle re-deriving the identical loop lands on bit-equal cluster
+    boundaries instead of drifting apart at fp-summation-order ulps.
 
     Scale shape: centroids travel as literal arrays (k x dim floats —
     never a join side); each Lloyd update is one scan + one
     (cell, dim)-bounded aggregate, with only k x dim floats reaching
-    the driver per iteration; the final pass is one scan. Like
-    :func:`train_centroids_kmeans`, assignment uses the interpreted
+    the driver per iteration. Assignment uses the interpreted
     higher-order dot on purpose — the literals change per iteration,
     and unrolled codegen was measured to cost ~15 s of Janino
     compilation per distinct centroid set.
 
-    ``train_frac`` is the 100 TB lever, as code: when set, the Lloyd
-    ITERATIONS run on the deterministic Knuth-hash subset of the
-    corpus ((id * 2654435761) mod 10000 < frac * 10000 — the repo's
-    engine-portable sampling discipline, reproducible on any cluster
-    size, never ``rand()``) while the FINAL assignment still covers
-    every vector. Centroid quality needs a sample; membership needs
-    the corpus. Default None (train on everything) keeps graded
-    hashes unchanged.
-
-    NOTE — EAGER at composition time: unlike every other query
-    builder in the repo, calling this function RUNS the training
-    loop (a count + one k x dim collect per Lloyd iteration) before
-    returning the assignment frame, because the next iteration's
-    plan embeds the previous iteration's centroids as literals.
-    Explain-only tooling over the ``v_kmeans_*`` /
-    ``v_cluster_diversity_sample`` queries therefore executes
-    training for real — budget for it (or skip those entries) when
-    adding such tooling; ``scripts/dump_plans.py`` only walks
-    ``bench.HEADLINE``, which excludes them."""
+    ``train_frac`` is the 100 TB lever, as code: when set, seeding
+    and the Lloyd iterations run on the deterministic Knuth-hash
+    subset of the corpus ((id * 2654435761) mod 10000 <
+    frac * 10000 — the repo's engine-portable sampling discipline,
+    reproducible on any cluster size, never ``rand()``). Centroid
+    quality needs a sample; membership needs the corpus."""
 
     v = as_double(F.col(vec_col))
 
@@ -768,27 +777,8 @@ def kmeans_assignments(
     ).collect()
     cents = [list(r["c"]) for r in seed_rows]
 
-    def assign(cs, frame):
-        cent = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cs]
-        )
-        scored = F.transform(
-            cent,
-            lambda c, i: F.struct(
-                F.round(dot(v, c), digits).alias("score"),
-                i.alias("cell"),
-            ),
-        )
-        top = F.element_at(F.reverse(F.array_sort(scored)), 1)
-        return frame.select(
-            F.col(id_col).alias("id"),
-            v.alias("__v"),
-            top["cell"].cast("int").alias("cluster_id"),
-            top["score"].alias("score"),
-        )
-
     for _ in range(n_iters):
-        a = assign(cents, train)
+        a = _kmeans_assign(train, cents, vec_col, id_col, digits)
         upd = (
             a.select(
                 "cluster_id", F.posexplode("__v").alias("dim", "x")
@@ -813,7 +803,45 @@ def kmeans_assignments(
         # is theirs (cells are dense 0..len(cents)-1 by construction)
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
 
-    return assign(cents, df).select("id", "cluster_id", "score")
+    return cents
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+    train_frac: float | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-vector assignment ``(id, cluster_id, score)`` from the
+    engine-portable k-means loop — exposed so samplers and
+    per-cluster consumers can compose on the assignment without
+    re-deriving the loop (:func:`kmeans_corpus_clusters` builds its
+    k-row summary on this). See :func:`kmeans_train` for the rounding
+    contract, the ``train_frac`` sampling lever, and the 100 TB
+    shape.
+
+    ``centroids=None`` (the graded default) trains here and now —
+    calling this RUNS the Lloyd loop (a count + one k x dim collect
+    per iteration) before returning the frame, because each
+    iteration's plan embeds the previous iteration's centroids as
+    literals. Pass pre-trained ``centroids`` (from
+    :func:`kmeans_train` — train once) and composition is FULLY LAZY:
+    zero jobs until an action, safe for explain-only tooling that
+    walks the registry (pinned by
+    tests/test_similarity.py::test_kmeans_injected_centroids_is_lazy).
+    ``k``/``n_iters``/``train_frac`` are ignored when ``centroids``
+    is given."""
+    if centroids is None:
+        centroids = kmeans_train(
+            df, k, n_iters, vec_col, id_col, digits, train_frac
+        )
+    return _kmeans_assign(df, centroids, vec_col, id_col, digits).select(
+        "id", "cluster_id", "score"
+    )
 
 
 def kmeans_corpus_clusters(

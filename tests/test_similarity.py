@@ -421,3 +421,27 @@ def test_kmeans_sampled_train_covers_full_corpus(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     assert sum(r["n_vecs"] for r in out) == e.count()
     assert {r["cluster_id"] for r in out} <= set(range(8))
+
+
+def test_kmeans_injected_centroids_is_lazy_and_value_identical(spark):
+    """r9 verdict task: with pre-trained centroids injected,
+    kmeans_assignments must compose (and explain) with ZERO Spark
+    jobs — the eager-at-composition hazard exists only in the
+    train-here path — and assign identically to the trained path."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim.kmeans_train(e, k=4, n_iters=1)
+
+    group = "kmeans_lazy_probe"
+    spark.sparkContext.setJobGroup(group, "lazy composition probe")
+    try:
+        a = sim.kmeans_assignments(e, centroids=cents)
+        a.explain(True)  # plan derivation must not run jobs either
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert list(jobs) == [], f"composition ran jobs: {jobs}"
+
+    trained = sim.kmeans_assignments(e, k=4, n_iters=1)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, trained.collect())
+    )

@@ -296,6 +296,27 @@ def _banded(
     )
 
 
+def lsh_candidate_pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """The LSH bucket self-join given an ALREADY-banded frame
+    ``(id, band_idx, band_hash)`` — shared by the derive-inline path
+    (:func:`lsh_candidate_pairs`) and the organize-once layout
+    (:func:`banded_bucketed_signatures`, where the banded rows come
+    off a band_hash-bucketed catalog table and this join plans with
+    ZERO band exchanges)."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -306,19 +327,50 @@ def lsh_candidate_pairs(
     ``(band_idx, hash(band slice))``, self-join per bucket -> candidate
     pairs (a < b). Shuffle key is the band hash — uniform; bucket-local
     join cost only. Requires a ``minhash`` column (see with_minhash)."""
-    banded = _banded(df, id_col, num_hashes, bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    return lsh_candidate_pairs_from_banded(
+        _banded(df, id_col, num_hashes, bands)
     )
+
+
+def banded_bucketed_signatures(
+    spark,
+    sig: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """The 100 TB LSH layout, as code: materialize the per-band rows
+    ``(id, band_idx, band_hash)`` as a band_hash-BUCKETED external
+    table, so every REPEATED near-dup scan — incremental-admission
+    candidate joins, dup-rate audits, re-tuned verify thresholds —
+    reads HashPartitioning(band_hash, band_idx) straight off the scan
+    and plans NO band exchange for the bucket self-join. Bucketing
+    covers BOTH join keys on purpose: since Spark 3.3 the join
+    co-partition check requires the partitioning to cover all join
+    keys by default, so a band_hash-only bucket spec is planner-
+    disabled ("Bucketed: false") and shuffles anyway (measured;
+    pinned by
+    tests/test_dedup_clusters.py::test_lsh_bucketed_band_join_exchange_free).
+
+    Same organize-once-join-forever economics as the term-bucketed
+    postings table (`queries/q_training.term_bucketed_postings`): one
+    organize-time shuffle at signature-build, then every later band
+    join is exchange-free. ``sig`` is a signature frame from
+    :func:`minhash_signatures` / :func:`with_minhash` (columns
+    ``id_col, minhash``)."""
+    from sftp_data_ingestion_spark.operators.bucketed import write_bucketed
+
+    write_bucketed(
+        _banded(sig, id_col, num_hashes, bands),
+        table_name,
+        ["band_hash", "band_idx"],
+        num_buckets,
+        path,
+    )
+    return spark.table(table_name)
 
 
 def jaccard_verify(

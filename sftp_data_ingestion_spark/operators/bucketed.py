@@ -25,30 +25,36 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     num_buckets: int,
     path: str,
     sort: bool = True,
 ) -> None:
     """(Re)create ``table_name`` as an external parquet table bucketed
-    (and by default sorted) on ``bucket_col``.
+    (and by default sorted) on ``bucket_col`` (a column name or a list
+    — multi-column bucketing matters for joins on composite keys:
+    since Spark 3.3 a join's co-partition check requires the
+    partitioning to cover ALL join keys by default
+    (``spark.sql.requireAllClusterKeysForCoPartition``), so a table
+    bucketed on a key subset still plans an exchange).
 
-    The pre-write ``repartition(num_buckets, bucket_col)`` aligns task
+    The pre-write ``repartition(num_buckets, *cols)`` aligns task
     partitioning with the bucket function so each bucket is written by
     exactly one task -> one file per bucket, which lets the scan keep
     the sort order (Spark only trusts per-bucket order when a bucket
     is a single file; otherwise it re-sorts, which is still
     exchange-free but wastes the write-side sort)."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     w = (
-        df.repartition(num_buckets, bucket_col)
+        df.repartition(num_buckets, *cols)
         .write.mode("overwrite")
         .option("path", path)
-        .bucketBy(num_buckets, bucket_col)
+        .bucketBy(num_buckets, cols[0], *cols[1:])
     )
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(cols[0], *cols[1:])
     w.format("parquet").saveAsTable(table_name)
 
 

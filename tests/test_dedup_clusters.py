@@ -192,3 +192,47 @@ def test_pack_sequences_concat_then_chunk(spark):
     assert rows[("s", 2)] == (3, 0)
     assert rows[("s", 3)] == (6, 1)
     assert rows[("t", 9)] == (0, 0)  # shards are independent
+
+
+def test_lsh_bucketed_band_join_exchange_free(spark, tmp_path):
+    """The 100 TB LSH layout, pinned: with the per-band rows
+    materialized as a band_hash-BUCKETED table, the bucket self-join
+    (the candidate stage every repeated near-dup scan re-runs) reads
+    HashPartitioning(band_hash) off the scan and plans NO band
+    exchange; the same join over the non-bucketed banded frame DOES
+    shuffle on the band key (proving the layout, not a planner
+    accident, removes it). Candidates must be value-identical to the
+    derive-inline path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = dd.minhash_signatures(docs)
+    banded = dd.banded_bucketed_signatures(
+        spark, sig, "lsh_banded_bucketed_test",
+        str(tmp_path / "banded"), num_buckets=8,
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # pin the AT-SCALE regime: at 100 TB neither side of the band
+        # self-join fits a broadcast budget
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs = dd.lsh_candidate_pairs_from_banded(banded)
+            p = pairs._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(band_hash" not in p
+            assert "Bucketed: true" in p
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+            # contrast: the derive-inline banded frame must shuffle
+            # on the band key
+            inline = dd.lsh_candidate_pairs_from_banded(
+                dd._banded(sig, "doc_id", 64, 16)
+            )
+            ps = inline._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning(band_hash" in ps
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        got = sorted(map(tuple, pairs.collect()))
+        want = sorted(map(tuple, dd.lsh_candidate_pairs(sig).collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_banded_bucketed_test")

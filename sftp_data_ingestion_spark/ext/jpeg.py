@@ -950,6 +950,7 @@ def encode_gray_progressive(
     pixels: bytes,
     quality: int = 75,
     bands: tuple = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode as a SOF2 PROGRESSIVE grayscale JPEG using spectral
     selection: one DC scan (Ss=Se=0) followed by one AC scan per
@@ -964,7 +965,13 @@ def encode_gray_progressive(
     `z3_jpeg_progressive_roundtrip`. AC scans use the progressive
     EOB0 code (T.81 G.1.2.2: RRRRSSSS with SSSS=0 is an EOB RUN of
     2^RRRR blocks; the encoder emits run length 1, the decoder
-    handles the general EOBn form)."""
+    handles the general EOBn form).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RST0..RST7
+    marker after every that-many blocks in EVERY scan (byte-aligned;
+    the DC scan also resets its predictor, per T.81 E.1.2 the RST
+    counter restarts at 0 in each scan) — the resync points parallel
+    decoders use."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
     prev_end = 0
@@ -980,10 +987,24 @@ def encode_gray_progressive(
 
     zzs, qt, _bh, _bw = _quantized_blocks(width, height, pixels, quality)
 
+    def _restart(w, b, rst):
+        # restart boundary: 1-pad to byte alignment, raw RSTn marker
+        # (markers are never byte-stuffed); numbering is mod 8 and
+        # starts at 0 within each scan (T.81 E.1.2)
+        if restart_interval and b and b % restart_interval == 0:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + rst])
+            return (rst + 1) % 8
+        return rst
+
     # DC scan: baseline DC coding, block raster order
     w = _BitWriter()
     prev = 0
-    for zz in zzs:
+    rst = 0
+    for b, zz in enumerate(zzs):
+        rst = _restart(w, b, rst)
+        if restart_interval and b and b % restart_interval == 0:
+            prev = 0  # restart resets the DC predictor
         cat, bits = _magnitude(zz[0] - prev)
         prev = zz[0]
         code, ln = _DC_ENC[cat]
@@ -996,7 +1017,9 @@ def encode_gray_progressive(
     ac_scans = []
     for ss, se in bands:
         w = _BitWriter()
-        for zz in zzs:
+        rst = 0
+        for b, zz in enumerate(zzs):
+            rst = _restart(w, b, rst)
             run = 0
             for k in range(ss, se + 1):
                 v = zz[k]
@@ -1024,6 +1047,8 @@ def encode_gray_progressive(
     out += _seg(
         0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     )
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_scan
@@ -1053,15 +1078,18 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     of the same shape). Coefficients accumulate across scans into
     one coefficient plane; dequantization + IDCT run once at the
     end, so the pixel math is shared bit-for-bit with the baseline
-    decoder. Handles the general EOBn run code. Rejected loudly:
-    successive approximation (Ah/Al != 0), restart intervals,
-    multi-component frames, baseline SOF0 (use :func:`decode_gray`),
-    16-bit quant tables."""
+    decoder. Handles the general EOBn run code and restart intervals
+    (DRI + RSTn in every scan: byte-align, verify the mod-8 sequence,
+    reset the DC predictor / require the EOB run to terminate at the
+    boundary per T.81 G.1.2.2). Rejected loudly: successive
+    approximation (Ah/Al != 0), multi-component frames, baseline
+    SOF0 (use :func:`decode_gray`), 16-bit quant tables."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt = None
     width = height = None
+    interval = 0
     tables: dict[tuple[int, int], dict] = {}
     scans = []  # (ss, se, td, ta, entropy bytes)
     while pos < len(payload):
@@ -1101,11 +1129,7 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError(
-                    "restart intervals are not supported in the "
-                    "progressive decoder"
-                )
+            interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1143,6 +1167,18 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     coefs = np.zeros((n_blocks, 64), dtype=np.int64)
     for ss, se, td, ta, data in scans:
         reader = _BitReader(data)
+        expected_rst = 0
+
+        def _sync(b):
+            nonlocal expected_rst
+            n = reader.sync_restart()
+            if n != expected_rst:
+                raise ValueError(
+                    f"restart marker out of sequence: got RST{n}, "
+                    f"expected RST{expected_rst}"
+                )
+            expected_rst = (expected_rst + 1) % 8
+
         if ss == 0:
             if se != 0:
                 raise ValueError(
@@ -1155,6 +1191,9 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
             dc_dec = tables[(0, td)]
             prev = 0
             for b in range(n_blocks):
+                if interval and b and b % interval == 0:
+                    _sync(b)
+                    prev = 0  # restart resets the DC predictor
                 cat = _huff_read(reader, dc_dec)
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 prev += diff
@@ -1169,6 +1208,13 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
             ac_dec = tables[(1, ta)]
             eobrun = 0
             for b in range(n_blocks):
+                if interval and b and b % interval == 0:
+                    if eobrun:
+                        raise ValueError(
+                            "EOB run extends across a restart "
+                            "boundary"
+                        )
+                    _sync(b)
                 if eobrun:
                     eobrun -= 1
                     continue

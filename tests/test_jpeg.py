@@ -582,3 +582,57 @@ def test_progressive_zrl_beyond_band_rejected():
     )
     with pytest.raises(ValueError, match="ZRL run extends beyond"):
         decode_gray_progressive(stream)
+
+
+def test_progressive_restart_interval_roundtrip_bit_exact():
+    """SOF2 + DRI (the last codec-matrix cell): restart markers in
+    every scan are framing only — decode must be BIT-IDENTICAL to the
+    no-restart progressive decode AND to the baseline round-trip, for
+    intervals that do and don't divide the block count."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 blocks
+    base = decode_gray(encode_gray(40, 24, img.tobytes(), 80))[2]
+    bands = ((1, 9), (10, 63))
+    plain = decode_gray_progressive(
+        encode_gray_progressive(40, 24, img.tobytes(), 80, bands)
+    )[2]
+    assert plain == base
+    for interval in (1, 2, 4, 5, 15):
+        enc = encode_gray_progressive(
+            40, 24, img.tobytes(), 80, bands, restart_interval=interval
+        )
+        assert b"\xff\xdd" in enc  # DRI present
+        if interval < 15:  # interval == n_blocks puts no boundary inside
+            assert any(bytes([0xFF, 0xD0 + n]) in enc for n in range(8))
+        w, h, dec = decode_gray_progressive(enc)
+        assert (w, h) == (40, 24)
+        assert dec == base, interval
+
+
+def test_progressive_restart_marker_out_of_sequence_rejected():
+    """A swapped RST number in a progressive scan must fail loudly,
+    same contract as the baseline decoder."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    enc = bytearray(
+        encode_gray_progressive(
+            32, 32, img.tobytes(), 75, ((1, 63),), restart_interval=2
+        )
+    )
+    # find the first RST0 and bump it to RST1
+    i = enc.index(bytes([0xFF, 0xD0]))
+    enc[i + 1] = 0xD1
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_gray_progressive(bytes(enc))

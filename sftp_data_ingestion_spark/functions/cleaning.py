@@ -164,11 +164,35 @@ def _iso_dispatch(iso_t: Column, with_date_only: bool = True) -> Column:
     )
 
 
+_DIGITS = "0123456789"
+
+
 def parse_date_multi(c: Column) -> Column:
     """Sentinels -> NULL; then first matching format wins:
     ``DD/MM/YYYY[ HH:MM:SS]``, ``DD-MM-YYYY``, ISO (space or T, optional
-    time, optional seconds), compact ``YYYYMMDD``; else NULL."""
+    time, optional seconds), compact ``YYYYMMDD``; else NULL.
+
+    Dispatch is by STRUCTURAL PROBE (separator char at index 2/4 +
+    length), not the regex guards the branch semantics were specified
+    with (``RE_DMY_OPT_TIME`` etc. — the DuckDB twin keeps them):
+    the four format classes are pairwise-disjoint on (char@2, char@4,
+    length), and within a class the strict java.time parse accepts
+    EXACTLY the guard regex's shape (2-digit fields, 4-digit year
+    pinned by the length probe, calendar validity) — so
+    probe-then-try-parse is pointwise equal to guard-then-parse, with
+    the parse itself as the validator. Pinned branch-by-branch
+    against the regex-guard form (incl. malformed-but-probe-passing
+    inputs, 5-digit years, wrong separators, sentinels, NULLs) in
+    tests/test_cleaning.py::test_date_probe_dispatch_equals_regex_guards.
+    Measured on the 100x flagship derivation (30M rows, min-of-3):
+    5.28 s -> 3.77 s for the three date columns (-29%) — an anchored
+    alternation regex per branch is the single hottest expression
+    class in the cascade, and the probes replace up to four of them
+    per value with one char compare + length test each. Malformed
+    probe-passing strings (rare by regime: machine-generated staging)
+    pay one failed try_to_timestamp instead of a regex rejection."""
     t = F.trim(c)
+    ln = F.length(t)
     dmy = F.try_to_timestamp(
         F.when(t.contains(" "), t).otherwise(F.concat(t, F.lit(" 00:00:00"))),
         F.lit("dd/MM/yyyy HH:mm:ss"),
@@ -177,10 +201,16 @@ def parse_date_multi(c: Column) -> Column:
     iso = _iso_dispatch(iso_t).cast("date")
     return (
         F.when(t.isin(*DATE_SENTINELS), F.lit(None).cast("date"))
-        .when(t.rlike(RE_DMY_OPT_TIME), dmy)
-        .when(t.rlike(RE_DMY_DASH), F.try_to_timestamp(t, F.lit("dd-MM-yyyy")).cast("date"))
-        .when(t.rlike(RE_ISO_OPT_TIME), iso)
-        .when(t.rlike(RE_COMPACT_DATE), F.try_to_timestamp(t, F.lit("yyyyMMdd")).cast("date"))
+        .when((F.substring(t, 3, 1) == "/") & ln.isin(10, 19), dmy)
+        .when(
+            (F.substring(t, 3, 1) == "-") & (ln == 10),
+            F.try_to_timestamp(t, F.lit("dd-MM-yyyy")).cast("date"),
+        )
+        .when((F.substring(t, 5, 1) == "-") & ln.isin(10, 16, 19), iso)
+        .when(
+            (ln == 8) & (F.translate(t, _DIGITS, "") == ""),
+            F.try_to_timestamp(t, F.lit("yyyyMMdd")).cast("date"),
+        )
         .otherwise(F.lit(None).cast("date"))
     )
 
@@ -227,18 +257,34 @@ def parse_timestamp_multi(c: Column, iso_extras: bool = True) -> Column:
     ``False`` the ``chegada_transportadora`` shape (:74-82).
     """
     t = F.trim(c)
-    iso_re = RE_TS_ISO_EXTRAS if iso_extras else RE_TS_ISO_PLAIN
+    ln = F.length(t)
     iso_in = F.replace(t, F.lit("T"), F.lit(" "))
     if iso_extras:
         iso_in = F.regexp_replace(iso_in, RE_TS_SUFFIX, "")
     # time is mandatory in both iso shapes -> length 16 or 19 after
-    # the guard (and after the suffix strip); see _iso_dispatch
+    # the T-replace (and after the extras suffix strip); see
+    # _iso_dispatch
     iso = _iso_dispatch(iso_in, with_date_only=False)
+    # structural-probe dispatch replacing the rlike guards (same
+    # pointwise-equality argument as parse_date_multi: the probe
+    # classes are disjoint on char@2/char@4 + length, the strict
+    # parse accepts exactly the guard shape, and for the extras
+    # variant the suffix strip + length dispatch reject anything the
+    # RE_TS_ISO_EXTRAS alternation would have; pinned in
+    # tests/test_cleaning.py::test_ts_probe_dispatch_equals_regex_guards).
+    # The extras ISO branch has unbounded pre-strip length, so its
+    # probe is char@4 alone — the strip + parse validate the rest.
+    iso_probe = F.substring(t, 5, 1) == "-"
+    if not iso_extras:
+        iso_probe = iso_probe & ln.isin(16, 19)
     return (
-        F.when(t.rlike(RE_TS_DMY), F.try_to_timestamp(t, F.lit("dd/MM/yyyy HH:mm:ss")))
-        .when(t.rlike(iso_re), iso)
+        F.when(
+            (F.substring(t, 3, 1) == "/") & (ln == 19),
+            F.try_to_timestamp(t, F.lit("dd/MM/yyyy HH:mm:ss")),
+        )
+        .when(iso_probe, iso)
         .when(
-            t.rlike(RE_DMY_BARE),
+            (F.substring(t, 3, 1) == "/") & (ln == 10),
             F.try_to_timestamp(
                 F.concat(t, F.lit(" 00:00:00")), F.lit("dd/MM/yyyy HH:mm:ss")
             ),
@@ -290,31 +336,72 @@ def _decimal_branches(frac_max: int) -> list[tuple[str, str]]:
 def parse_decimal(c: Column, precision: int, scale: int) -> Column:
     """pt-BR / en-US / bare / thousands-only numeric strings ->
     ``DecimalType(precision, scale)``; unmatched input falls back to
-    "strip junk, pt-BR interpretation, try-cast" (NULL on garbage)."""
+    "strip junk, pt-BR interpretation, try-cast" (NULL on garbage).
+
+    The seven guard regexes (``_decimal_branches`` — the DuckDB twin
+    keeps the flat chain) partition cleanly by WHICH SEPARATORS the
+    value contains: the pt-BR/en-US shapes require both ``.`` and
+    ``,``; guards 3/6 require a comma and forbid dots; guards 4/5 the
+    reverse; the bare-integer guard forbids both. So a two-level
+    dispatch — cheap ``contains`` probes pick the separator class,
+    then only THAT class's guards run, in original order — is
+    pointwise equal to the flat seven-guard chain while evaluating at
+    most 2 regexes per value instead of up to 7 (pinned in
+    tests/test_cleaning.py::test_decimal_contains_dispatch_equals_flat_chain;
+    measured 2.98 s -> 1.85 s for the two flagship decimal columns on
+    the 100x derivation, -38%)."""
     t = F.trim(c)
     dt = f"decimal({precision},{scale})"
-
-    def xform(tag: str) -> Column:
-        if tag == "ptbr":
-            return F.replace(F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
-        if tag == "enus":
-            return F.replace(t, F.lit(","), F.lit(""))
-        if tag == "comma":
-            return F.replace(t, F.lit(","), F.lit("."))
-        if tag == "strip_dot":
-            return F.replace(t, F.lit("."), F.lit(""))
-        if tag == "strip_comma":
-            return F.replace(t, F.lit(","), F.lit(""))
-        return t  # "plain"
-
-    expr = F.when(c.isNull() | (t == ""), F.lit(None).cast(dt))
-    for guard, tag in _decimal_branches(scale):
-        expr = expr.when(t.rlike(guard), xform(tag).try_cast(dt))
+    f = scale
+    ptbr = F.replace(
+        F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit(".")
+    )
     fallback = F.replace(
         F.replace(F.regexp_replace(c, "[^0-9,.-]", ""), F.lit("."), F.lit("")),
         F.lit(","), F.lit("."),
+    ).try_cast(dt)
+    mixed = (
+        F.when(
+            t.rlike(rf"^[+-]?\d{{1,3}}(\.\d{{3}})+,\d{{1,{f}}}$"),
+            ptbr.try_cast(dt),
+        )
+        .when(
+            t.rlike(rf"^[+-]?\d{{1,3}}(,\d{{3}})+\.\d{{1,{f}}}$"),
+            F.replace(t, F.lit(","), F.lit("")).try_cast(dt),
+        )
+        .otherwise(fallback)
     )
-    return expr.otherwise(fallback.try_cast(dt))
+    comma_only = (
+        F.when(
+            t.rlike(rf"^[+-]?\d+,\d{{1,{f}}}$"),
+            F.replace(t, F.lit(","), F.lit(".")).try_cast(dt),
+        )
+        .when(
+            t.rlike(r"^[+-]?\d{1,3}(,\d{3})+$"),
+            F.replace(t, F.lit(","), F.lit("")).try_cast(dt),
+        )
+        .otherwise(fallback)
+    )
+    dot_only = (
+        F.when(t.rlike(rf"^[+-]?\d+\.\d{{1,{f}}}$"), t.try_cast(dt))
+        .when(
+            t.rlike(r"^[+-]?\d{1,3}(\.\d{3})+$"),
+            F.replace(t, F.lit("."), F.lit("")).try_cast(dt),
+        )
+        .otherwise(fallback)
+    )
+    neither = F.when(t.rlike(r"^[+-]?\d+$"), t.try_cast(dt)).otherwise(
+        fallback
+    )
+    has_dot = t.contains(".")
+    has_comma = t.contains(",")
+    return (
+        F.when(c.isNull() | (t == ""), F.lit(None).cast(dt))
+        .when(has_dot & has_comma, mixed)
+        .when(has_comma, comma_only)
+        .when(has_dot, dot_only)
+        .otherwise(neither)
+    )
 
 
 def parse_decimal_sql(e: str, precision: int, scale: int) -> str:

@@ -15,14 +15,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sftp_data_ingestion_spark.functions.cleaning import (
-    clean_uf,
-    digits_to_int,
-    nfe_key_44,
+    _NOT_ALPHA,
+    digits_only,
     null_if_blank,
     parse_date_multi,
     parse_decimal,
     parse_timestamp_multi,
-    strip_digits_to_null,
 )
 
 # plain NULLIF(TRIM(...)) text columns (python/03_upsert_dw_pedidos.py:24-25,131-159)
@@ -116,11 +114,43 @@ def clean_staging(df: DataFrame, default_insercao: Column | None = None) -> Data
     (python/03_upsert_dw_pedidos.py:169), injectable for deterministic
     tests. Keeps ``data_ultima_ocr`` as the parsed timestamp plus
     ``data_ultima_ocr_raw`` (F9, :84).
-    """
+
+    Physically this is TWO Project nodes, not one: the gated
+    regex-extraction columns (NFe key, digit strips, UF) reference
+    their ``regexp_replace`` result in both the gate condition and
+    the value, and a single projection evaluates that regex TWICE per
+    row (measured: subexpression elimination does not fire across the
+    CASE boundary — 4.61 s vs 2.81 s for the bare extraction on the
+    100x derivation). Aliasing the extraction in an inner select and
+    gating in the outer evaluates it once: CollapseProject refuses to
+    inline a non-cheap alias referenced more than once, so the two
+    Projects survive optimization — pinned in
+    tests/test_plans.py::test_cleaning_extractions_single_eval —
+    while both stay inside one WholeStageCodegen (no materialization,
+    still scan-local and shuffle-free at any scale)."""
     if default_insercao is None:
         default_insercao = F.current_timestamp()
+    pre = df.select(
+        "*",
+        digits_only(F.col("chave_nfe")).alias("_dx_chave"),
+        digits_only(F.col("qtd_volumes")).alias("_dx_qtd_volumes"),
+        digits_only(F.col("cod_cd")).alias("_dx_cod_cd"),
+        F.trim(digits_only(F.col("cnpj_cpf_transportadora"))).alias(
+            "_dx_cnpj"
+        ),
+        F.trim(digits_only(F.col("cpf_destinatario"))).alias("_dx_cpf"),
+        F.upper(F.regexp_replace(F.col("uf"), _NOT_ALPHA, "")).alias(
+            "_dx_uf"
+        ),
+    )
+
+    def _len44(d: Column) -> Column:
+        return F.when(F.length(d) == 44, d).otherwise(
+            F.lit(None).cast("string")
+        )
+
     cols: list[Column] = [
-        nfe_key_44(F.col("chave_nfe")).alias("chave_nfe"),
+        _len44(F.col("_dx_chave")).alias("chave_nfe"),
         *[parse_date_multi(F.col(c)).alias(c) for c in DATE_COLS],
         parse_timestamp_multi(F.col("data_ultima_ocr"), iso_extras=True).alias(
             "data_ultima_ocr"
@@ -131,16 +161,22 @@ def clean_staging(df: DataFrame, default_insercao: Column | None = None) -> Data
         null_if_blank(F.col("data_ultima_ocr")).alias("data_ultima_ocr_raw"),
         parse_decimal(F.col("valor_nfe"), 15, 2).alias("valor_nfe"),
         parse_decimal(F.col("peso"), 12, 3).alias("peso"),
-        digits_to_int(F.col("qtd_volumes")).alias("qtd_volumes"),
-        digits_to_int(F.col("cod_cd")).alias("cod_cd"),
-        strip_digits_to_null(F.col("cnpj_cpf_transportadora")).alias(
+        F.nullif(F.col("_dx_qtd_volumes"), F.lit("")).try_cast("int").alias(
+            "qtd_volumes"
+        ),
+        F.nullif(F.col("_dx_cod_cd"), F.lit("")).try_cast("int").alias(
+            "cod_cd"
+        ),
+        F.nullif(F.col("_dx_cnpj"), F.lit("")).alias(
             "cnpj_cpf_transportadora"
         ),
-        strip_digits_to_null(F.col("cpf_destinatario")).alias("cpf_destinatario"),
-        clean_uf(F.col("uf")).alias("uf"),
+        F.nullif(F.col("_dx_cpf"), F.lit("")).alias("cpf_destinatario"),
+        F.when(
+            F.length("_dx_uf").between(2, 3), F.col("_dx_uf")
+        ).otherwise(F.lit(None).cast("string")).alias("uf"),
         F.coalesce(_parse_data_insercao(F.col("data_insercao")), default_insercao).alias(
             "data_insercao"
         ),
         *[null_if_blank(F.col(c)).alias(c) for c in TEXT_COLS],
     ]
-    return df.select(cols)
+    return pre.select(cols)

@@ -203,3 +203,195 @@ def test_iso_dispatch_equals_coalesce_chain(spark):
     ).collect()
     for r in got2:
         assert r["new"] == r["old"], r
+
+
+# Adversarial inputs for the probe-dispatch equivalence pins: every
+# format class, every sentinel, plus malformed strings that PASS the
+# structural probes (char@2/char@4 + length) but fail the regex
+# guards — the exact inputs where probe-then-try-parse could diverge
+# from guard-then-parse if try_to_timestamp were laxer than the regex.
+_PROBE_ADVERSARIAL = [
+    # well-formed, one per class
+    "15/01/2024", "15/01/2024 10:30:45", "15-01-2024", "2024-01-15",
+    "2024-01-15 10:30", "2024-01-15 10:30:45", "2024-01-15T10:30:45",
+    "20240115",
+    # sentinels
+    "", "00/00/0000", "00/00/0000 00:00:00", "0000-00-00",
+    # probe-passing but regex-failing: parse must reject
+    "ab/cd/efgh",            # '/'@2, len 10, non-digits
+    "15/01/2024 10:30",      # '/'@2, len 16 (time missing :ss)
+    "15/01/2024T10:30:45",   # '/'@2, len 19, 'T' separator
+    "1/2/2020",              # len 8, '/'@1 — not all digits
+    "ab-cd-efgh",            # '-'@2, len 10
+    "15-01-20245",           # '-'@2, len 11
+    "2024-1-150",            # '-'@4, len 10, 1-digit month
+    "2024-01-15 10:3:45",    # '-'@4, len 18 -> no probe class
+    "2024-01-15 103:045",    # '-'@4, len 18
+    "2024-01-15X10:30:45",   # '-'@4, len 19, bad separator
+    "20241315",              # len 8 digits, month 13 (calendar)
+    "99999999",              # len 8 digits, nonsense calendar
+    "31/02/2024",            # valid shape, invalid calendar
+    "12345-01-01",           # 5-digit year
+    "01/02/20200 00:00:00",  # 5-digit year DMY (len 20 -> no class)
+    "2024-02-30",            # invalid calendar ISO
+    "  15/01/2024  ",        # trim path
+    "garbage", "2024", "15/01", None,
+    # timestamp-parser extras: fractional seconds / offsets
+    "2024-01-15 10:30:45.123", "2024-01-15T10:30:45Z",
+    "2024-01-15 10:30:45+02:00", "2024-01-15 10:30:45+0200",
+    "2024-01-15 10:30:45Z+02:00",  # both suffixes -> reject
+    "2024-01-15 10:30.123",        # frac on minutes shape
+    "2024-",                       # '-'@4, tiny
+]
+
+
+def _fuzz_strings(n=2000, seed=1107):
+    """Deterministic fuzz corpus over the parsers' alphabet — every
+    separator/digit/letter combination at the lengths the probes key
+    on, so the equivalence pins cover shapes nobody thought to
+    enumerate."""
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "0123456789/-: .TZz+abX"
+    out = []
+    for _ in range(n):
+        ln = rng.choice((8, 10, 11, 16, 18, 19, 20, 3, 25))
+        out.append("".join(rng.choice(alphabet) for _ in range(ln)))
+    return out
+
+
+def test_date_probe_dispatch_equals_regex_guards(spark):
+    """parse_date_multi replaced its four rlike guards with
+    structural probes (char@2/char@4 + length; try_to_timestamp is
+    the validator) — measured -29% on the three flagship date columns
+    at the 100x derivation. Pin pointwise equality against the
+    original regex-guard form on every class + adversarial
+    probe-passing inputs."""
+    df = spark.createDataFrame(
+        [(s,) for s in _PROBE_ADVERSARIAL + _fuzz_strings()], "s string"
+    )
+    t = F.trim(F.col("s"))
+    dmy = F.try_to_timestamp(
+        F.when(t.contains(" "), t).otherwise(F.concat(t, F.lit(" 00:00:00"))),
+        F.lit("dd/MM/yyyy HH:mm:ss"),
+    ).cast("date")
+    iso = C._iso_dispatch(F.replace(t, F.lit("T"), F.lit(" "))).cast("date")
+    old = (
+        F.when(t.isin(*C.DATE_SENTINELS), F.lit(None).cast("date"))
+        .when(t.rlike(C.RE_DMY_OPT_TIME), dmy)
+        .when(
+            t.rlike(C.RE_DMY_DASH),
+            F.try_to_timestamp(t, F.lit("dd-MM-yyyy")).cast("date"),
+        )
+        .when(t.rlike(C.RE_ISO_OPT_TIME), iso)
+        .when(
+            t.rlike(C.RE_COMPACT_DATE),
+            F.try_to_timestamp(t, F.lit("yyyyMMdd")).cast("date"),
+        )
+        .otherwise(F.lit(None).cast("date"))
+    )
+    got = df.select(
+        F.col("s"),
+        C.parse_date_multi(F.col("s")).alias("new"),
+        old.alias("old"),
+    ).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["s"], r["new"], r["old"])
+
+
+def test_ts_probe_dispatch_equals_regex_guards(spark):
+    """Same pin for parse_timestamp_multi, both iso_extras variants,
+    against the original rlike-guard chain."""
+    df = spark.createDataFrame(
+        [(s,) for s in _PROBE_ADVERSARIAL + _fuzz_strings()], "s string"
+    )
+    t = F.trim(F.col("s"))
+    for extras in (True, False):
+        iso_re = C.RE_TS_ISO_EXTRAS if extras else C.RE_TS_ISO_PLAIN
+        iso_in = F.replace(t, F.lit("T"), F.lit(" "))
+        if extras:
+            iso_in = F.regexp_replace(iso_in, C.RE_TS_SUFFIX, "")
+        iso = C._iso_dispatch(iso_in, with_date_only=False)
+        old = (
+            F.when(
+                t.rlike(C.RE_TS_DMY),
+                F.try_to_timestamp(t, F.lit("dd/MM/yyyy HH:mm:ss")),
+            )
+            .when(t.rlike(iso_re), iso)
+            .when(
+                t.rlike(C.RE_DMY_BARE),
+                F.try_to_timestamp(
+                    F.concat(t, F.lit(" 00:00:00")),
+                    F.lit("dd/MM/yyyy HH:mm:ss"),
+                ),
+            )
+            .otherwise(F.lit(None).cast("timestamp"))
+        )
+        got = df.select(
+            F.col("s"),
+            C.parse_timestamp_multi(F.col("s"), iso_extras=extras).alias(
+                "new"
+            ),
+            old.alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (extras, r["s"], r["new"], r["old"])
+
+
+def test_decimal_contains_dispatch_equals_flat_chain(spark):
+    """parse_decimal replaced the flat seven-rlike chain with a
+    contains()-class dispatch (separator presence partitions the
+    guards; -38% measured). Pin pointwise equality against the flat
+    chain on every branch + boundary/garbage inputs."""
+    vals = [
+        "1.234,56", "12.345.678,9", "1,234.56", "12,345,678.9",
+        "123,45", "123,456",  # comma: frac vs thousands (scale 2)
+        "123.45", "123.456",  # dot: frac vs thousands
+        "1.234", "1,234",     # pure thousands either side
+        "123", "+123", "-123", "0",
+        "1.23.45", "1,23,45",     # malformed groupings -> fallback
+        "12.34,5.6", "abc", "R$ 1.234,56", "1 234,56",
+        "--5", "5-", ".5", ",5", "5.", "5,",
+        "99999999999999999999,99",  # overflows decimal(15,2) -> NULL
+        "", "   ", None,
+    ]
+    vals = vals + _fuzz_strings(seed=1108)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for precision, scale in ((15, 2), (12, 3)):
+        t = F.trim(F.col("v"))
+        dt = f"decimal({precision},{scale})"
+
+        def xform(tag):
+            if tag == "ptbr":
+                return F.replace(
+                    F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit(".")
+                )
+            if tag == "enus":
+                return F.replace(t, F.lit(","), F.lit(""))
+            if tag == "comma":
+                return F.replace(t, F.lit(","), F.lit("."))
+            if tag == "strip_dot":
+                return F.replace(t, F.lit("."), F.lit(""))
+            if tag == "strip_comma":
+                return F.replace(t, F.lit(","), F.lit(""))
+            return t
+
+        old = F.when(F.col("v").isNull() | (t == ""), F.lit(None).cast(dt))
+        for guard, tag in C._decimal_branches(scale):
+            old = old.when(t.rlike(guard), xform(tag).try_cast(dt))
+        fallback = F.replace(
+            F.replace(
+                F.regexp_replace(F.col("v"), "[^0-9,.-]", ""),
+                F.lit("."), F.lit(""),
+            ),
+            F.lit(","), F.lit("."),
+        )
+        old = old.otherwise(fallback.try_cast(dt))
+        got = df.select(
+            F.col("v"),
+            C.parse_decimal(F.col("v"), precision, scale).alias("new"),
+            old.alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (precision, r["v"], r["new"], r["old"])

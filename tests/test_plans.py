@@ -190,6 +190,35 @@ def test_cleaning_projection_stays_codegen(spark):
     assert "WholeStageCodegen subtrees" in text
 
 
+def test_cleaning_extractions_single_eval(spark):
+    """The gated regex extractions (NFe key, digit strips, UF) must
+    appear exactly ONCE each in the optimized plan: clean_staging's
+    two-stage projection exists solely so the gate's condition and
+    value share one regexp_replace per column (measured 2x cost when
+    inlined — CollapseProject must keep the inner Project because the
+    aliases are non-cheap and referenced twice)."""
+    from sftp_data_ingestion_spark.operators.clean import clean_staging
+    from sftp_data_ingestion_spark.schemas import STG_COLUMNS
+
+    row = {c: "" for c in STG_COLUMNS}
+    df = spark.createDataFrame(
+        [tuple(row[c] for c in STG_COLUMNS)],
+        ", ".join(f"{c} string" for c in STG_COLUMNS),
+    )
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "500")
+    try:
+        p = (
+            clean_staging(df)._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    # 5 digit extractions (\D: chave, qtd_volumes, cod_cd, cnpj, cpf)
+    # + 1 alpha strip ([^A-Za-z]: uf), each exactly once
+    assert p.count(r"\D") == 5, p
+    assert p.count("[^A-Za-z]") == 1, p
+
+
 def test_no_collect_in_operator_modules():
     """Operators must stay distributed: no .collect()/.toPandas() in
     the hot path (driver-side collect lives only in io/stage batch

@@ -474,6 +474,52 @@ def minhash_near_dup_pairs(
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 
+def minhash_near_dup_pairs_bucketed(
+    spark,
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """The 100 TB REGIME of :func:`minhash_near_dup_pairs`, end to
+    end: signatures are banded and materialized ONCE into the
+    ``(band_hash, band_idx)``-bucketed external table
+    (:func:`banded_bucketed_signatures` — one organize-time shuffle),
+    and the candidate self-join reads HashPartitioning off that scan
+    with ZERO band exchanges (plan-pinned in
+    tests/test_dedup_clusters.py::test_lsh_bucketed_band_join_exchange_free).
+    The verify stage is unchanged: the bucketed table IS the
+    candidate materialization (no localCheckpoint needed), the corpus
+    is semi-join-prefiltered to candidate ids, and exact Jaccard runs
+    on candidates only.
+
+    The layout is a physical lever only — output must be row-identical
+    to the derive-inline pipeline (same banding, same verify), which
+    is exactly what the graded registry twin
+    (`queries/q_text.d_minhash_lsh_near_dup_bucketed`) pins against
+    the all-pairs DuckDB oracle."""
+    signed = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = banded_bucketed_signatures(
+        spark, signed, table_name, path,
+        id_col=id_col, num_hashes=num_hashes, bands=bands,
+        num_buckets=num_buckets,
+    )
+    cands = lsh_candidate_pairs_from_banded(banded)
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionAll(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(ids, id_col, "left_semi")
+    return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
+
+
 def incremental_near_dup_pairs(
     batch: DataFrame,
     corpus: DataFrame,

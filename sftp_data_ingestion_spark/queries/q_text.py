@@ -505,9 +505,7 @@ def d_ngram_jaccard_pairs(spark, sf_dir, max_df=None):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "d_minhash_lsh_near_dup",
-    oracle=r"""
+_MINHASH_NEARDUP_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(
            -- whole-text fallback for docs shorter than the shingle
@@ -531,8 +529,10 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
-""",
-)
+"""
+
+
+@query("d_minhash_lsh_near_dup", oracle=_MINHASH_NEARDUP_ORACLE)
 def d_minhash_lsh_near_dup(spark, sf_dir):
     """MinHash -> LSH banding -> exact-Jaccard verify, graded against
     brute-force all-pairs Jaccard: the verify stage emits EXACT
@@ -542,6 +542,41 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
     oracle — while candidate generation stays O(sum bucket^2)."""
     d = table(spark, sf_dir, "documents")
     return dd.minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@query("d_minhash_lsh_near_dup_bucketed", oracle=_MINHASH_NEARDUP_ORACLE)
+def d_minhash_lsh_near_dup_bucketed(spark, sf_dir):
+    """The 100 TB REGIME of the MinHash-LSH near-dup pipeline, graded
+    end-to-end: the per-band signature rows are materialized as a
+    ``(band_hash, band_idx)``-bucketed external table (ONE
+    organize-time shuffle) and the candidate self-join reads
+    HashPartitioning straight off the bucketed scan — zero band
+    exchanges, plan-pinned in
+    tests/test_dedup_clusters.py::test_lsh_bucketed_band_join_exchange_free.
+    This is the layout a production near-dup service keeps between
+    scans (incremental admission, dup-rate audits, threshold re-tunes
+    all re-join against it without re-shuffling).
+
+    Same oracle as `d_minhash_lsh_near_dup`: the layout is a physical
+    lever only — both regimes must produce identical rows. The
+    external path/table name are DETERMINISTIC per (sf_dir, user) so
+    repeated sweeps overwrite one directory instead of stranding
+    tempdirs, and concurrent sessions on different inputs never
+    collide on a shared name."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"d_lsh_bucketed_{tag}")
+    return dd.minhash_near_dup_pairs_bucketed(
+        spark, d, f"d_lsh_banded_bucketed_{tag}", f"{base}/banded",
+        threshold=0.5,
+    )
 
 
 @query(

@@ -35,6 +35,7 @@ keep/drop and rank boundaries are engine-portable.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -285,14 +286,24 @@ def z4_sparse_tfidf_topk_bucketed(spark, sf_dir):
 
     Same oracle as `z4_sparse_tfidf_topk`: the layout is a physical
     lever only — both regimes must produce identical rows. Tables are
-    external (tempdir path) + in-memory catalog entries, so a grading
-    run leaves nothing behind in the repo."""
+    external + in-memory catalog entries, so a grading run leaves
+    nothing behind in the repo; the external path is DETERMINISTIC
+    per (sf_dir, session user) so repeated sweeps overwrite one
+    directory instead of stranding a fresh ``mkdtemp`` per call, and
+    the catalog table name carries the same digest so two concurrent
+    sessions pointed at different inputs never collide on a shared
+    warehouse name."""
+    import getpass
+    import hashlib
     import tempfile
 
     d = table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="z4_tfidf_bucketed_")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"z4_tfidf_bucketed_{tag}")
     btf = term_bucketed_postings(
-        spark, d, "z4_tfidf_postings_bucketed", f"{base}/postings",
+        spark, d, f"z4_tfidf_postings_bucketed_{tag}", f"{base}/postings",
         num_buckets=32,
     )
     return tfidf_topk_from_postings(d, btf, broadcast_idf=False)

@@ -990,20 +990,23 @@ def encode_gray_progressive(
     def _restart(w, b, rst):
         # restart boundary: 1-pad to byte alignment, raw RSTn marker
         # (markers are never byte-stuffed); numbering is mod 8 and
-        # starts at 0 within each scan (T.81 E.1.2)
+        # starts at 0 within each scan (T.81 E.1.2). Returns
+        # (next_rst, hit) so the boundary condition lives HERE only —
+        # the DC scan keys its predictor reset off the hit flag, and
+        # the two sites can never desync.
         if restart_interval and b and b % restart_interval == 0:
             w.flush()
             w.out += bytes([0xFF, 0xD0 + rst])
-            return (rst + 1) % 8
-        return rst
+            return (rst + 1) % 8, True
+        return rst, False
 
     # DC scan: baseline DC coding, block raster order
     w = _BitWriter()
     prev = 0
     rst = 0
     for b, zz in enumerate(zzs):
-        rst = _restart(w, b, rst)
-        if restart_interval and b and b % restart_interval == 0:
+        rst, hit = _restart(w, b, rst)
+        if hit:
             prev = 0  # restart resets the DC predictor
         cat, bits = _magnitude(zz[0] - prev)
         prev = zz[0]
@@ -1019,7 +1022,7 @@ def encode_gray_progressive(
         w = _BitWriter()
         rst = 0
         for b, zz in enumerate(zzs):
-            rst = _restart(w, b, rst)
+            rst, _hit = _restart(w, b, rst)
             run = 0
             for k in range(ss, se + 1):
                 v = zz[k]
@@ -1091,7 +1094,14 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     width = height = None
     interval = 0
     tables: dict[tuple[int, int], dict] = {}
-    scans = []  # (ss, se, td, ta, entropy bytes)
+    # (ss, se, td, ta, entropy bytes, interval, tables) — the restart
+    # interval and Huffman tables IN EFFECT at SOS time are
+    # snapshotted per scan: a conforming T.81 stream may redefine DRI
+    # or DHT between scans, so applying the post-parse globals
+    # retroactively would decode earlier scans with the wrong
+    # interval/tables (shallow dict copy suffices; table entries are
+    # replaced on redefinition, never mutated)
+    scans = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -1154,7 +1164,9 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 )
             start = pos + 2 + ln
             end = _next_marker(payload, start)
-            scans.append((ss, se, td, ta, payload[start:end]))
+            scans.append(
+                (ss, se, td, ta, payload[start:end], interval, dict(tables))
+            )
             pos = end
             continue
         pos += 2 + ln
@@ -1165,7 +1177,7 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     bw = (width + 7) // 8 * 8
     n_blocks = (bh // 8) * (bw // 8)
     coefs = np.zeros((n_blocks, 64), dtype=np.int64)
-    for ss, se, td, ta, data in scans:
+    for ss, se, td, ta, data, interval, tables in scans:
         reader = _BitReader(data)
         expected_rst = 0
 

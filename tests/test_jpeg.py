@@ -614,6 +614,50 @@ def test_progressive_restart_interval_roundtrip_bit_exact():
         assert dec == base, interval
 
 
+def test_progressive_dri_between_scans_is_per_scan():
+    """T.81 allows DRI to be (re)defined BETWEEN scans, taking effect
+    for FOLLOWING scans only. Splice a conforming stream whose DC
+    scan has no restarts (interval 0 at its SOS) and whose AC scan
+    carries DRI=2 restarts: the decoder must use the interval in
+    effect AT EACH SCAN's SOS — a decoder that applies the post-parse
+    global retroactively would demand RST markers inside the DC scan
+    and reject/misdecode valid input."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)  # 15 blocks
+    bands = ((1, 63),)  # exactly two scans: DC + one AC
+    plain = encode_gray_progressive(40, 24, img.tobytes(), 80, bands)
+    rst = encode_gray_progressive(
+        40, 24, img.tobytes(), 80, bands, restart_interval=2
+    )
+    # entropy data is byte-stuffed (FF -> FF00) so a literal FFDA can
+    # only be a real SOS marker; both encodes share identical
+    # quantized coefficients (same quality/bands), so scans splice
+    # coherently
+    def sos_positions(buf):
+        out, i = [], 0
+        while True:
+            i = buf.find(b"\xff\xda", i)
+            if i < 0:
+                return out
+            out.append(i)
+            i += 2
+
+    p_plain = sos_positions(plain)
+    p_rst = sos_positions(rst)
+    assert len(p_plain) == len(p_rst) == 2
+    dri = b"\xff\xdd\x00\x04\x00\x02"  # DRI, interval 2
+    spliced = plain[: p_plain[1]] + dri + rst[p_rst[1] :]
+    base = decode_gray(encode_gray(40, 24, img.tobytes(), 80))[2]
+    w, h, dec = decode_gray_progressive(spliced)
+    assert (w, h) == (40, 24)
+    assert dec == base
+
+
 def test_progressive_restart_marker_out_of_sequence_rejected():
     """A swapped RST number in a progressive scan must fail loudly,
     same contract as the baseline decoder."""

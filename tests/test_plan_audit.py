@@ -104,17 +104,20 @@ def test_no_unjustified_session_conf_flips_in_query_bodies():
         ("registry.py", "table"),                      # nanosAsLong
     }
     def _is_conf_set(call):
-        # Matches any attribute chain ending in `.conf.set(...)`
-        # (e.g. spark.conf.set, self.spark.conf.set) — real calls
-        # only, so comments/docstrings can't false-positive and
-        # module-level or lambda-scoped calls can't escape.
+        # Matches real `.conf.set(...)` calls — the receiver may be an
+        # attribute chain (spark.conf.set, self.spark.conf.set) OR a
+        # bare name that names a conf handle (`c = spark.conf;
+        # c.set(...)` — the alias shape a chain-only matcher would
+        # miss). Comments/docstrings can't false-positive (AST walk,
+        # not grep); a name-aliased handle NOT literally called `conf`
+        # would still escape, so this is a best-effort lint, not a
+        # proof.
         f = call.func
+        if not (isinstance(f, ast.Attribute) and f.attr == "set"):
+            return False
         return (
-            isinstance(f, ast.Attribute)
-            and f.attr == "set"
-            and isinstance(f.value, ast.Attribute)
-            and f.value.attr == "conf"
-        )
+            isinstance(f.value, ast.Attribute) and f.value.attr == "conf"
+        ) or (isinstance(f.value, ast.Name) and f.value.id == "conf")
 
     found = set()
     for path in glob.glob(os.path.join(pkg, "*.py")):

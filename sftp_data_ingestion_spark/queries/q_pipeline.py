@@ -202,6 +202,62 @@ def u1_upsert_partitioned(spark, sf_dir):
     return read_dw(spark, dw_path)
 
 
+@query(
+    "u1_upsert_bucketed",
+    oracle=f"""
+WITH dw AS ({_DW_SQL}), delta AS ({_DELTA_SQL})
+SELECT
+  COALESCE(o.k, n.k) AS k,
+  CASE WHEN o.k IS NULL THEN n.ocr WHEN n.k IS NULL THEN o.ocr
+       WHEN n.ocr > o.ocr THEN n.ocr ELSE o.ocr END AS ocr,
+  CASE WHEN o.k IS NULL THEN n.status WHEN n.k IS NULL THEN o.status
+       WHEN n.ocr > o.ocr THEN n.status ELSE o.status END AS status,
+  CASE WHEN o.k IS NULL THEN n.ins WHEN n.k IS NULL THEN o.ins
+       ELSE greatest(o.ins, n.ins) END AS ins,
+  CASE WHEN o.k IS NULL THEN n.val WHEN n.k IS NULL THEN o.val
+       ELSE COALESCE(n.val, o.val) END AS val
+FROM dw o FULL JOIN delta n ON o.k = n.k
+""",
+)
+def u1_upsert_bucketed(spark, sf_dir):
+    """The 100 TB MERGE regime, graded: the DW side lives as a
+    key-BUCKETED catalog table (`operators/bucketed.write_bucketed` —
+    ONE organize-time shuffle when the warehouse is laid down), so
+    the full-outer merge join reads HashPartitioning(k) straight off
+    the DW scan and plans NO exchange on the warehouse side — only
+    the (small) incoming delta shuffles to match. At 100 TB that is
+    the difference between re-shuffling the warehouse every batch and
+    shuffling just the batch; plan-pinned in
+    tests/test_plans.py::test_bucketed_dw_merge_exchange_free.
+
+    Same oracle as `u1_upsert_newer_wins` / `u1_upsert_partitioned`:
+    the layout is a physical lever only — all three regimes must
+    produce identical rows. Deterministic per-(sf_dir, user) external
+    path + table name; rebuilt each call so sweeps stay idempotent."""
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
+    from sftp_data_ingestion_spark.operators.bucketed import write_bucketed
+    from sftp_data_ingestion_spark.operators.merge import upsert_newer_wins
+
+    dw, delta = _u1_inputs(spark, sf_dir)
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"u1_bucketed_{tag}")
+    write_bucketed(dw, f"u1_dw_bucketed_{tag}", "k", 16, f"{base}/dw")
+    return upsert_newer_wins(
+        spark.table(f"u1_dw_bucketed_{tag}"),
+        delta,
+        key="k",
+        newer_col="ocr",
+        newer_wins_cols=("ocr", "status"),
+        greatest_cols=("ins",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P1/P2 — conform: Portuguese headers -> fixed 40-col staging projection
 # ---------------------------------------------------------------------------

@@ -190,6 +190,46 @@ def test_cleaning_projection_stays_codegen(spark):
     assert "WholeStageCodegen subtrees" in text
 
 
+def test_bucketed_dw_merge_exchange_free(spark, tmp_path):
+    """The 100 TB merge regime (u1_upsert_bucketed): with the DW side
+    as a k-bucketed catalog table, the full-outer merge join plans
+    exactly ONE exchange — the incoming delta repartitioning to the
+    bucket layout. The warehouse side reads HashPartitioning(k) off
+    its scan. Contrast: the same merge over a plain parquet DW
+    exchanges BOTH sides."""
+    from sftp_data_ingestion_spark.operators.bucketed import write_bucketed
+    from sftp_data_ingestion_spark.operators.merge import upsert_newer_wins
+    from sftp_data_ingestion_spark.queries.q_pipeline import _u1_inputs
+
+    dw, delta = _u1_inputs(spark, SF)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at 100 TB neither side of the merge broadcasts; pin that regime
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            dw, "u1_dw_bucketed_test", "k", 8, str(tmp_path / "dw")
+        )
+        merged = upsert_newer_wins(
+            spark.table("u1_dw_bucketed_test"), delta,
+            key="k", newer_col="ocr",
+            newer_wins_cols=("ocr", "status"), greatest_cols=("ins",),
+        )
+        p = merged._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange hashpartitioning(k") == 1, p
+        assert "Bucketed: true" in p
+        assert "FullOuter" in p
+
+        plain = upsert_newer_wins(
+            dw, delta, key="k", newer_col="ocr",
+            newer_wins_cols=("ocr", "status"), greatest_cols=("ins",),
+        )
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert pp.count("Exchange hashpartitioning(k") == 2, pp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS u1_dw_bucketed_test")
+
+
 def test_cleaning_extractions_single_eval(spark):
     """The gated regex extractions (NFe key, digit strips, UF) must
     appear exactly ONCE each in the optimized plan: clean_staging's

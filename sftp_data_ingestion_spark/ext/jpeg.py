@@ -1050,7 +1050,7 @@ def _prog_restart(w, b, rst, restart_interval):
     return rst, False
 
 
-def _emit_dc_first(zzs, al, restart_interval) -> bytes:
+def _emit_dc_first(zzs, al, restart_interval, dc_enc=_DC_ENC) -> bytes:
     """DC first scan (Ah=0): DPCM of the point-transformed DC
     (ARITHMETIC shift ``v >> al`` per T.81 A.4 — DC uses two's-
     complement shift, unlike AC's sign-magnitude divide), baseline DC
@@ -1065,7 +1065,7 @@ def _emit_dc_first(zzs, al, restart_interval) -> bytes:
         v = zz[0] >> al
         cat, bits = _magnitude(v - prev)
         prev = v
-        code, ln = _DC_ENC[cat]
+        code, ln = dc_enc[cat]
         w.write(code, ln)
         if cat:
             w.write(bits, cat)
@@ -1086,7 +1086,7 @@ def _emit_dc_refine(zzs, al, restart_interval) -> bytes:
     return bytes(w.out)
 
 
-def _emit_ac_first(zzs, ss, se, al, restart_interval) -> bytes:
+def _emit_ac_first(zzs, ss, se, al, restart_interval, ac_enc=_AC_ENC) -> bytes:
     """AC first scan for a band (Ah=0): spectral-selection coding of
     the point-transformed values ``sign(v) * (|v| >> al)`` (AC point
     transform is sign-magnitude per T.81 A.4, NOT arithmetic shift).
@@ -1103,22 +1103,22 @@ def _emit_ac_first(zzs, ss, se, al, restart_interval) -> bytes:
                 run += 1
                 continue
             while run > 15:
-                code, ln = _AC_ENC[0xF0]  # ZRL
+                code, ln = ac_enc[0xF0]  # ZRL
                 w.write(code, ln)
                 run -= 16
             cat, bits = _magnitude(v)
-            code, ln = _AC_ENC[(run << 4) | cat]
+            code, ln = ac_enc[(run << 4) | cat]
             w.write(code, ln)
             w.write(bits, cat)
             run = 0
         if run:
-            code, ln = _AC_ENC[0x00]  # EOB0 (run of exactly 1)
+            code, ln = ac_enc[0x00]  # EOB0 (run of exactly 1)
             w.write(code, ln)
     w.flush()
     return bytes(w.out)
 
 
-def _emit_ac_refine(zzs, ss, se, al, restart_interval) -> bytes:
+def _emit_ac_refine(zzs, ss, se, al, restart_interval, ac_enc=_AC_ENC) -> bytes:
     """AC refinement scan (Ah=Al+1), T.81 G.1.2.3: coefficients whose
     magnitude at the PREVIOUS precision was already nonzero
     (|v| >> al > 1) each contribute one correction bit (bit ``al`` of
@@ -1145,7 +1145,7 @@ def _emit_ac_refine(zzs, ss, se, al, restart_interval) -> bytes:
             # bits positionally during that symbol's walk, and a bit
             # flushed one symbol early would desync the Huffman read
             while run > 15:
-                code, ln = _AC_ENC[0xF0]  # ZRL: 16 zero-HISTORY skips
+                code, ln = ac_enc[0xF0]  # ZRL: 16 zero-HISTORY skips
                 w.write(code, ln)
                 for bit in pending:
                     w.write(bit, 1)
@@ -1155,7 +1155,7 @@ def _emit_ac_refine(zzs, ss, se, al, restart_interval) -> bytes:
                 pending.append(a & 1)
                 continue
             # newly significant at this precision
-            code, ln = _AC_ENC[(run << 4) | 1]
+            code, ln = ac_enc[(run << 4) | 1]
             w.write(code, ln)
             w.write(1 if v >= 0 else 0, 1)  # sign: 1 = positive
             for bit in pending:
@@ -1163,7 +1163,7 @@ def _emit_ac_refine(zzs, ss, se, al, restart_interval) -> bytes:
             pending = []
             run = 0
         if run or pending:
-            code, ln = _AC_ENC[0x00]  # EOB0
+            code, ln = ac_enc[0x00]  # EOB0
             w.write(code, ln)
             for bit in pending:
                 w.write(bit, 1)
@@ -1183,6 +1183,172 @@ def _next_marker(payload: bytes, pos: int) -> int:
             return i
         i += 1
     raise ValueError("unterminated scan (no trailing marker)")
+
+
+def _decode_prog_scan(
+    coefs, n_blocks, data, ss, se, ah, al, td, ta, tables, interval
+) -> None:
+    """Decode ONE progressive scan (any of the four T.81 G.1.2 scan
+    kinds - DC/AC x first/refinement) into the per-block coefficient
+    array ``coefs`` (n_blocks x 64, zigzag order). Shared by the
+    grayscale and color progressive decoders: a progressive color
+    scan is single-component (Ns=1), so each one is exactly this
+    routine run against its component-own coefficient plane with its
+    own Huffman tables."""
+    reader = _BitReader(data)
+    expected_rst = 0
+
+    def _sync(b):
+        nonlocal expected_rst
+        n = reader.sync_restart()
+        if n != expected_rst:
+            raise ValueError(
+                f"restart marker out of sequence: got RST{n}, "
+                f"expected RST{expected_rst}"
+            )
+        expected_rst = (expected_rst + 1) % 8
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "a progressive DC scan must have Ss=Se=0"
+            )
+        if ah:  # DC refinement: one raw bit per block, OR-ed in
+            for b in range(n_blocks):
+                if interval and b and b % interval == 0:
+                    _sync(b)
+                if reader.read_bit():
+                    coefs[b, 0] |= 1 << al
+            return
+        if (0, td) not in tables:
+            raise ValueError(
+                f"scan references undefined DC Huffman table {td}"
+            )
+        dc_dec = tables[(0, td)]
+        prev = 0
+        for b in range(n_blocks):
+            if interval and b and b % interval == 0:
+                _sync(b)
+                prev = 0  # restart resets the DC predictor
+            cat = _huff_read(reader, dc_dec)
+            diff = _extend(reader.read_bits(cat), cat) if cat else 0
+            prev += diff
+            # store shifted back (T.81 G.1.2.1); refinement scans
+            # OR the lower bits in
+            coefs[b, 0] = prev << al
+    else:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("invalid spectral band")
+        if (1, ta) not in tables:
+            raise ValueError(
+                f"scan references undefined AC Huffman table {ta}"
+            )
+        ac_dec = tables[(1, ta)]
+        eobrun = 0
+        if ah:  # AC refinement (T.81 G.1.2.3)
+            p1, m1 = 1 << al, -(1 << al)
+
+            def _correct(b, k):
+                # one correction bit for an already-nonzero coef;
+                # sign-magnitude growth: |coef| += 2^al iff the
+                # bit is set and bit al is still clear
+                if reader.read_bit() and not (
+                    int(coefs[b, k]) & p1
+                ):
+                    coefs[b, k] += p1 if coefs[b, k] > 0 else m1
+
+            for b in range(n_blocks):
+                if interval and b and b % interval == 0:
+                    if eobrun:
+                        raise ValueError(
+                            "EOB run extends across a restart "
+                            "boundary"
+                        )
+                    _sync(b)
+                k = ss
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    while k <= se:
+                        sym = _huff_read(reader, ac_dec)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                # EOBn: this block + 2^r - 1 more
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        elif s == 1:
+                            newval = p1 if reader.read_bit() else m1
+                        else:
+                            raise ValueError(
+                                "refinement magnitude must be 1 "
+                                f"(got {s})"
+                            )
+                        # walk: correction bits at nonzero-history
+                        # positions; count down r at zero-history
+                        while k <= se:
+                            if coefs[b, k] != 0:
+                                _correct(b, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "refinement run extends beyond "
+                                    "the scan band"
+                                )
+                            coefs[b, k] = newval
+                        k += 1
+                # EOB/tail correction pass for the rest of the band
+                while k <= se:
+                    if coefs[b, k] != 0:
+                        _correct(b, k)
+                    k += 1
+            return
+        for b in range(n_blocks):
+            if interval and b and b % interval == 0:
+                if eobrun:
+                    raise ValueError(
+                        "EOB run extends across a restart "
+                        "boundary"
+                    )
+                _sync(b)
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huff_read(reader, ac_dec)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        if k > se + 1:
+                            raise ValueError(
+                                "ZRL run extends beyond the scan "
+                                "band"
+                            )
+                        continue
+                    # EOBn: run of 2^r blocks (this one included)
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError(
+                        "AC coefficient index beyond the scan band"
+                    )
+                # sign-magnitude point transform: store << al
+                coefs[b, k] = _extend(reader.read_bits(s), s) << al
+                k += 1
 
 
 def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
@@ -1296,160 +1462,10 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
     n_blocks = (bh // 8) * (bw // 8)
     coefs = np.zeros((n_blocks, 64), dtype=np.int64)
     for ss, se, td, ta, ah, al, data, interval, tables in scans:
-        reader = _BitReader(data)
-        expected_rst = 0
-
-        def _sync(b):
-            nonlocal expected_rst
-            n = reader.sync_restart()
-            if n != expected_rst:
-                raise ValueError(
-                    f"restart marker out of sequence: got RST{n}, "
-                    f"expected RST{expected_rst}"
-                )
-            expected_rst = (expected_rst + 1) % 8
-
-        if ss == 0:
-            if se != 0:
-                raise ValueError(
-                    "a progressive DC scan must have Ss=Se=0"
-                )
-            if ah:  # DC refinement: one raw bit per block, OR-ed in
-                for b in range(n_blocks):
-                    if interval and b and b % interval == 0:
-                        _sync(b)
-                    if reader.read_bit():
-                        coefs[b, 0] |= 1 << al
-                continue
-            if (0, td) not in tables:
-                raise ValueError(
-                    f"scan references undefined DC Huffman table {td}"
-                )
-            dc_dec = tables[(0, td)]
-            prev = 0
-            for b in range(n_blocks):
-                if interval and b and b % interval == 0:
-                    _sync(b)
-                    prev = 0  # restart resets the DC predictor
-                cat = _huff_read(reader, dc_dec)
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                prev += diff
-                # store shifted back (T.81 G.1.2.1); refinement scans
-                # OR the lower bits in
-                coefs[b, 0] = prev << al
-        else:
-            if not (1 <= ss <= se <= 63):
-                raise ValueError("invalid spectral band")
-            if (1, ta) not in tables:
-                raise ValueError(
-                    f"scan references undefined AC Huffman table {ta}"
-                )
-            ac_dec = tables[(1, ta)]
-            eobrun = 0
-            if ah:  # AC refinement (T.81 G.1.2.3)
-                p1, m1 = 1 << al, -(1 << al)
-
-                def _correct(b, k):
-                    # one correction bit for an already-nonzero coef;
-                    # sign-magnitude growth: |coef| += 2^al iff the
-                    # bit is set and bit al is still clear
-                    if reader.read_bit() and not (
-                        int(coefs[b, k]) & p1
-                    ):
-                        coefs[b, k] += p1 if coefs[b, k] > 0 else m1
-
-                for b in range(n_blocks):
-                    if interval and b and b % interval == 0:
-                        if eobrun:
-                            raise ValueError(
-                                "EOB run extends across a restart "
-                                "boundary"
-                            )
-                        _sync(b)
-                    k = ss
-                    if eobrun:
-                        eobrun -= 1
-                    else:
-                        while k <= se:
-                            sym = _huff_read(reader, ac_dec)
-                            r, s = sym >> 4, sym & 0x0F
-                            newval = 0
-                            if s == 0:
-                                if r != 15:
-                                    # EOBn: this block + 2^r - 1 more
-                                    eobrun = (1 << r) - 1
-                                    if r:
-                                        eobrun += reader.read_bits(r)
-                                    break
-                                # ZRL: skip 16 zero-history positions
-                            elif s == 1:
-                                newval = p1 if reader.read_bit() else m1
-                            else:
-                                raise ValueError(
-                                    "refinement magnitude must be 1 "
-                                    f"(got {s})"
-                                )
-                            # walk: correction bits at nonzero-history
-                            # positions; count down r at zero-history
-                            while k <= se:
-                                if coefs[b, k] != 0:
-                                    _correct(b, k)
-                                else:
-                                    if r == 0:
-                                        break
-                                    r -= 1
-                                k += 1
-                            if newval:
-                                if k > se:
-                                    raise ValueError(
-                                        "refinement run extends beyond "
-                                        "the scan band"
-                                    )
-                                coefs[b, k] = newval
-                            k += 1
-                    # EOB/tail correction pass for the rest of the band
-                    while k <= se:
-                        if coefs[b, k] != 0:
-                            _correct(b, k)
-                        k += 1
-                continue
-            for b in range(n_blocks):
-                if interval and b and b % interval == 0:
-                    if eobrun:
-                        raise ValueError(
-                            "EOB run extends across a restart "
-                            "boundary"
-                        )
-                    _sync(b)
-                if eobrun:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    sym = _huff_read(reader, ac_dec)
-                    r, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            if k > se + 1:
-                                raise ValueError(
-                                    "ZRL run extends beyond the scan "
-                                    "band"
-                                )
-                            continue
-                        # EOBn: run of 2^r blocks (this one included)
-                        eobrun = (1 << r) - 1
-                        if r:
-                            eobrun += reader.read_bits(r)
-                        break
-                    k += r
-                    if k > se:
-                        raise ValueError(
-                            "AC coefficient index beyond the scan band"
-                        )
-                    # sign-magnitude point transform: store << al
-                    coefs[b, k] = _extend(reader.read_bits(s), s) << al
-                    k += 1
+        _decode_prog_scan(
+            coefs, n_blocks, data, ss, se, ah, al, td, ta, tables,
+            interval,
+        )
 
     out = np.zeros((bh, bw), dtype=np.float64)
     b = 0
@@ -1462,6 +1478,362 @@ def decode_gray_progressive(payload: bytes) -> tuple[int, int, bytes]:
             b += 1
     pix = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
     return width, height, pix[:height, :width].tobytes()
+
+
+def _plane_to_zzs(plane, qt) -> list:
+    """Level-shifted float plane (dims multiples of 8) -> zigzag-
+    quantized blocks in raster order — the per-component analysis
+    step the progressive color encoder shares with the grayscale
+    paths (same DCT/quantize math, so progressive re-framing keeps
+    the baseline's exact coefficients)."""
+    bh, bw = plane.shape
+    zzs = []
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            coef = _DCT @ plane[by : by + 8, bx : bx + 8] @ _DCT.T
+            qz = np.round(coef / qt).astype(np.int64)
+            zzs.append([int(qz[r, c]) for (r, c) in _ZIGZAG])
+    return zzs
+
+
+def encode_color_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 75,
+    bands: tuple = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
+    dc_levels: int = 0,
+    ac_levels: int = 0,
+) -> bytes:
+    """Encode interleaved RGB as a SOF2 PROGRESSIVE 4:2:0 YCbCr JPEG.
+    Every scan is SINGLE-COMPONENT (Ns=1, legal per T.81 — progressive
+    AC scans must be non-interleaved anyway, and emitting the DC
+    scans per component too lets all three components reuse the
+    single-component scan machinery verbatim, with each component
+    coded over its OWN ceil-to-8 block grid per A.2.2). Color math is
+    byte-identical to :func:`encode_color` (BT.601, box-averaged
+    2x2 chroma, Annex-K tables under IJG quality scaling), and the
+    quantized coefficients are the baseline's exact values — so the
+    progressive decode is BIT-EXACT against the baseline color
+    round-trip, the grading contract. Scan order: Y/Cb/Cr DC firsts,
+    per-component AC band firsts, then DC and AC refinements
+    (``dc_levels``/``ac_levels``, T.81 G.1.2 successive
+    approximation, same semantics as the grayscale SA path).
+
+    Note the luma grid subtlety: the baseline's interleaved MCUs pad
+    luma to multiples of 16, but a NON-interleaved luma scan covers
+    only ceil(dim/8) blocks — for dims with remainder 1..8 mod 16
+    the baseline's final pad blocks simply do not exist here. Both
+    grids contain every block that covers real pixels with identical
+    coefficients (edge padding replicates the same rows/cols), so
+    the cropped decode is unaffected."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    prev_end = 0
+    for ss, se in bands:
+        if ss != prev_end + 1 or se < ss or se > 63:
+            raise ValueError(
+                "bands must tile 1..63 contiguously (bit-exact "
+                f"contract); got {bands}"
+            )
+        prev_end = se
+    if prev_end != 63:
+        raise ValueError("bands must end at coefficient 63")
+    if dc_levels < 0 or ac_levels < 0 or dc_levels > 13 or ac_levels > 13:
+        raise ValueError("successive-approximation levels out of range")
+
+    img = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    mh = (height + 15) // 16 * 16
+    mw = (width + 15) // 16 * 16
+
+    def pad(p):
+        return np.pad(p, ((0, mh - height), (0, mw - width)), mode="edge")
+
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    yb = (pad(y) - 128.0)[:bh, :bw]  # non-interleaved luma grid
+    cbs = pad(cb).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
+    crs = pad(cr).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
+
+    qy = _quant_table(quality)
+    qc = _quant_table(quality, _QUANT_BASE_C)
+    comps = [
+        (1, _plane_to_zzs(yb, qy), _DC_ENC, _AC_ENC, 0x00),
+        (2, _plane_to_zzs(cbs, qc), _DC_ENC_C, _AC_ENC_C, 0x11),
+        (3, _plane_to_zzs(crs, qc), _DC_ENC_C, _AC_ENC_C, 0x11),
+    ]
+
+    def zz_of(qt):
+        return bytes([int(qt[r, c]) for (r, c) in _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + zz_of(qy)) + _seg(0xDB, b"\x01" + zz_of(qc))
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += _seg(0xC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+
+    def sos(cid, tabs, ss, se, ah, al, data):
+        return _seg(
+            0xDA, bytes([1, cid, tabs, ss, se, (ah << 4) | al])
+        ) + data
+
+    ri = restart_interval
+    for cid, zzs, dc_enc, _ac, tabs in comps:  # DC firsts
+        out += sos(cid, tabs, 0, 0, 0, dc_levels,
+                   _emit_dc_first(zzs, dc_levels, ri, dc_enc))
+    for cid, zzs, _dc, ac_enc, tabs in comps:  # AC band firsts
+        for ss, se in bands:
+            out += sos(cid, tabs, ss, se, 0, ac_levels,
+                       _emit_ac_first(zzs, ss, se, ac_levels, ri, ac_enc))
+    for al in range(dc_levels - 1, -1, -1):  # DC refinements
+        for cid, zzs, _dc, _ac, tabs in comps:
+            out += sos(cid, tabs, 0, 0, al + 1, al,
+                       _emit_dc_refine(zzs, al, ri))
+    for al in range(ac_levels - 1, -1, -1):  # AC refinements
+        for cid, zzs, _dc, ac_enc, tabs in comps:
+            for ss, se in bands:
+                out += sos(cid, tabs, ss, se, al + 1, al,
+                           _emit_ac_refine(zzs, ss, se, al, ri, ac_enc))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_color_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a SOF2 progressive 4:2:0 YCbCr JPEG whose scans are
+    single-component (streams from :func:`encode_color_progressive`,
+    or foreign files of that shape). Per-component coefficient planes
+    accumulate across scans via the shared :func:`_decode_prog_scan`
+    (spectral selection + successive approximation + restarts, with
+    per-scan DRI/DHT snapshots); dequantization, IDCT, 2x2 chroma
+    replication and BT.601 inversion run once at the end with exactly
+    :func:`decode_color`'s math — so the output is bit-identical to
+    the baseline color decode of the same quantized coefficients.
+    Rejected loudly: interleaved (Ns>1) progressive scans, non-4:2:0
+    sampling, Ah != Al+1, 16-bit quant tables."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    tables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_qt: dict[int, int] = {}
+    sof_ids: list[int] | None = None
+    interval = 0
+    scans = []  # (cid, ss, se, td, ta, ah, al, data, interval, tables)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if body[i] >> 4 != 0:
+                    raise ValueError(
+                        "baseline JPEG requires 8-bit (Pq=0) "
+                        "quantization tables"
+                    )
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                tid = body[i] & 0x0F
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (rr, cc) in enumerate(_ZIGZAG):
+                    t[rr, cc] = body[i + 1 + k]
+                qts[tid] = t
+                i += 65
+        elif marker == 0xC2:
+            if len(body) < 6:
+                raise ValueError("truncated SOF2 segment")
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 3:
+                raise ValueError(
+                    "decode_color_progressive handles 3-component "
+                    "frames (use decode_gray_progressive for 1)"
+                )
+            samp = []
+            sof_ids = []
+            for ci in range(3):
+                cid, sf, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                samp.append(sf)
+                comp_qt[cid] = tq
+                sof_ids.append(cid)
+            if samp != [0x22, 0x11, 0x11]:
+                raise ValueError("only 4:2:0 sampling is supported")
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "decode_color_progressive handles SOF2 only (use "
+                f"decode_color for SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                tables[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(
+                    "progressive color scans must be single-component "
+                    "(Ns=1); interleaved progressive is not supported"
+                )
+            cid, tabs = body[1], body[2]
+            td, ta = tabs >> 4, tabs & 0x0F
+            ss, se, ah_al = body[3], body[4], body[5]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if ah and ah != al + 1:
+                raise ValueError(
+                    "successive-approximation refinement must have "
+                    f"Ah = Al + 1 (got Ah={ah}, Al={al})"
+                )
+            start = pos + 2 + ln
+            end = _next_marker(payload, start)
+            scans.append(
+                (cid, ss, se, td, ta, ah, al, payload[start:end],
+                 interval, dict(tables))
+            )
+            pos = end
+            continue
+        pos += 2 + ln
+    if not qts or width is None or sof_ids is None or not scans:
+        raise ValueError("incomplete JPEG stream")
+
+    cid_y, cid_cb, cid_cr = sof_ids
+    bh = (height + 7) // 8 * 8
+    bw = (width + 7) // 8 * 8
+    ch = ((height + 1) // 2 + 7) // 8 * 8
+    cw = ((width + 1) // 2 + 7) // 8 * 8
+    grids = {
+        cid_y: (bh, bw),
+        cid_cb: (ch, cw),
+        cid_cr: (ch, cw),
+    }
+    coefs = {
+        cid: np.zeros(((gh // 8) * (gw // 8), 64), dtype=np.int64)
+        for cid, (gh, gw) in grids.items()
+    }
+    for cid, ss, se, td, ta, ah, al, data, ivl, tbls in scans:
+        if cid not in coefs:
+            raise ValueError(f"scan references unknown component {cid}")
+        _decode_prog_scan(
+            coefs[cid], coefs[cid].shape[0], data, ss, se, ah, al,
+            td, ta, tbls, ivl,
+        )
+
+    def plane_of(cid):
+        gh, gw = grids[cid]
+        qt = qts[comp_qt[cid]]
+        out = np.zeros((gh, gw), dtype=np.float64)
+        b = 0
+        for by in range(0, gh, 8):
+            for bx in range(0, gw, 8):
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for k2, (rr, cc) in enumerate(_ZIGZAG):
+                    coef[rr, cc] = coefs[cid][b, k2] * qt[rr, cc]
+                out[by : by + 8, bx : bx + 8] = _DCT.T @ coef @ _DCT
+                b += 1
+        return out
+
+    yy = (plane_of(cid_y) + 128.0)[:height, :width]
+    cb = np.repeat(np.repeat(plane_of(cid_cb), 2, axis=0), 2, axis=1)[
+        :height, :width
+    ]
+    cr = np.repeat(np.repeat(plane_of(cid_cr), 2, axis=0), 2, axis=1)[
+        :height, :width
+    ]
+    r = yy + 1.402 * cr
+    g = yy - 0.344136 * cb - 0.714136 * cr
+    b = yy + 1.772 * cb
+    rgb = np.stack(
+        [
+            np.clip(np.round(ch_), 0, 255).astype(np.uint8)
+            for ch_ in (r, g, b)
+        ],
+        axis=-1,
+    )
+    return width, height, rgb.tobytes()
+
+
+def text_jpeg_color_progressive_roundtrip(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side: int = 48,
+    quality: int = 75,
+    dc_levels: int = 1,
+    ac_levels: int = 1,
+):
+    """Arrow-batched COLOR progressive round-trip graded BIT-EXACTLY:
+    each document's UTF-8 bytes tile a side x side RGB image pushed
+    through the baseline 4:2:0 codec AND the single-component-scan
+    progressive color codec (with successive approximation) in the
+    same task; the two decodes must agree byte for byte because both
+    reconstruct from the same quantized coefficients with the same
+    pixel math. ``n_scans`` = 3 components x (1 DC + dc_levels
+    refinements + 2 bands x (1 + ac_levels))."""
+    n_scans = 3 * (1 + dc_levels + 2 * (1 + ac_levels))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or " ").encode("utf-8")
+                n_px = side * side * 3
+                reps = n_px // len(b) + 1
+                pix = (b * reps)[:n_px]
+                base = decode_color(
+                    encode_color(side, side, pix, quality)
+                )[2]
+                enc = encode_color_progressive(
+                    side, side, pix, quality,
+                    dc_levels=dc_levels, ac_levels=ac_levels,
+                )
+                prog = decode_color_progressive(enc)[2]
+                out.append((did, n_px, prog == base, len(enc), n_scans))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_pixels", "bit_exact", "n_bytes",
+                    "n_scans",
+                ],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "doc_id long, n_pixels long, bit_exact boolean, n_bytes long,"
+        " n_scans int",
+    )
 
 
 def text_jpeg_progressive_roundtrip(

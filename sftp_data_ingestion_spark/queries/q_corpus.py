@@ -1296,3 +1296,40 @@ def z3_jpeg_sa_roundtrip(spark, sf_dir):
         "n_scans",
     )
 
+
+@query(
+    "z3_jpeg_color_progressive_roundtrip",
+    oracle="""
+SELECT doc_id, CAST(6912 AS BIGINT) AS n_pixels, TRUE AS bit_exact,
+       TRUE AS compressed, CAST(18 AS INTEGER) AS n_scans
+FROM documents WHERE doc_id < 100
+""",
+)
+def z3_jpeg_color_progressive_roundtrip(spark, sf_dir):
+    """COLOR progressive JPEG graded end-to-end — SOF2 over 4:2:0
+    YCbCr with single-component scans (T.81 A.2.2 non-interleaved
+    block grids per component) AND successive approximation, the last
+    cell of the codec matrix. Each document tiles a 48x48 RGB image
+    through the baseline color codec and an 18-scan progressive
+    stream (per component: DC first + 1 DC refinement + 2 AC band
+    firsts + 2 AC refinements); the decode must be BIT-EXACT against
+    the baseline color round-trip — both reconstruct from identical
+    quantized coefficients, so any error in the per-component grid
+    geometry (ceil-8 luma vs the baseline's MCU-16 padding), the
+    chroma table wiring, or the refinement walks breaks equality."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        text_jpeg_color_progressive_roundtrip,
+    )
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    rt = text_jpeg_color_progressive_roundtrip(
+        d, side=48, quality=75, dc_levels=1, ac_levels=1
+    )
+    return rt.select(
+        "doc_id",
+        "n_pixels",
+        "bit_exact",
+        (F.col("n_bytes") < F.col("n_pixels")).alias("compressed"),
+        "n_scans",
+    )
+

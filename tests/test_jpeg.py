@@ -669,6 +669,61 @@ def test_progressive_sa_refinement_guards():
         decode_gray_progressive(spliced)
 
 
+def test_color_progressive_bit_exact_grid():
+    """Color progressive (single-component scans over per-component
+    ceil-8 grids) must decode BIT-EXACT vs the baseline 4:2:0
+    round-trip across dimension remainders (the luma-grid subtlety:
+    dims with remainder 1..8 mod 16 drop the baseline's pad blocks),
+    SA levels, and restart intervals."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_color,
+        decode_color_progressive,
+        encode_color,
+        encode_color_progressive,
+    )
+
+    rng = np.random.default_rng(51)
+    for (w, h) in [(32, 32), (40, 24), (18, 14), (50, 34)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_color(encode_color(w, h, img.tobytes(), 80))[2]
+        for dc, ac, ri in [(0, 0, 0), (1, 1, 0), (2, 2, 0), (1, 1, 2)]:
+            enc = encode_color_progressive(
+                w, h, img.tobytes(), 80, ((1, 5), (6, 63)), ri, dc, ac
+            )
+            ww, hh, dec = decode_color_progressive(enc)
+            assert (ww, hh) == (w, h)
+            assert dec == base, (w, h, dc, ac, ri)
+
+
+def test_color_progressive_rejections():
+    """Interleaved progressive scans and cross-decoder misuse must
+    fail loudly."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_color_progressive,
+        encode_color,
+        encode_color_progressive,
+    )
+
+    rng = np.random.default_rng(52)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    # baseline stream relabeled SOF0 -> SOF2: its Ns=3 interleaved
+    # scan is not a valid progressive color scan here
+    enc = bytearray(encode_color(16, 16, img.tobytes(), 75))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="single-component"):
+        decode_color_progressive(bytes(enc))
+    # a progressive color stream is SOF2: the baseline color decoder
+    # must hand it off loudly
+    from sftp_data_ingestion_spark.ext.jpeg import decode_color
+
+    penc = encode_color_progressive(16, 16, img.tobytes(), 75)
+    with pytest.raises(ValueError, match="SOF"):
+        decode_color(penc)
+
+
 def test_progressive_dri_between_scans_is_per_scan():
     """T.81 allows DRI to be (re)defined BETWEEN scans, taking effect
     for FOLLOWING scans only. Splice a conforming stream whose DC

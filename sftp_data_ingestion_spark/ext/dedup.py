@@ -100,6 +100,94 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def positional_shingles(text: Column, k: int) -> Column:
+    """Word k-gram shingle AT EACH TOKEN POSITION (array entry i =
+    the shingle starting at token i; NULL for the incomplete tail
+    windows) — the positional variant of :func:`shingles`, same
+    shifted-zip construction so the tokenization is referenced a
+    constant number of times. ``posexplode`` + NULL filter yields
+    (pos, shingle) rows."""
+    toks = F.split(normalized(text), " ")
+    gram = toks
+    for j in range(1, k):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        gram = F.zip_with(
+            gram, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return gram
+
+
+def crossdoc_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Maximal DUPLICATED-TEXT spans: for every document, the merged
+    token ranges whose k-shingles occur MORE THAN ONCE in the corpus
+    (cross-document or repeated within the same document) — the
+    substring-level dedup signal training-data pipelines cut before
+    training, where document-level near-dup misses boilerplate and
+    quotations shared across otherwise-distinct pages.
+
+    Shape: positional shingles -> occurrence count as a WINDOW over
+    the shingle value (one shuffle on shingle, no join back — the
+    count and the position ride the same row) -> keep duplicated
+    positions -> per-document gaps-and-islands (two window passes on
+    the doc key: a new island starts where the gap to the previous
+    duplicated position exceeds k, since [p, p+k) intervals merge iff
+    they overlap or touch) -> min/max per island. Two shuffles total
+    (shingle, then doc key), both with map-side-combinable follow-ups;
+    at 100 TB the shingle shuffle dominates and is the same volume
+    every shingle-based dedup here already moves.
+
+    Returns (id_col, span_start, span_end, n_tokens) with token
+    indices 0-based and span_end exclusive."""
+    pos_sh = df.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(F.col(text_col), k)).alias(
+            "pos", "sh"
+        ),
+    ).where(F.col("sh").isNotNull())
+    occ = Window.partitionBy("sh")
+    dup = pos_sh.withColumn(
+        "occ", F.count(F.lit(1)).over(occ)
+    ).where(F.col("occ") > 1)
+    byo = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.select(
+        id_col,
+        "pos",
+        F.when(
+            F.lag("pos").over(byo).isNull()
+            | (F.col("pos") - F.lag("pos").over(byo) > k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            byo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
 def prune_hot_postings(
     toks: DataFrame, max_df: int | None, key_col: str = "sh"
 ) -> DataFrame:

@@ -544,6 +544,55 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
     return dd.minhash_near_dup_pairs(d, threshold=0.5)
 
 
+@query(
+    "d_crossdoc_dup_spans",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+), pos_sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i+1:i+5], ' ') AS sh
+  FROM (SELECT doc_id, t,
+               unnest(range(greatest(length(t) - 4, 0))) AS i
+        FROM toks)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS occ
+    FROM pos_sh
+  ) WHERE occ > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS f
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+       max(pos) + 5 - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, island
+""",
+)
+def d_crossdoc_dup_spans(spark, sf_dir):
+    """Substring-level duplicated-text spans (the signal the
+    document-level near-dup families cannot see): every maximal token
+    range whose 5-shingles occur more than once in the corpus —
+    cross-document boilerplate/quotation or within-document
+    repetition — as the (doc, start, end) cut-list a training-data
+    pipeline applies before tokenization. Graded against a DuckDB
+    twin of the same positional-shingle -> occurrence-window ->
+    gaps-and-islands derivation."""
+    d = table(spark, sf_dir, "documents")
+    return dd.crossdoc_dup_spans(d, k=5)
+
+
 @query("d_minhash_lsh_near_dup_bucketed", oracle=_MINHASH_NEARDUP_ORACLE)
 def d_minhash_lsh_near_dup_bucketed(spark, sf_dir):
     """The 100 TB REGIME of the MinHash-LSH near-dup pipeline, graded

@@ -236,3 +236,32 @@ def test_lsh_bucketed_band_join_exchange_free(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_banded_bucketed_test")
+
+
+def test_crossdoc_dup_spans_hand_computed(spark):
+    """Planted fixture for the substring-level duplicated-span
+    operator: a 7-token run shared across two docs must merge its
+    three overlapping duplicated 5-shingles into ONE maximal span per
+    doc; a within-doc repeat with a gap > k must yield TWO islands; a
+    unique doc yields nothing."""
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.ext.dedup import crossdoc_dup_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),        # shares a..g with doc 2
+        (2, "x x a b c d e f g y"),
+        (3, "p q r s t u"),                # unique -> no spans
+        (4, "m n o p q z z m n o p q"),    # internal repeat, gap 7 > 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in crossdoc_dup_spans(df, k=5).collect()
+    )
+    assert got == [
+        (1, 0, 7, 7),   # "a b c d e f g": dup shingles at pos 0,1,2
+        (2, 2, 9, 7),   # same run at pos 2..4
+        (4, 0, 5, 5),   # first "m n o p q"
+        (4, 7, 12, 5),  # second, its own island (gap 7 > k)
+    ]

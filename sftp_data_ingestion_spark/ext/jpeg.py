@@ -1496,6 +1496,74 @@ def _plane_to_zzs(plane, qt) -> list:
     return zzs
 
 
+def _emit_dc_first_interleaved(
+    zz_y_full, zz_cb, zz_cr, mcu_rows, mcu_cols, al, restart_interval
+) -> bytes:
+    """Interleaved (Ns=3) progressive DC first scan for 4:2:0: MCU
+    order (4 luma blocks + Cb + Cr), one DPCM predictor per
+    component, restart interval counted in MCUs (all predictors
+    reset). ``zz_y_full`` is the MCU-16 luma grid (2*mcu_cols block
+    columns); chroma grids equal their MCU grid."""
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    rst = 0
+    mcu = 0
+    ycols = 2 * mcu_cols
+
+    def dc(v, ci, enc):
+        cat, bits = _magnitude(v - prev[ci])
+        prev[ci] = v
+        code, ln = enc[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(bits, cat)
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            mcu += 1
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    b = (2 * my + sy) * ycols + (2 * mx + sx)
+                    dc(zz_y_full[b][0] >> al, 0, _DC_ENC)
+            cb = my * mcu_cols + mx
+            dc(zz_cb[cb][0] >> al, 1, _DC_ENC_C)
+            dc(zz_cr[cb][0] >> al, 2, _DC_ENC_C)
+    w.flush()
+    return bytes(w.out)
+
+
+def _emit_dc_refine_interleaved(
+    zz_y_full, zz_cb, zz_cr, mcu_rows, mcu_cols, al, restart_interval
+) -> bytes:
+    """Interleaved DC refinement: one raw bit per block in MCU order
+    (bit ``al`` of each DC value), restarts counted in MCUs."""
+    w = _BitWriter()
+    rst = 0
+    mcu = 0
+    ycols = 2 * mcu_cols
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            mcu += 1
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    b = (2 * my + sy) * ycols + (2 * mx + sx)
+                    w.write((zz_y_full[b][0] >> al) & 1, 1)
+            cb = my * mcu_cols + mx
+            w.write((zz_cb[cb][0] >> al) & 1, 1)
+            w.write((zz_cr[cb][0] >> al) & 1, 1)
+    w.flush()
+    return bytes(w.out)
+
+
 def encode_color_progressive(
     width: int,
     height: int,
@@ -1505,6 +1573,7 @@ def encode_color_progressive(
     restart_interval: int = 0,
     dc_levels: int = 0,
     ac_levels: int = 0,
+    interleaved_dc: bool = False,
 ) -> bytes:
     """Encode interleaved RGB as a SOF2 PROGRESSIVE 4:2:0 YCbCr JPEG.
     Every scan is SINGLE-COMPONENT (Ns=1, legal per T.81 — progressive
@@ -1516,7 +1585,10 @@ def encode_color_progressive(
     2x2 chroma, Annex-K tables under IJG quality scaling), and the
     quantized coefficients are the baseline's exact values — so the
     progressive decode is BIT-EXACT against the baseline color
-    round-trip, the grading contract. Scan order: Y/Cb/Cr DC firsts,
+    round-trip, the grading contract. ``interleaved_dc`` emits the
+    DC scans in the Ns=3 MCU-ordered framing real-world progressive
+    files use instead (luma quantized over the full MCU-16 grid for
+    those scans only). Scan order: Y/Cb/Cr DC firsts,
     per-component AC band firsts, then DC and AC refinements
     (``dc_levels``/``ac_levels``, T.81 G.1.2 successive
     approximation, same semantics as the grayscale SA path).
@@ -1560,7 +1632,8 @@ def encode_color_progressive(
 
     bh = (height + 7) // 8 * 8
     bw = (width + 7) // 8 * 8
-    yb = (pad(y) - 128.0)[:bh, :bw]  # non-interleaved luma grid
+    y_full = pad(y) - 128.0  # MCU-16 grid (interleaved DC scans)
+    yb = y_full[:bh, :bw]  # non-interleaved luma grid
     cbs = pad(cb).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
     crs = pad(cr).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3)) - 128.0
 
@@ -1595,17 +1668,44 @@ def encode_color_progressive(
         ) + data
 
     ri = restart_interval
-    for cid, zzs, dc_enc, _ac, tabs in comps:  # DC firsts
-        out += sos(cid, tabs, 0, 0, 0, dc_levels,
-                   _emit_dc_first(zzs, dc_levels, ri, dc_enc))
+    if interleaved_dc:
+        # the framing real-world progressive files use: ONE Ns=3 DC
+        # scan in MCU order (luma quantized over the FULL MCU-16 grid
+        # — its pad blocks exist only in this scan; the AC scans'
+        # ceil-8 grid shares every real block's coefficients), then
+        # non-interleaved AC scans as below
+        zz_y_full = _plane_to_zzs(y_full, qy)
+        hdr = _seg(
+            0xDA,
+            bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, dc_levels]),
+        )
+        out += hdr + _emit_dc_first_interleaved(
+            zz_y_full, comps[1][1], comps[2][1], mh // 16, mw // 16,
+            dc_levels, ri,
+        )
+    else:
+        for cid, zzs, dc_enc, _ac, tabs in comps:  # DC firsts
+            out += sos(cid, tabs, 0, 0, 0, dc_levels,
+                       _emit_dc_first(zzs, dc_levels, ri, dc_enc))
     for cid, zzs, _dc, ac_enc, tabs in comps:  # AC band firsts
         for ss, se in bands:
             out += sos(cid, tabs, ss, se, 0, ac_levels,
                        _emit_ac_first(zzs, ss, se, ac_levels, ri, ac_enc))
     for al in range(dc_levels - 1, -1, -1):  # DC refinements
-        for cid, zzs, _dc, _ac, tabs in comps:
-            out += sos(cid, tabs, 0, 0, al + 1, al,
-                       _emit_dc_refine(zzs, al, ri))
+        if interleaved_dc:
+            hdr = _seg(
+                0xDA,
+                bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0,
+                       ((al + 1) << 4) | al]),
+            )
+            out += hdr + _emit_dc_refine_interleaved(
+                zz_y_full, comps[1][1], comps[2][1], mh // 16, mw // 16,
+                al, ri,
+            )
+        else:
+            for cid, zzs, _dc, _ac, tabs in comps:
+                out += sos(cid, tabs, 0, 0, al + 1, al,
+                           _emit_dc_refine(zzs, al, ri))
     for al in range(ac_levels - 1, -1, -1):  # AC refinements
         for cid, zzs, _dc, ac_enc, tabs in comps:
             for ss, se in bands:
@@ -1615,18 +1715,86 @@ def encode_color_progressive(
     return bytes(out)
 
 
+def _decode_dc_interleaved(
+    coefs, grids, sof_ids, tds, data, ah, al, tables, interval,
+    mcu_rows, mcu_cols,
+) -> None:
+    """Decode an interleaved (Ns=3) progressive DC scan for 4:2:0:
+    MCU order, per-component DPCM predictors, restart interval in
+    MCUs. The interleaved luma grid is MCU-16-padded, so blocks
+    beyond the non-interleaved ceil-8 grid (dimension remainders
+    1..8 mod 16) are entropy-decoded — they occupy real bits and
+    advance the predictor — but DISCARDED: no AC scan covers them
+    and the cropped reconstruction never reads them."""
+    cid_y, cid_cb, cid_cr = sof_ids
+    bh, bw = grids[cid_y]
+    yrows, ycols = bh // 8, bw // 8
+    reader = _BitReader(data)
+    expected_rst = 0
+    prev = {cid: 0 for cid in sof_ids}
+    refine = ah != 0
+    decs = {}
+    if not refine:
+        for cid, td in zip(sof_ids, tds):
+            if (0, td) not in tables:
+                raise ValueError(
+                    f"scan references undefined DC Huffman table {td}"
+                )
+            decs[cid] = tables[(0, td)]
+    mcu = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if interval and mcu and mcu % interval == 0:
+                n = reader.sync_restart()
+                if n != expected_rst:
+                    raise ValueError(
+                        f"restart marker out of sequence: got RST{n},"
+                        f" expected RST{expected_rst}"
+                    )
+                expected_rst = (expected_rst + 1) % 8
+                prev = {cid: 0 for cid in sof_ids}
+            mcu += 1
+
+            def one(cid, b, in_grid):
+                if refine:
+                    if reader.read_bit() and in_grid:
+                        coefs[cid][b, 0] |= 1 << al
+                    return
+                cat = _huff_read(reader, decs[cid])
+                diff = (
+                    _extend(reader.read_bits(cat), cat) if cat else 0
+                )
+                prev[cid] += diff
+                if in_grid:
+                    coefs[cid][b, 0] = prev[cid] << al
+
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    row, col = 2 * my + sy, 2 * mx + sx
+                    one(
+                        cid_y,
+                        row * ycols + col,
+                        row < yrows and col < ycols,
+                    )
+            cb = my * mcu_cols + mx
+            one(cid_cb, cb, True)
+            one(cid_cr, cb, True)
+
+
 def decode_color_progressive(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a SOF2 progressive 4:2:0 YCbCr JPEG whose scans are
-    single-component (streams from :func:`encode_color_progressive`,
-    or foreign files of that shape). Per-component coefficient planes
-    accumulate across scans via the shared :func:`_decode_prog_scan`
-    (spectral selection + successive approximation + restarts, with
-    per-scan DRI/DHT snapshots); dequantization, IDCT, 2x2 chroma
-    replication and BT.601 inversion run once at the end with exactly
-    :func:`decode_color`'s math — so the output is bit-identical to
-    the baseline color decode of the same quantized coefficients.
-    Rejected loudly: interleaved (Ns>1) progressive scans, non-4:2:0
-    sampling, Ah != Al+1, 16-bit quant tables."""
+    """Decode a SOF2 progressive 4:2:0 YCbCr JPEG. Scans may be
+    single-component (Ns=1), or — for DC only, the framing real-world
+    progressive files use for their first scan — interleaved (Ns=3,
+    MCU order, per-component predictors, :func:`_decode_dc_interleaved`).
+    Per-component coefficient planes accumulate across scans via the
+    shared :func:`_decode_prog_scan` (spectral selection + successive
+    approximation + restarts, with per-scan DRI/DHT snapshots);
+    dequantization, IDCT, 2x2 chroma replication and BT.601 inversion
+    run once at the end with exactly :func:`decode_color`'s math — so
+    the output is bit-identical to the baseline color decode of the
+    same quantized coefficients. Rejected loudly: interleaved AC
+    scans (illegal per T.81 G.1.1.1), non-4:2:0 sampling,
+    Ah != Al+1, 16-bit quant tables."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1701,10 +1869,37 @@ def decode_color_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 i += 17 + nvals
         elif marker == 0xDA:
             ns = body[0]
+            if ns == 3:
+                # interleaved DC scan (the framing real progressive
+                # files use for their first scan); AC scans must
+                # still be non-interleaved per T.81 G.1.1.1
+                cids = [body[1 + 2 * ci] for ci in range(3)]
+                tds = [body[2 + 2 * ci] >> 4 for ci in range(3)]
+                ss, se, ah_al = body[7], body[8], body[9]
+                ah, al = ah_al >> 4, ah_al & 0x0F
+                if ss != 0 or se != 0:
+                    raise ValueError(
+                        "interleaved progressive scans are legal for "
+                        "DC only (Ss=Se=0); AC scans must be "
+                        "single-component"
+                    )
+                if ah and ah != al + 1:
+                    raise ValueError(
+                        "successive-approximation refinement must "
+                        f"have Ah = Al + 1 (got Ah={ah}, Al={al})"
+                    )
+                start = pos + 2 + ln
+                end = _next_marker(payload, start)
+                scans.append(
+                    (("MCU", cids, tds), 0, 0, 0, 0, ah, al,
+                     payload[start:end], interval, dict(tables))
+                )
+                pos = end
+                continue
             if ns != 1:
                 raise ValueError(
                     "progressive color scans must be single-component "
-                    "(Ns=1); interleaved progressive is not supported"
+                    "(Ns=1) or an interleaved DC scan (Ns=3)"
                 )
             cid, tabs = body[1], body[2]
             td, ta = tabs >> 4, tabs & 0x0F
@@ -1741,7 +1936,21 @@ def decode_color_progressive(payload: bytes) -> tuple[int, int, bytes]:
         cid: np.zeros(((gh // 8) * (gw // 8), 64), dtype=np.int64)
         for cid, (gh, gw) in grids.items()
     }
+    mcu_rows = (height + 15) // 16
+    mcu_cols = (width + 15) // 16
     for cid, ss, se, td, ta, ah, al, data, ivl, tbls in scans:
+        if isinstance(cid, tuple):  # interleaved DC scan
+            _mark, cids, tds = cid
+            if cids != sof_ids:
+                raise ValueError(
+                    f"interleaved scan component order {cids} does "
+                    f"not match SOF order {sof_ids}"
+                )
+            _decode_dc_interleaved(
+                coefs, grids, sof_ids, tds, data, ah, al, tbls, ivl,
+                mcu_rows, mcu_cols,
+            )
+            continue
         if cid not in coefs:
             raise ValueError(f"scan references unknown component {cid}")
         _decode_prog_scan(

@@ -790,3 +790,54 @@ def test_progressive_restart_marker_out_of_sequence_rejected():
     enc[i + 1] = 0xD1
     with pytest.raises(ValueError, match="out of sequence"):
         decode_gray_progressive(bytes(enc))
+
+
+def test_color_progressive_interleaved_dc_bit_exact():
+    """The Ns=3 MCU-ordered DC framing real progressive files use:
+    interleaved DC first + refinement scans (per-component
+    predictors, restarts in MCUs, pad-block discard on the luma
+    MCU-16 grid) must decode BIT-EXACT vs the baseline — including
+    dimension remainders where the interleaved luma grid carries pad
+    blocks the non-interleaved AC grid lacks."""
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_color,
+        decode_color_progressive,
+        encode_color,
+        encode_color_progressive,
+    )
+
+    rng = np.random.default_rng(53)
+    for (w, h) in [(32, 32), (18, 14), (50, 34)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_color(encode_color(w, h, img.tobytes(), 80))[2]
+        for dc, ac, ri in [(0, 0, 0), (1, 1, 0), (2, 1, 2)]:
+            enc = encode_color_progressive(
+                w, h, img.tobytes(), 80, ((1, 5), (6, 63)), ri, dc, ac,
+                interleaved_dc=True,
+            )
+            assert decode_color_progressive(enc)[2] == base, (w, h, dc, ac, ri)
+
+
+def test_color_progressive_interleaved_ac_rejected():
+    """An Ns=3 scan with a nonzero spectral band is illegal
+    (T.81 G.1.1.1: interleaved progressive scans are DC-only)."""
+    import pytest
+
+    from sftp_data_ingestion_spark.ext.jpeg import (
+        decode_color_progressive,
+        encode_color_progressive,
+    )
+
+    rng = np.random.default_rng(54)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    enc = bytearray(
+        encode_color_progressive(
+            16, 16, img.tobytes(), 75, interleaved_dc=True
+        )
+    )
+    # the interleaved DC SOS: Ns=3 header is FFDA 000C 03 ...; set
+    # its Ss byte (offset 7 within the component list + 3) to 1
+    i = enc.index(bytes([0xFF, 0xDA, 0x00, 0x0C, 0x03]))
+    enc[i + 11] = 1  # Ss
+    with pytest.raises(ValueError, match="DC only|single-component"):
+        decode_color_progressive(bytes(enc))

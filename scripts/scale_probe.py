@@ -95,11 +95,20 @@ PROBES = [
     "t_nfc_normalization_report", # Arrow unicodedata kernel + agg
     "t_url_domain_stats",         # regex extract/explode, one distinct
     "z3_jpeg_progressive_roundtrip",  # SOF2 multi-scan codec, Arrow task
+    # r11: substring-level dup spans (shingle window + doc window),
+    # SA + color progressive codecs (Arrow CPU kernels), and the
+    # bucketed regimes' graded twins
+    "d_crossdoc_dup_spans",
+    "z3_jpeg_sa_roundtrip",
+    "z3_jpeg_color_progressive_roundtrip",
+    "d_minhash_lsh_near_dup_bucketed",
 ]
 
 
 def build_10x(spark) -> None:
     if os.path.isdir(DST):
+        if os.environ.get("SPARK_GRAFT_PROBE_REUSE") == "1":
+            return  # reuse a previously-built derivation
         shutil.rmtree(DST)
     os.makedirs(DST)
     # dims: copy as-is

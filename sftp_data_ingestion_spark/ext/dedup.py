@@ -940,24 +940,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+        )
+        # carry the changed-flag INTO the superstep's checkpoint: the
+        # convergence count then reads the materialized checkpoint
+        # instead of re-joining updated-vs-labels (one extra tiny
+        # column vs one extra shuffle job per superstep)
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nmin"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .where(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        n_changed = updated.where(F.col("__chg")).count()
+        labels = updated.select("id", "component")
         if n_changed == 0:
             converged = True
             break

@@ -188,6 +188,75 @@ def crossdoc_dup_spans(
     )
 
 
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """APPLY the substring-dedup cut-list: rewrite every document
+    with its :func:`crossdoc_dup_spans` token ranges removed
+    (symmetric strip — every occurrence of duplicated text goes,
+    the conservative policy when no canonical owner exists), keeping
+    per-doc removal accounting. Output text is the NORMALIZED
+    reconstruction (lowercase, single-space) — the form the dedup
+    tokenization is defined over.
+
+    Shape: positional tokens anti-join the span table on the doc key
+    (equi on the id + range residual, so it plans a hash/merge join
+    on the doc key, never a nested loop), then one per-doc
+    re-aggregation via array_sort(collect_list(struct(pos, tok)))
+    — order restored without a window. Adds one doc-key shuffle on
+    top of the span derivation's two.
+
+    Returns (id_col, clean_text, n_tokens_kept, n_tokens_removed)."""
+    spans = crossdoc_dup_spans(df, id_col, text_col, k).select(
+        id_col, "span_start", "span_end"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized(F.col(text_col)), " ")
+        ).alias("pos", "tok"),
+    )
+    s = spans.alias("s")
+    kept = toks.alias("t").join(
+        s,
+        (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") < F.col("s.span_end")),
+        "left_anti",
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(normalized(F.col(text_col)), " ")).alias("n_total"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            (
+                F.col("n_total")
+                - F.coalesce(F.col("n_tokens_kept"), F.lit(0))
+            ).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
 def prune_hot_postings(
     toks: DataFrame, max_df: int | None, key_col: str = "sh"
 ) -> DataFrame:

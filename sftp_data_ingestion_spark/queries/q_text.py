@@ -593,6 +593,76 @@ def d_crossdoc_dup_spans(spark, sf_dir):
     return dd.crossdoc_dup_spans(d, k=5)
 
 
+@query(
+    "d_strip_dup_spans",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+), pos_sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i+1:i+5], ' ') AS sh
+  FROM (SELECT doc_id, t,
+               unnest(range(greatest(length(t) - 4, 0))) AS i
+        FROM toks)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS occ
+    FROM pos_sh
+  ) WHERE occ > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS f
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+  FROM isl GROUP BY doc_id, island
+), pt AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS tok
+  FROM (SELECT doc_id, t, unnest(range(length(t))) AS i FROM toks)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pt p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans z
+    WHERE z.doc_id = p.doc_id AND p.pos >= z.s AND p.pos < z.e
+  )
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_total FROM toks
+)
+SELECT tt.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_tokens_kept, 0) AS n_tokens_kept,
+       tt.n_total - COALESCE(r.n_tokens_kept, 0) AS n_tokens_removed
+FROM totals tt LEFT JOIN rebuilt r ON r.doc_id = tt.doc_id
+""",
+)
+def d_strip_dup_spans(spark, sf_dir):
+    """The APPLY step of substring-level dedup: rewrite every
+    document with its duplicated-span token ranges removed
+    (symmetric strip) plus per-doc removal accounting — the actual
+    corpus transformation a training pipeline ships after computing
+    the cut-list. Graded against a DuckDB twin of the full
+    derive-then-strip composition (spans + positional anti-filter +
+    ordered re-aggregation)."""
+    d = table(spark, sf_dir, "documents")
+    return dd.strip_dup_spans(d, k=5)
+
+
 @query("d_minhash_lsh_near_dup_bucketed", oracle=_MINHASH_NEARDUP_ORACLE)
 def d_minhash_lsh_near_dup_bucketed(spark, sf_dir):
     """The 100 TB REGIME of the MinHash-LSH near-dup pipeline, graded

@@ -265,3 +265,29 @@ def test_crossdoc_dup_spans_hand_computed(spark):
         (4, 0, 5, 5),   # first "m n o p q"
         (4, 7, 12, 5),  # second, its own island (gap 7 > k)
     ]
+
+
+def test_strip_dup_spans_hand_computed(spark):
+    """Apply-step fixture: the shared 7-token run disappears from
+    BOTH docs (symmetric strip), the within-doc repeat loses both
+    occurrences, the unique doc is reconstructed whole (normalized),
+    and the accounting columns add up."""
+    from sftp_data_ingestion_spark.ext.dedup import strip_dup_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g y"),
+        (3, "p q r s t u"),
+        (4, "m n o p q z z m n o p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in strip_dup_spans(df, k=5).collect()
+    }
+    assert got == {
+        1: ("h i j", 3, 7),
+        2: ("x x y", 3, 7),
+        3: ("p q r s t u", 6, 0),
+        4: ("z z", 2, 10),
+    }

@@ -363,3 +363,53 @@ def bm25_scored(
             ).alias("score")
         )
     )
+
+
+def canonicalize_url(u: Column) -> Column:
+    """Crawl-pipeline URL canonicalization, all built-in expressions
+    (scan-local, zero shuffle): lowercase scheme and host, strip a
+    leading ``www.``, drop default ports (:80 http / :443 https),
+    drop the fragment, remove tracking query params (``utm_*``,
+    ``gclid``, ``fbclid``, ``ref``), SORT the surviving params
+    (param order is presentation, not identity), collapse an empty
+    path to ``/`` and strip a trailing slash elsewhere. The standard
+    equivalence-class mapping URL dedup keys on — two crawl records
+    of the same page with different tracking decorations canonicalize
+    identically.
+
+    Aggressive choices (www-strip, param sort) are deliberate and
+    documented: crawl dedup wants recall on same-page variants;
+    pipelines needing byte-faithful URLs keep the original column
+    alongside."""
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    rawq = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(rawq, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+        )
+    )
+    q = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )

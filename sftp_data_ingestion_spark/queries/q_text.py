@@ -545,6 +545,74 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
 
 
 @query(
+    "t_url_canonical_dedup",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         CAST(doc_id % 100 AS VARCHAR) AS n,
+         doc_id % 4 AS k
+  FROM documents
+), expected AS (
+  -- the INDEPENDENT derivation: what each crafted variant MUST
+  -- canonicalize to (not a twin of the canonicalizer's own logic)
+  SELECT doc_id,
+         'https://example.com/item/' || n
+         || CASE WHEN k IN (2, 3) THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM v
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM expected GROUP BY canonical_url
+""",
+)
+def t_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization graded against an INDEPENDENT expected
+    derivation: four crafted variants of each logical page — scheme/
+    host case, www + explicit :443 + trailing slash, utm_* tracking
+    params, fbclid + shuffled param order — must all collapse to one
+    canonical key (`ext.textstats.canonicalize_url`), and the grouped
+    variant accounting must match the oracle, which computes the
+    expected canonical straight from the variant recipe rather than
+    re-running the canonicalizer (a bug in any canonicalization rule
+    therefore diverges instead of agreeing with itself)."""
+    d = table(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 100).cast("string")
+    k = F.col("doc_id") % 4
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://example.com/item/"), n))
+        .when(
+            k == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.com:443/item/"), n, F.lit("/")
+            ),
+        )
+        .when(
+            k == 2,
+            F.concat(
+                F.lit("https://example.com/item/"), n,
+                F.lit("?utm_source=x&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/item/"), n,
+                F.lit("?a=1&fbclid=zzz&b=2"),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", ts.canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@query(
     "d_crossdoc_dup_spans",
     oracle=r"""
 WITH toks AS (

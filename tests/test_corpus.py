@@ -633,3 +633,36 @@ def test_stream_release_e2e_invariants(spark):
     # == admitted
     admitted = q.QUERIES["z3_stream_ingest_neardup"](spark, sf).count()
     assert card[0] + card[2] + card[3] == admitted
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule pinned on adversarial inputs:
+    scheme/host case, www strip, default-port strip (scheme-aware —
+    :443 on http stays), fragment drop, tracking-param removal,
+    param sort, empty-path and trailing-slash handling."""
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.ext.textstats import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM", "http://example.com/"),
+        ("https://www.example.com:443/a/", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x&utm_medium=y",
+         "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1&gclid=g",
+         "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?ref=z&refresh=1",
+         "https://example.com/a?refresh=1"),  # ref dies, refresh stays
+        ("https://example.com/?a=1", "https://example.com/?a=1"),
+        ("https://example.com/a/b/", "https://example.com/a/b"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    got = df.select(
+        "u", "want", canonicalize_url(F.col("u")).alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["u"], r["got"], r["want"])

@@ -30,6 +30,62 @@ def split_bucket(key):
     return F.pmod(key * F.lit(_KNUTH), F.lit(_BUCKETS))
 
 
+_RES_M = 1_000_000  # uniform-grid resolution for the reservoir keys
+
+
+@query(
+    "x_weighted_reservoir",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ((doc_id * {_KNUTH}) % {_RES_M} + 0.5) / {_RES_M} AS u
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_tokens,
+         round(ln(u) / n_tokens, 9) AS k
+  FROM w
+)
+SELECT doc_id, source, n_tokens
+FROM keyed ORDER BY k DESC, doc_id LIMIT 200
+""",
+)
+def x_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir sampling (Efraimidis–Spirtsas A-ES, the
+    one-pass distributed algorithm): each row gets key
+    ``u^(1/w)`` — equivalently ``ln(u)/w``, monotone — and the sample
+    is the global top-k by key; here w = token count, i.e.
+    token-proportional document sampling, the mixing primitive that
+    favors long documents without a second pass or per-source state.
+
+    Determinism discipline: ``u`` is the Knuth-hash uniform
+    ``((id * 2654435761) % 10^6 + 0.5) / 10^6`` (bit-identical in
+    Spark and DuckDB, never 0 so ln is finite), the key is ROUNDED to
+    9 dp before ranking (ulp-stable across libm implementations —
+    same rule as the tf-idf family), and ties break on doc_id. The
+    top-k plans as TakeOrderedAndProject: per-partition 200-row
+    heaps + driver merge, no global sort, no sampling state — a
+    failed-partition retry reproduces the identical sample at any
+    cluster size."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = ts.token_count(F.col("text")).cast("long")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_RES_M)) + F.lit(0.5)
+    ) / F.lit(_RES_M)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.round(F.log(u) / n_tok, 9).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), F.col("doc_id"))
+        .limit(200)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
 _BUCKET_SQL = f"((doc_id * {_KNUTH}) % {_BUCKETS})"
 
 

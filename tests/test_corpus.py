@@ -666,3 +666,36 @@ def test_canonicalize_url_rules(spark):
     ).collect()
     for r in got:
         assert r["got"] == r["want"], (r["u"], r["got"], r["want"])
+
+
+def test_weighted_reservoir_plan_and_bias(spark):
+    """The A-ES sample plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort) and actually biases toward weight: the
+    sampled docs' mean token count must exceed the corpus mean, and
+    the sample must be exactly the deterministic top-k (re-run
+    identical)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    df = q.QUERIES["x_weighted_reservoir"](spark, sf)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    rows = df.collect()
+    again = q.QUERIES["x_weighted_reservoir"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again
+    )
+    sample_mean = sum(r["n_tokens"] for r in rows) / len(rows)
+    corpus = q.QUERIES["x_weighted_reservoir"](spark, sf)  # reuse derive
+    from pyspark.sql import functions as F
+
+    from sftp_data_ingestion_spark.ext import textstats as ts
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    corpus_mean = (
+        table(spark, sf, "documents")
+        .select(ts.token_count(F.col("text")).alias("n"))
+        .agg(F.avg("n"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean

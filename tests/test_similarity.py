@@ -445,3 +445,34 @@ def test_kmeans_injected_centroids_is_lazy_and_value_identical(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, trained.collect())
     )
+
+
+def test_semdedup_drops_closer_to_centroid(spark):
+    # two tight clusters, each with one near-dup pair above the 0.9
+    # threshold, plus two orthogonal singletons below it
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # ~0.994 to v0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),  # ~0.999 to v2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup_survivors(df, k=2, n_iters=1, threshold=0.9)
+    got = {r["vec_id"]: (r["cluster_id"], r["kept"]) for r in out.collect()}
+    assert len(got) == 6
+    # exactly one of each planted pair survives, and the survivor is
+    # the member FARTHER from its centroid (lower rounded score)
+    asg = {
+        r["id"]: r["score"]
+        for r in sim.kmeans_assignments(df, k=2, n_iters=1).collect()
+    }
+    for a, b in [(0, 1), (2, 3)]:
+        assert got[a][0] == got[b][0], "pair must share a cluster"
+        assert got[a][1] != got[b][1], "exactly one of the pair kept"
+        kept = a if got[a][1] else b
+        dropped = b if kept == a else a
+        assert asg[kept] <= asg[dropped]
+    # singletons and cross-cluster non-pairs are untouched
+    assert got[4][1] and got[5][1]

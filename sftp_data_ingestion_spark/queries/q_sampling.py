@@ -229,3 +229,149 @@ def x_weighted_source_mix(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+_DSIR_B = 64  # hashed-feature buckets (DSIR's hashed n-gram space)
+
+
+@query(
+    "x_dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         {ts.rolling_fingerprint_sql('gram')} % {_DSIR_B} AS f
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(length(t) - 1),
+                  i -> t[i+1] || ' ' || t[i+2])) AS gram
+    FROM toks
+  )
+), counts AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+         CAST(count(*) FILTER (source IN ('src0', 'src1')) AS BIGINT) AS ct
+  FROM feat GROUP BY f
+), tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+  FROM counts
+), lr AS (
+  SELECT f, round(ln((ct + 1.0) / (nt + {_DSIR_B}))
+                  - ln((cr + 1.0) / (nr + {_DSIR_B})), 6) AS lr
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id, source, n_grams, weight FROM (
+  SELECT fe.doc_id, fe.source,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(lr.lr), 6) AS weight
+  FROM feat fe JOIN lr USING (f)
+  GROUP BY 1, 2
+) ORDER BY weight DESC, doc_id LIMIT 100
+""",
+)
+def x_dsir_importance(spark, sf_dir):
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection by
+    importance resampling over HASHED n-gram features. Each document's
+    bigrams hash (engine-portable rolling hash) into 64 buckets; the
+    target distribution is the src0/src1 slice, the raw distribution
+    the whole corpus; a bucket's log-likelihood ratio is
+    ln(p_target/p_raw) with +1 smoothing, and a document's importance
+    weight is the sum of its bigram occurrences' ratios. The selection
+    is the global top-100 by weight (id tiebreak) — the resampling
+    step that tilts a raw crawl toward a target domain without
+    training a classifier.
+
+    Scale shape: ONE conditional aggregation computes both sides'
+    bucket counts (no second scan); the 64-row ratio table broadcasts
+    back onto the exploded grams; per-doc summation partially
+    aggregates map-side; the top-100 plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort). Nothing driver-side except
+    the k selected rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = ts.tokens(F.col("text"))
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    feat = d.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(ts.rolling_fingerprint(F.col("gram")), F.lit(_DSIR_B)).alias(
+            "f"
+        ),
+    )
+    is_tgt = F.col("source").isin("src0", "src1").cast("long")
+    counts = feat.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum(is_tgt).alias("ct")
+    )
+    tot = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.lit(_DSIR_B)))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.lit(_DSIR_B))),
+            6,
+        ).alias("lr"),
+    )
+    return (
+        feat.join(F.broadcast(lr), "f")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+_SHUF_M = 1000003  # prime modulus for the epoch-shuffle key space
+
+
+@query(
+    "x_epoch_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, (doc_id * {_KNUTH}) % {_SHUF_M} AS k
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(k % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY k % 8 ORDER BY k, doc_id) AS INT) AS pos
+FROM keyed
+""",
+)
+def x_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: every document gets a seeded
+    pseudo-random key (Knuth multiplicative hash mod a prime), the key
+    picks the output shard, and the within-shard position is the key
+    order — the reproducible global training order a data loader
+    expects, without rand() (retry-unstable) or a global sort. Since
+    the key is uniform and independent of source, consecutive
+    positions interleave sources by construction.
+
+    Scale shape: the shard assignment is a pure per-row projection;
+    the only exchange is the shard partitioning itself (exactly the
+    shuffle the shard WRITE requires — no extra), and the within-shard
+    sort is the per-output-file local sort every shard writer already
+    pays. No global ordering state, no driver involvement; a new
+    epoch is a new multiplier, nothing re-materializes."""
+    d = table(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_SHUF_M))
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        d.select("doc_id", "source", k.alias("k"))
+        .withColumn("shard", F.pmod(F.col("k"), F.lit(8)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("k")
+    )

@@ -699,3 +699,43 @@ def test_weighted_reservoir_plan_and_bias(spark):
         .first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_dsir_importance_tilts_toward_target(spark):
+    """DSIR's top-100 selection plans as TakeOrderedAndProject and is
+    tilted toward the target domain: src0/src1 documents must be
+    overrepresented in the selection relative to their corpus share
+    (2 of 20 sources = 10%)."""
+    from sftp_data_ingestion_spark import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    df = q.QUERIES["x_dsir_importance"](spark, sf)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    rows = df.collect()
+    assert len(rows) == 100
+    n_tgt = sum(1 for r in rows if r["source"] in ("src0", "src1"))
+    assert n_tgt > 20, f"target share not tilted: {n_tgt}/100"
+
+
+def test_epoch_shuffle_contiguous_and_deterministic(spark):
+    """Every shard's positions are exactly 1..n_shard, the assignment
+    is rerun-identical, and all 8 shards interleave all sources."""
+    from collections import defaultdict
+
+    from sftp_data_ingestion_spark import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    rows = q.QUERIES["x_epoch_shuffle"](spark, sf).collect()
+    assert len(rows) == 500
+    by_shard = defaultdict(list)
+    srcs = defaultdict(set)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+        srcs[r["shard"]].add(r["source"])
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+        assert len(srcs[s]) >= 15, f"shard {s} poorly interleaved"
+    again = q.QUERIES["x_epoch_shuffle"](spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

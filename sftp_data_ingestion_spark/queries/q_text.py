@@ -1363,3 +1363,173 @@ def t_url_domain_stats(spark, sf_dir):
         F.sum("cnt").cast("bigint").alias("n_urls"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021, arXiv:2112.11446 Table A1)
+# over a DERIVED dirty twin of each document — the fixture text is
+# clean space-separated words, so structure (lines, bullets, ellipses,
+# symbol words) is injected deterministically from doc_id to give
+# every rule real variance, the repo's established derived-input
+# oracle pattern (wh_jsonl_robust_ingest, v_embedding_near_dup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_gopher_rules",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), dirty AS (
+  SELECT doc_id,
+         list_transform(range(length(t)), i ->
+           CASE WHEN doc_id % 11 = 0 AND i % 3 = 0 THEN '####'
+                ELSE t[i+1] END) AS t2
+  FROM toks
+), lined AS (
+  SELECT doc_id,
+         list_transform(range((length(t2) + 7) // 8), j ->
+           CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END
+           || array_to_string(t2[8*j+1:8*j+8], ' ')
+           || CASE WHEN doc_id % 7 = 0 AND j % 2 = 0 THEN '...'
+                   ELSE '' END) AS lines
+  FROM dirty
+), words AS (
+  SELECT doc_id, lines,
+         string_split(array_to_string(lines, ' '), ' ') AS w
+  FROM lined
+), meas AS (
+  SELECT doc_id,
+         length(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) AS sumlen,
+         length(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...'))
+           AS n_sym,
+         length(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+           AS n_alpha,
+         length(list_filter(['the', 'a', 'to', 'of', 'and'],
+                            s -> list_contains(w, s))) AS n_stop,
+         length(lines) AS nl,
+         length(list_filter(lines, l -> l LIKE '- %')) AS n_bullet,
+         length(list_filter(lines, l -> l LIKE '%...')) AS n_ellip
+  FROM words
+)
+SELECT doc_id,
+       CAST(nw AS INT) AS n_words,
+       (nw BETWEEN 50 AND 100000) AS r_wordcount,
+       (sumlen * 1.0 / nw BETWEEN 3 AND 10) AS r_mean_word_len,
+       (n_sym * 1.0 / nw <= 0.1) AS r_symbol_ratio,
+       (n_bullet * 1.0 / nl <= 0.9) AS r_bullet_lines,
+       (n_ellip * 1.0 / nl <= 0.3) AS r_ellipsis_lines,
+       (n_alpha * 1.0 / nw >= 0.8) AS r_alpha_words,
+       (n_stop >= 2) AS r_stopwords,
+       ((nw BETWEEN 50 AND 100000)
+        AND sumlen * 1.0 / nw BETWEEN 3 AND 10
+        AND n_sym * 1.0 / nw <= 0.1
+        AND n_bullet * 1.0 / nl <= 0.9
+        AND n_ellip * 1.0 / nl <= 0.3
+        AND n_alpha * 1.0 / nw >= 0.8
+        AND n_stop >= 2) AS keep
+FROM meas
+""",
+)
+def t_gopher_rules(spark, sf_dir):
+    """The full Gopher quality-rule battery as per-rule boolean flags
+    plus the final keep decision — the published filter (word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, bullet- and
+    ellipsis-line fractions, alphabetic-word fraction, stopword
+    presence) that complements the scalar t_quality_score. Runs over a
+    deterministically dirtied twin of each document (doc_id-keyed
+    symbol injection, line chunking, bullet/ellipsis decoration) so
+    each rule discriminates on this fixture.
+
+    Scale shape: one shuffle-free projection pipeline — tokenize once,
+    every rule reads the same materialized arrays (no re-tokenizing
+    per rule), no UDFs, no explode (array HOFs keep each doc's work on
+    its own row), output one row per doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = ts.tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("t"))
+    dirty = base.select(
+        "doc_id",
+        F.transform(
+            F.col("t"),
+            lambda x, i: F.when(
+                (F.col("doc_id") % 11 == 0) & (i % 3 == 0), F.lit("####")
+            ).otherwise(x),
+        ).alias("t2"),
+    )
+    lined = dirty.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0), ((F.size("t2") + 7) / F.lit(8)).cast("int") - 1
+            ),
+            lambda j: F.concat(
+                F.when(F.col("doc_id") % 5 == 0, F.lit("- ")).otherwise(
+                    F.lit("")
+                ),
+                F.array_join(F.slice(F.col("t2"), j * 8 + 1, F.lit(8)), " "),
+                F.when(
+                    (F.col("doc_id") % 7 == 0) & (j % 2 == 0), F.lit("...")
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("lines"),
+    )
+    words = lined.select(
+        "doc_id",
+        "lines",
+        F.split(F.array_join(F.col("lines"), " "), " ").alias("w"),
+    )
+    meas = words.select(
+        "doc_id",
+        F.size("w").alias("nw"),
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sumlen"),
+        F.size(
+            F.filter(
+                F.col("w"),
+                lambda x: x.contains("#") | x.endswith("..."),
+            )
+        ).alias("n_sym"),
+        F.size(F.filter(F.col("w"), lambda x: x.rlike("[a-z]"))).alias(
+            "n_alpha"
+        ),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in ("the", "a", "to", "of", "and")]),
+                lambda s: F.array_contains(F.col("w"), s),
+            )
+        ).alias("n_stop"),
+        F.size("lines").alias("nl"),
+        F.size(
+            F.filter(F.col("lines"), lambda l: l.startswith("- "))
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(F.col("lines"), lambda l: l.endswith("..."))
+        ).alias("n_ellip"),
+    )
+    nw = F.col("nw").cast("double")
+    nl = F.col("nl").cast("double")
+    r_wc = (F.col("nw") >= 50) & (F.col("nw") <= 100000)
+    mean_wl = F.col("sumlen") / nw
+    r_mwl = (mean_wl >= 3) & (mean_wl <= 10)
+    r_sym = F.col("n_sym") / nw <= 0.1
+    r_bul = F.col("n_bullet") / nl <= 0.9
+    r_ell = F.col("n_ellip") / nl <= 0.3
+    r_alp = F.col("n_alpha") / nw >= 0.8
+    r_stp = F.col("n_stop") >= 2
+    return meas.select(
+        "doc_id",
+        F.col("nw").alias("n_words"),
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bul.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alp.alias("r_alpha_words"),
+        r_stp.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_stp).alias("keep"),
+    )

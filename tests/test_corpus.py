@@ -739,3 +739,20 @@ def test_epoch_shuffle_contiguous_and_deterministic(spark):
         assert len(srcs[s]) >= 15, f"shard {s} poorly interleaved"
     again = q.QUERIES["x_epoch_shuffle"](spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gopher_rules_discriminate(spark):
+    """The battery's flags vary on the fixture (not vacuous), keep is
+    exactly the AND of the seven rules, and each doc appears once."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = q.QUERIES["t_gopher_rules"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500 == len({r["doc_id"] for r in rows})
+    flags = [c for c in rows[0].asDict() if c.startswith("r_")]
+    assert len(flags) == 7
+    varying = [
+        c for c in flags if len({r[c] for r in rows}) == 2
+    ]
+    assert len(varying) >= 5, f"too many vacuous rules: {varying}"
+    for r in rows:
+        assert r["keep"] == all(r[c] for c in flags)

@@ -102,6 +102,15 @@ PROBES = [
     "z3_jpeg_sa_roundtrip",
     "z3_jpeg_color_progressive_roundtrip",
     "d_minhash_lsh_near_dup_bucketed",
+    # r11 session 2: DSIR weights (broadcast ratio join), epoch
+    # shuffle (shard window), Gopher battery (array-HOF projection).
+    # v_semdedup is NOT probed as-registered: its fixture operating
+    # point (k=8) is only honest at fixture scale — the 100 TB regime
+    # scales k with the corpus; scripts/semdedup_probe.py measures
+    # that regime directly.
+    "x_dsir_importance",
+    "x_epoch_shuffle",
+    "t_gopher_rules",
 ]
 
 

@@ -1321,3 +1321,78 @@ def group_minhash_jaccard(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — the storage-dedup / shift-resistant
+# chunk boundary rule (Rabin/FastCDC family)
+# ---------------------------------------------------------------------------
+
+_CDC_P = 2147483647  # 2^31 - 1, same Mersenne modulus as the
+_CDC_B = 131  # portable rolling fingerprint (ext/textstats.py)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined chunking: cut after every position whose
+    trailing ``window``-char polynomial hash is ≡ 0 (mod ``divisor``)
+    — so boundaries are a function of LOCAL content only, and an
+    insertion re-chunks just its neighborhood while every downstream
+    chunk keeps its identity (the property fixed-size chunking lacks,
+    and the reason storage dedup and long-document boilerplate
+    accounting use CDC). Mean chunk length ~= ``divisor``. Simplified
+    vs FastCDC: no min/max clamps (those make each cut depend on the
+    previous cut — sequential state — where the pure rule stays a
+    per-position predicate, embarrassingly parallel and
+    engine-portable). Returns ``(id_col, chunk)`` exploded, empty
+    chunks dropped.
+
+    Scale shape: one shuffle-free projection per doc (O(len·window)
+    integer arithmetic in array HOFs, no UDF), then one explode; all
+    dedup accounting downstream is ordinary groupBy on the chunk.
+    """
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), s.alias("s"))
+    codes = F.transform(F.split(F.col("s"), ""), lambda c: F.ascii(c))
+    n = F.length(F.col("s"))
+    # 0-based cut positions: cut AFTER char i (i >= window-1)
+    cuts = F.filter(
+        F.sequence(F.lit(window - 1), n - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (
+                acc * _CDC_B + F.element_at(codes, (i - window + 2 + j))
+            )
+            % F.lit(_CDC_P),
+        )
+        % divisor
+        == 0,
+    )
+    withcuts = base.where(n > 0).select(
+        F.col(id_col),
+        F.col("s"),
+        F.concat(F.array(F.lit(0)), F.transform(cuts, lambda c: c + 1)).alias(
+            "starts"
+        ),
+        F.concat(F.transform(cuts, lambda c: c + 1), F.array(n)).alias(
+            "ends"
+        ),
+    )
+    chunk = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("starts") - 1),
+            lambda k: F.col("s").substr(
+                F.element_at(F.col("starts"), k + 1) + 1,
+                F.element_at(F.col("ends"), k + 1)
+                - F.element_at(F.col("starts"), k + 1),
+            ),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    return withcuts.select(F.col(id_col), F.explode(chunk).alias("chunk"))

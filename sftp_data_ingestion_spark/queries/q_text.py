@@ -1533,3 +1533,89 @@ def t_gopher_rules(spark, sf_dir):
         r_stp.alias("r_stopwords"),
         (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_stp).alias("keep"),
     )
+
+
+_CDC_BOILER = (
+    "subscribe to our newsletter for daily updates"
+    " and click here to unsubscribe"
+)
+
+
+@query(
+    "d_cdc_chunk_dedup",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(CASE WHEN doc_id % 4 = 1
+                THEN '{_CDC_BOILER} ' || text ELSE text END),
+              '\s+', ' ', 'g')) AS s
+  FROM documents
+), hs AS (
+  SELECT doc_id, s, length(s) AS n,
+         list_filter(range(7, length(s)), i ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(8), j ->
+                 CAST(unicode(s[i - 6 + j : i - 6 + j]) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 2147483647) % 32 = 0
+         ) AS cuts
+  FROM d WHERE length(s) > 0
+), bounds AS (
+  SELECT doc_id, s,
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(cuts, c -> c + 1)) AS starts,
+         list_append(list_transform(cuts, c -> c + 1),
+           CAST(n AS BIGINT)) AS ends
+  FROM hs
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(range(length(starts)),
+             k -> s[starts[k+1] + 1 : ends[k+1]]),
+           c -> length(c) > 0)) AS chunk
+  FROM bounds
+)
+SELECT chunk,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+WHERE length(chunk) >= 8
+GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def d_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (Rabin/FastCDC family): chunk
+    every document at content-defined boundaries (trailing-window
+    rolling hash ≡ 0 mod 32 — see ``ext.dedup.cdc_chunks``), then
+    account every chunk that recurs across documents. CDC's property
+    — pinned by the shift-resistance pytest — is that an insertion
+    re-chunks only its neighborhood, so shared spans dedup no matter
+    where they sit in each document; fixed-size chunking would shift
+    every downstream boundary. A deterministic boilerplate prefix on
+    every doc_id % 4 = 1 document plants a real cross-doc duplicated
+    span (the fixture corpus is random words).
+
+    Scale shape: chunking is one shuffle-free array-HOF projection
+    (no UDF); the only exchange is the chunk groupBy, whose key
+    cardinality is corpus-mass / mean-chunk-size — ordinary
+    hash-aggregate territory at any scale."""
+    d = table(spark, sf_dir, "documents")
+    derived = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit(_CDC_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dd.cdc_chunks(derived)
+        .where(F.length("chunk") >= 8)
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -291,3 +291,40 @@ def test_strip_dup_spans_hand_computed(spark):
         3: ("p q r s t u", 6, 0),
         4: ("z z", 2, 10),
     }
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """CDC's defining property: prepending text re-chunks only the
+    neighborhood of the insertion — every chunk after the first
+    content-defined boundary keeps its identity."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+
+    t = (
+        "the quick brown fox jumps over the lazy dog and runs far away"
+        " into the woods tonight again and then sleeps for a long time"
+    )
+    df = spark.createDataFrame(
+        [(1, t), (2, "some inserted prefix junk " + t)],
+        "doc_id long, text string",
+    )
+    rows = dd.cdc_chunks(df).collect()
+    c1 = [r["chunk"] for r in rows if r["doc_id"] == 1]
+    c2 = [r["chunk"] for r in rows if r["doc_id"] == 2]
+    shared = set(c1) & set(c2)
+    # everything from the first shared boundary on survives the shift
+    assert len(shared) >= len(c1) - 1 >= 1
+    # chunks reassemble exactly (no characters lost or duplicated)
+    assert "".join(c1) == t.lower()
+
+
+def test_cdc_chunk_dedup_finds_planted_boiler(spark):
+    """The planted boilerplate prefix (doc_id % 4 == 1) must surface
+    as cross-doc duplicated chunks covering ~125 docs at sf0.01."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = q.QUERIES["d_cdc_chunk_dedup"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "no duplicated chunks found"
+    top = max(rows, key=lambda r: r["n_docs"])
+    assert top["n_docs"] >= 100, f"boiler not found: {top}"

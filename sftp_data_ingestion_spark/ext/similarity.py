@@ -1545,6 +1545,9 @@ def semdedup_survivors(
     digits: int = 6,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    coarse: bool = False,
+    n_groups: int | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding corpus with the engine-portable k-means loop, compute
@@ -1564,9 +1567,20 @@ def semdedup_survivors(
     ``centroids`` to keep composition lazy (see
     :func:`kmeans_assignments`); the graded default trains inline.
     """
-    asg = kmeans_assignments(
-        df, k, n_iters, vec_col, id_col, digits, centroids=centroids
-    )
+    if coarse:
+        # the n*k escape hatch: two-stage IVF-style assignment,
+        # ~2*sqrt(k) dots per row — approximate, gate on measured
+        # recall (see coarse_assignments)
+        if centroids is None:
+            centroids = kmeans_train(df, k, n_iters, vec_col, id_col, digits)
+        asg = coarse_assignments(
+            df, centroids, vec_col, id_col, digits, n_groups=n_groups,
+            nprobe=nprobe,
+        )
+    else:
+        asg = kmeans_assignments(
+            df, k, n_iters, vec_col, id_col, digits, centroids=centroids
+        )
     v = as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     m = asg.join(base, "id").withColumn(
@@ -1608,4 +1622,113 @@ def semdedup_survivors(
             "cluster_id",
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+def _group_centroids(
+    cents: list[list[float]], n_groups: int, n_iters: int = 5
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Tiny driver-side Lloyd over the CENTROIDS themselves (k points,
+    k << n — microseconds): returns ``(group_means, members)`` where
+    ``members[g]`` lists the centroid indices routed to group g.
+    Deterministic: stride seeding, argmax on the rounded dot with
+    ties to the larger group (the same tiebreak the engine-portable
+    loop uses), empty groups keep their previous mean."""
+    import math
+
+    k, dim = len(cents), len(cents[0])
+
+    def _norm(v):
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s if s else x for x in v]
+
+    stride = max(k // n_groups, 1)
+    means = [_norm(cents[i]) for i in range(0, k, stride)][:n_groups]
+    members: list[list[int]] = [[] for _ in means]
+    for _ in range(n_iters):
+        members = [[] for _ in means]
+        for ci, c in enumerate(cents):
+            best, bg = None, 0
+            for gi, m in enumerate(means):
+                sc = round(sum(a * b for a, b in zip(c, m)), 6)
+                if best is None or sc > best or (sc == best and gi > bg):
+                    best, bg = sc, gi
+            members[bg].append(ci)
+        for gi, mem in enumerate(members):
+            if mem:
+                mean = [
+                    sum(cents[ci][j] for ci in mem) / len(mem)
+                    for j in range(dim)
+                ]
+                means[gi] = _norm([round(x, 6) for x in mean])
+    return means, members
+
+
+def coarse_assignments(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+    n_groups: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style two-stage centroid assignment: rank ~sqrt(k) group
+    means first, then argmax over the top-``nprobe`` groups' member
+    centroids — ~(sqrt(k) + nprobe*sqrt(k)) dots per row instead of k. This is the scale escape
+    for the flat assignment's n*k growing term (the semdedup probe's
+    named cost once k scales with the corpus): APPROXIMATE, since the
+    true nearest centroid can live in a non-nearest group, so consumers
+    gate it on measured agreement/recall (see
+    ``v_semdedup_coarse_recall``), exactly the IVF nprobe trade.
+    Returns ``(id, cluster_id, score)`` like :func:`kmeans_assignments`;
+    fully lazy (centroids are literals)."""
+    import math
+
+    k = len(centroids)
+    g = n_groups or max(1, math.isqrt(k))
+    means, members = _group_centroids(centroids, g)
+    v = as_double(F.col(vec_col))
+    coarse = F.array(
+        *[F.array(*[F.lit(float(x)) for x in m]) for m in means]
+    )
+    scored_g = F.transform(
+        coarse,
+        lambda c, i: F.struct(
+            F.round(dot(v, c), digits).alias("score"), i.alias("grp")
+        ),
+    )
+    top_gs = F.slice(F.reverse(F.array_sort(scored_g)), 1, nprobe)
+    # ragged nested literal: members[g] -> array of (cell, vector)
+    nested = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("cell"),
+                        F.array(
+                            *[F.lit(float(x)) for x in centroids[ci]]
+                        ).alias("c"),
+                    )
+                    for ci in mem
+                ]
+            )
+            for mem in members
+        ]
+    )
+    cand = F.flatten(
+        F.transform(top_gs, lambda t: F.element_at(nested, t["grp"] + 1))
+    )
+    scored = F.transform(
+        cand,
+        lambda m: F.struct(
+            F.round(dot(v, m["c"]), digits).alias("score"),
+            m["cell"].alias("cell"),
+        ),
+    )
+    top = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return df.select(
+        F.col(id_col).alias("id"),
+        top["cell"].cast("int").alias("cluster_id"),
+        top["score"].alias("score"),
     )

@@ -375,3 +375,78 @@ def x_epoch_shuffle(spark, sf_dir):
         .withColumn("pos", F.row_number().over(w))
         .drop("k")
     )
+
+
+def _hrw_score(key, shard):
+    """Rendezvous (highest-random-weight) score. The linear Knuth mix
+    alone is NOT enough here: across shards it yields an arithmetic
+    progression mod M (step = K mod M), so the new shard almost never
+    wins the argmax (measured 2/500 moved instead of ~55). Squaring
+    the linear hash breaks that structure — (h² + h) mod M — while
+    staying in exact-integer range (h < 10⁶ so h² < 2^40 < 2^53) and
+    bit-identical across engines."""
+    h = F.pmod((key * F.lit(31) + shard) * F.lit(_KNUTH), F.lit(_SHUF_M))
+    return F.pmod(h * h + h, F.lit(_SHUF_M))
+
+
+_HRW_SQL = (
+    "(((((doc_id * 31 + {s}) * {k}) % {m}) * (((doc_id * 31 + {s}) * {k}) % {m})"
+    " + (((doc_id * 31 + {s}) * {k}) % {m})) % {m})"
+)
+
+
+@query(
+    "x_hrw_stable_sharding",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         unnest(range(9)) AS shard,
+         {_HRW_SQL.format(s="unnest(range(9))", k=_KNUTH, m=_SHUF_M)} AS w
+  FROM documents
+), pick AS (
+  SELECT doc_id, source,
+         -- w*16+shard: strictly distinct per (doc, shard), so the
+         -- argmax can never depend on engine tie order
+         arg_max(shard, w * 16 + shard) FILTER (shard < 8) AS shard8,
+         arg_max(shard, w * 16 + shard) AS shard9
+  FROM scored GROUP BY doc_id, source
+)
+SELECT doc_id, source,
+       CAST(shard8 AS INT) AS shard8,
+       CAST(shard9 AS INT) AS shard9,
+       (shard8 <> shard9) AS moved
+FROM pick
+""",
+)
+def x_hrw_stable_sharding(spark, sf_dir):
+    """Rendezvous (HRW) hashing for STABLE shard assignment: each doc
+    scores every shard with an independent deterministic hash and
+    lands on its argmax. Growing the shard set 8 -> 9 moves ONLY the
+    docs whose new shard wins the argmax — in expectation 1/9 of the
+    corpus — where mod-N sharding (x_epoch_shuffle's assignment)
+    would reshuffle ~8/9 of it. That stability is what lets a 100 TB
+    corpus add writers/buckets without rewriting every shard. The
+    query emits both assignments and the moved flag; the ~1/9 moved
+    mass is pinned by pytest.
+
+    Scale shape: a 9-way per-row explode (bounded by the shard count,
+    not the corpus) and one max_by aggregation keyed on doc_id —
+    partial-aggregating, no window, no global sort; at the write
+    itself even the explode disappears (the argmax is a pure per-row
+    expression over a literal shard list)."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("shard"),
+    ).withColumn("w", _hrw_score(F.col("doc_id"), F.col("shard")))
+    key = F.col("w") * 16 + F.col("shard")  # tie-free ordering key
+    pick = scored.groupBy("doc_id", "source").agg(
+        F.max_by(
+            "shard", F.when(F.col("shard") < 8, key)
+        ).cast("int").alias("shard8"),
+        F.max_by("shard", key).cast("int").alias("shard9"),
+    )
+    return pick.withColumn(
+        "moved", F.col("shard8") != F.col("shard9")
+    )

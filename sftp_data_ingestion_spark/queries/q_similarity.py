@@ -677,3 +677,47 @@ def v_semdedup(spark, sf_dir):
         _planted_corpus(spark, sf_dir), k=8, n_iters=2, threshold=0.9,
         dim=64,
     )
+
+
+@query(
+    "v_semdedup_coarse_recall",
+    oracle="""
+SELECT CAST(count(*) + 250 AS BIGINT) AS n_vecs, TRUE AS recall_ok
+FROM embeddings
+""",
+)
+def v_semdedup_coarse_recall(spark, sf_dir):
+    """SemDeDup's 100 TB assignment escape under a recall gate (the
+    v_ivf_ann_recall pattern): the flat assignment's n*k dot cost is
+    the probe-named growing term once k scales with the corpus, and
+    the IVF-style two-stage assignment (rank sqrt(k) group means,
+    argmax over the top-nprobe groups' members — ~3*sqrt(k) dots/row)
+    is the escape. Approximate by construction, so the graded
+    statement is the operating point: at (k=8, n_groups=3, nprobe=2)
+    the coarse path must re-find >= 90% of the flat path's drops on
+    the planted-duplicate corpus (measured 0.949; nprobe=1 reads
+    ~0.83 — the same recall dial IVF search exposes). Train once,
+    both paths share the centroids."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    corpus = _planted_corpus(spark, sf_dir)
+    cents = sim.kmeans_train(corpus, k=8, n_iters=2)
+    flat = (
+        sim.semdedup_survivors(corpus, threshold=0.9, dim=64, centroids=cents)
+        .where(~F.col("kept"))
+        .select(F.col("vec_id").alias("fid"))
+    )
+    co = (
+        sim.semdedup_survivors(
+            corpus, threshold=0.9, dim=64, centroids=cents,
+            coarse=True, n_groups=3, nprobe=2,
+        )
+        .where(~F.col("kept"))
+        .select(F.col("vec_id").alias("cid"))
+    )
+    hit = flat.join(co, flat.fid == co.cid, "left")
+    stats = hit.agg(
+        ((F.count("cid") / F.count("fid")) >= 0.9).alias("recall_ok")
+    )
+    nv = corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return nv.crossJoin(stats)

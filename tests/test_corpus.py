@@ -756,3 +756,23 @@ def test_gopher_rules_discriminate(spark):
     assert len(varying) >= 5, f"too many vacuous rules: {varying}"
     for r in rows:
         assert r["keep"] == all(r[c] for c in flags)
+
+
+def test_hrw_sharding_moves_one_ninth(spark):
+    """Growing the HRW shard set 8 -> 9 moves ~1/9 of the corpus
+    (mod-N sharding would move ~8/9); shard8 never exceeds 7 and the
+    assignment is rerun-identical."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = q.QUERIES["x_hrw_stable_sharding"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500
+    moved = sum(1 for r in rows if r["moved"])
+    assert 25 <= moved <= 90, f"moved fraction off: {moved}/500"
+    assert all(0 <= r["shard8"] <= 7 and 0 <= r["shard9"] <= 8 for r in rows)
+    for r in rows:
+        assert r["moved"] == (r["shard9"] == 8), (
+            "a doc may move ONLY to the new shard — an 8->9 HRW grow "
+            "never relocates a doc between old shards"
+        )

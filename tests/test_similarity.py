@@ -476,3 +476,15 @@ def test_semdedup_drops_closer_to_centroid(spark):
         assert asg[kept] <= asg[dropped]
     # singletons and cross-cluster non-pairs are untouched
     assert got[4][1] and got[5][1]
+
+
+def test_semdedup_coarse_recall_gate(spark):
+    """The registered coarse operating point (k=8, n_groups=3,
+    nprobe=2) clears its 0.9 recall gate on the planted corpus, and
+    the coarse assignment composes lazily from injected centroids."""
+    from sftp_data_ingestion_spark import queries as q
+
+    row = q.QUERIES["v_semdedup_coarse_recall"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["recall_ok"] and row["n_vecs"] == 750

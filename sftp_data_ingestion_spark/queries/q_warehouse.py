@@ -592,3 +592,45 @@ def wh_cdc_scd2_reconcile(spark, sf_dir):
         "user_id", "cur_value", "current_state", "state_since",
         "n_intervals",
     )
+
+
+@query(
+    "wh_orc_roundtrip",
+    oracle="""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len
+FROM documents GROUP BY source, lang
+""",
+)
+def wh_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip: write the documents table to ORC
+    (zlib, Spark's native vectorized writer), read it back, and
+    aggregate — columns, row count, and every byte of every string
+    must survive the format conversion for the hash to match the
+    parquet-derived oracle. Completes the columnar-format matrix next
+    to parquet (everywhere) and the robust CSV/JSONL text paths; ORC
+    is the other splittable, predicate-pushdown columnar format a
+    warehouse migration actually encounters.
+
+    Scale shape: one write + one scan, both distributed; the
+    aggregation is an ordinary partial-aggregating groupBy. The /tmp
+    path is keyed on sf_dir and overwritten per call (no
+    accumulation)."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "orc_roundtrip_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )

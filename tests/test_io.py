@@ -511,3 +511,18 @@ def test_overwrite_partitions_touches_only_batch_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         == "static"
     )
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """The ORC read path must keep predicate pushdown and column
+    pruning (the reason to use a columnar format at all)."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    src.write.mode("overwrite").orc(p)
+    df = spark.read.orc(p).where(F.col("doc_id") < 10).select("doc_id", "source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert df.count() == 10

@@ -672,7 +672,11 @@ def v_semdedup(spark, sf_dir):
     per-cluster pair fanout, while a cross-cluster all-pairs would be
     the O(n^2) scale-killer. Oracle re-derives the identical Lloyd
     loop + within-cluster pair graph + drop rule in SQL (see
-    ``ext.similarity.semdedup_survivors``)."""
+    ``ext.similarity.semdedup_survivors``).
+
+    EAGER at composition time (the v_kmeans_* convention): building
+    this frame runs the Lloyd loop — pass pre-trained centroids to
+    ``semdedup_survivors`` for lazy composition."""
     return sim.semdedup_survivors(
         _planted_corpus(spark, sf_dir), k=8, n_iters=2, threshold=0.9,
         dim=64,
@@ -697,7 +701,9 @@ def v_semdedup_coarse_recall(spark, sf_dir):
     the coarse path must re-find >= 90% of the flat path's drops on
     the planted-duplicate corpus (measured 0.949; nprobe=1 reads
     ~0.83 — the same recall dial IVF search exposes). Train once,
-    both paths share the centroids."""
+    both paths share the centroids. EAGER at composition time (the
+    v_kmeans_* convention): building this frame runs the Lloyd
+    loop."""
     from sftp_data_ingestion_spark.ext import similarity as sim
 
     corpus = _planted_corpus(spark, sf_dir)

@@ -183,3 +183,99 @@ def pagerank_oracle_sql(
         f"{body}\n"
         f"SELECT node, round(rank, {round_dp}) AS rank FROM r{iterations}"
     )
+
+
+def cc_star_contraction(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): each round every node links its larger
+    (resp. not-larger) neighbors to its local minimum, which provably
+    converges to min-rooted stars in O(log^2 n) rounds on ANY graph —
+    where min-label propagation (``ext.dedup.connected_components``)
+    needs O(diameter) supersteps and silently stalls its iteration cap
+    on a long chain. Use THIS for graphs whose diameter is not known
+    to be tiny; label propagation stays the cheaper choice for
+    near-dup cliques (diameter 2-3).
+
+    Returns ``(id, component)``, component = min id reachable.
+
+    Scale shape: each half-round is one groupBy-min + one equi-join on
+    the node id (AQE-coalesced exchanges), localCheckpoint-bounded
+    lineage, convergence checked by an edge-count + fingerprint pair
+    (two cheap jobs) — no collect beyond those scalars, no
+    collect_list of neighborhoods (the min is an aggregate, so
+    high-degree nodes never materialize their adjacency)."""
+    sym = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(
+            edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def mins(e):
+        return (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+
+    def fingerprint(e):
+        # bit_xor: order-independent and overflow-free (ANSI sum of
+        # full-range xxhash64 longs overflows)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    fp = fingerprint(sym)
+    for _ in range(max_rounds):
+        m = mins(sym)
+        # large-star: (v, m(u)) for v in N(u), v > u
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # keep u—m(u) links so local minima stay attached
+        large = large.unionAll(m.select("u", F.col("m").alias("v")))
+        sym = (
+            large.unionAll(large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = mins(sym)
+        # small-star: (v, m(u)) for v in N(u), v < u, plus (u, m(u))
+        small = (
+            sym.join(m, "u")
+            .where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        small = small.unionAll(m.select("u", F.col("m").alias("v")))
+        sym = (
+            small.unionAll(small.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp2 = fingerprint(sym)
+        if fp2 == fp:
+            break
+        fp = fp2
+    labels = mins(sym)
+    return vertices.select(F.col(id_col).alias("id")).join(
+        labels.select(F.col("u").alias("id"), F.col("m").alias("component")),
+        "id",
+        "left",
+    ).select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )

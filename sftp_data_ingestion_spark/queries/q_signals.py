@@ -617,3 +617,61 @@ def z2_variant_json(spark, sf_dir):
             F.max(k).alias("k_max"),
         )
     )
+
+
+_CC_EDGES_SQL = """
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+  WHERE a.doc_id % 2 = 0
+  UNION ALL
+  SELECT a.doc_id, a.doc_id - 1
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+  WHERE a.doc_id % 10 = 5
+"""
+
+
+@query(
+    "z2_cc_star_chain",
+    oracle=f"""
+WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL SELECT id_b, id_a FROM edges
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+""",
+)
+def z2_cc_star_chain(spark, sf_dir):
+    """Connected components by large-star/small-star contraction on a
+    DERIVED high-diameter graph: the even doc_ids form one long chain
+    (diameter ~n/2) with every doc_id ≡ 5 (mod 10) hanging off it,
+    the rest singletons. This is the regime where the label
+    propagation the near-dup families use (O(diameter) supersteps —
+    fine for dedup cliques of diameter 2-3) refuses loudly at its
+    iteration cap, while star contraction converges in O(log^2 n)
+    rounds on ANY topology (~10 here for the 250-long chain; the
+    comparative pytest pins that label propagation at max_iters=20
+    gets this graph WRONG). Graded against the DuckDB recursive
+    closure of the same derived edges."""
+    from sftp_data_ingestion_spark.ext.graph import cc_star_contraction
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    a = d.select(F.col("doc_id").alias("x"))
+    b = d.select(F.col("doc_id").alias("y"))
+    e1 = (
+        a.where(F.col("x") % 2 == 0)
+        .join(b, b.y == F.col("x") + 2)
+        .select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+    )
+    e2 = (
+        a.where(F.col("x") % 10 == 5)
+        .join(b, b.y == F.col("x") - 1)
+        .select(F.col("x").alias("id_a"), F.col("y").alias("id_b"))
+    )
+    comp = cc_star_contraction(d, e1.unionAll(e2), id_col="doc_id")
+    return comp.select(F.col("id").alias("doc_id"), "component")

@@ -328,3 +328,28 @@ def test_cdc_chunk_dedup_finds_planted_boiler(spark):
     assert rows, "no duplicated chunks found"
     top = max(rows, key=lambda r: r["n_docs"])
     assert top["n_docs"] >= 100, f"boiler not found: {top}"
+
+
+def test_star_contraction_beats_label_prop_on_chains(spark):
+    """On a 200-long chain, min-label propagation at its default
+    20-iteration cap refuses loudly (labels move one hop per
+    superstep, so needed iterations = diameter), while star
+    contraction reaches the exact components in O(log^2 n) rounds —
+    the reason the graph module carries both."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+    from sftp_data_ingestion_spark.ext.graph import cc_star_contraction
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(201)], "id long")
+    star = {
+        r["id"]: r["component"]
+        for r in cc_star_contraction(verts, edges).collect()
+    }
+    assert all(star[i] == 0 for i in range(201))
+    import pytest as _pytest
+
+    # label propagation refuses loudly: needed iterations = diameter
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(verts, edges, max_iters=20).collect()

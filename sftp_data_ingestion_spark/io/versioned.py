@@ -156,10 +156,15 @@ def commit(
         target = head + 1
         files = list(new_files)
         stats = dict(new_stats)
+        dv_files: list[str] = []
+        dv_key = None
         if mode == "append" and head:
             prev = _read_manifest(root, head)
             files = prev["files"] + files
             stats = {**prev.get("stats", {}), **stats}
+            # deletes stay in effect across appends (merge-on-read)
+            dv_files = prev.get("dv_files", [])
+            dv_key = prev.get("dv_key")
         manifest = {
             "version": target,
             "mode": mode,
@@ -167,6 +172,8 @@ def commit(
             "stats": stats,
             "schema": df.schema.json(),
             "committed_at_ms": committed_at_ms,
+            "dv_files": dv_files,
+            "dv_key": dv_key,
         }
         tmp = os.path.join(
             root, _VDIR, f".tmp-{uuid.uuid4().hex}.json"
@@ -226,6 +233,9 @@ def read(
     caller still applies the row-level filter — pruning only shrinks
     the scan set, it never stands in for the predicate."""
     kept = files_for(root, version, prune)
+    versions_ = _list_versions(root)
+    v = versions_[-1] if version is None else version
+    m = _read_manifest(root, v)
     if not kept:  # every file pruned: empty frame with the schema
         import pyspark.sql.types as T
 
@@ -235,7 +245,14 @@ def read(
             __import__("json").loads(_read_manifest(root, v)["schema"])
         )
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(root, f) for f in kept])
+    df = spark.read.parquet(*[os.path.join(root, f) for f in kept])
+    if m.get("dv_files"):
+        key = m["dv_key"]
+        dv = spark.read.parquet(
+            *[os.path.join(root, f) for f in m["dv_files"]]
+        ).select(key).distinct()
+        df = df.join(F.broadcast(dv), key, "left_anti")
+    return df
 
 
 def versions(root: str) -> list[int]:
@@ -274,7 +291,9 @@ def _drop_manifests_and_sweep(root: str, drop: list[int]) -> list[str]:
     referenced: set[str] = set()
     for v in _list_versions(root):
         if v not in drop:
-            referenced.update(_read_manifest(root, v)["files"])
+            m = _read_manifest(root, v)
+            referenced.update(m["files"])
+            referenced.update(m.get("dv_files", []))
     for v in drop:
         os.unlink(_version_path(root, v))
     deleted = []
@@ -399,3 +418,58 @@ def table_changes(
     ).unionByName(
         old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     )
+
+
+def commit_delete(
+    keys_df: DataFrame,
+    root: str,
+    key_col: str,
+    committed_at_ms: int | None = None,
+) -> int:
+    """MERGE-ON-READ delete (the Delta/Iceberg deletion-vector shape):
+    publish a new version whose manifest references the SAME immutable
+    data files plus a deletion-vector file of ``key_col`` values;
+    :func:`read` anti-joins the DV (broadcast — the DV is keys only)
+    at scan time. No data file is rewritten, so a delete costs
+    O(|deleted keys|) regardless of table size — the write-path
+    economics that make GDPR erasure and late corrections affordable
+    on a 100 TB table — and time travel to a pre-delete version still
+    sees every row (the DV lives in the manifest, not the data).
+    DVs accumulate across deletes and appends; an ``overwrite`` commit
+    (compaction/OPTIMIZE) naturally clears them by rewriting the
+    snapshot. Returns the new version number."""
+    versions_ = _list_versions(root)
+    if not versions_:
+        raise FileNotFoundError(f"no committed version under {root}")
+    new_dv = _write_data(keys_df.select(key_col), root)
+    if committed_at_ms is None:
+        import time
+
+        committed_at_ms = int(time.time() * 1000)
+    while True:
+        head = _list_versions(root)[-1]
+        prev = _read_manifest(root, head)
+        if prev.get("dv_key") not in (None, key_col):
+            raise ValueError(
+                f"deletion vectors already keyed on {prev['dv_key']!r}"
+            )
+        target = head + 1
+        manifest = {
+            "version": target,
+            "mode": "delete",
+            "files": prev["files"],
+            "stats": prev.get("stats", {}),
+            "schema": prev["schema"],
+            "committed_at_ms": committed_at_ms,
+            "dv_files": prev.get("dv_files", []) + new_dv,
+            "dv_key": key_col,
+        }
+        tmp = os.path.join(root, _VDIR, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _version_path(root, target))
+            os.unlink(tmp)
+            return target
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: retry against the new head

@@ -1555,3 +1555,62 @@ def z_last_touch_attribution(spark, sf_dir):
             F.count(F.lit(1)).alias("n_purchases"),
         )
     )
+
+
+@query(
+    "z_deletion_vector_read",
+    oracle="""
+WITH live AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 1000 <> 3
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_before_delete
+FROM live GROUP BY o_orderstatus
+""",
+)
+def z_deletion_vector_read(spark, sf_dir):
+    """Merge-on-read deletion vectors graded end-to-end
+    (io/versioned.commit_delete): commit orders, apply TWO delete
+    commits (keys ≡ 0 mod 7, then ≡ 3 mod 1000 — DVs must
+    accumulate), and read the head — the scan anti-joins the
+    broadcast key set against the ORIGINAL untouched data files, so
+    a delete costs O(|keys|) at any table size. The graded columns
+    carry the post-delete aggregate AND the pre-delete row count via
+    time travel to v1 — proving the DV lives in the manifest, not
+    the data (a rewrite-style delete would break the time-travel
+    count; a missed DV would break the aggregate). Root is
+    deterministic per (sf_dir, user), rebuilt each call."""
+    import getpass
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sftp_data_ingestion_spark.io import versioned as vt
+
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"z_dv_{tag}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    v1 = vt.commit(o, root, committed_at_ms=1)
+    vt.commit_delete(
+        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        root, "o_orderkey", committed_at_ms=2,
+    )
+    vt.commit_delete(
+        o.where(F.col("o_orderkey") % 1000 == 3).select("o_orderkey"),
+        root, "o_orderkey", committed_at_ms=3,
+    )
+    head = vt.read(spark, root)
+    n_before = vt.read(spark, root, version=v1).count()
+    return head.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.lit(n_before).cast("long").alias("n_before_delete"),
+    )

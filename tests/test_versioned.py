@@ -269,3 +269,45 @@ def test_table_changes_reports_insert_delete_pairs(spark, tmp_path):
         (1, "a", "delete"), (1, "a2", "insert"),  # update = delete+insert
         (2, "b", "delete"),                        # multiset: one dup removed
     }
+
+
+def test_deletion_vector_merge_on_read(spark, tmp_path):
+    """DV contract: no data-file rewrite, time travel sees pre-delete
+    rows, deletes persist across appends and accumulate across
+    deletes, overwrite clears DVs, vacuum never touches the head."""
+    import hashlib
+    import os
+
+    from sftp_data_ingestion_spark.io import versioned as V
+
+    root = str(tmp_path / "dv")
+    v1 = V.commit(spark.range(100).withColumnRenamed("id", "k"), root)
+    v1_files = V.files_for(root, v1)
+
+    def digest():
+        h = hashlib.sha1()
+        for f in sorted(v1_files):
+            h.update(open(os.path.join(root, f), "rb").read())
+        return h.hexdigest()
+
+    before = digest()
+    V.commit_delete(
+        spark.range(0, 100, 7).withColumnRenamed("id", "k"), root, "k"
+    )
+    assert digest() == before, "delete must not rewrite data files"
+    assert V.read(spark, root).count() == 85
+    assert V.read(spark, root, version=v1).count() == 100
+    V.commit(
+        spark.range(100, 110).withColumnRenamed("id", "k"),
+        root, mode="append",
+    )
+    assert V.read(spark, root).count() == 95
+    V.commit_delete(
+        spark.range(1, 100, 50).withColumnRenamed("id", "k"), root, "k"
+    )
+    assert V.read(spark, root).count() == 93
+    v5 = V.commit(V.read(spark, root), root, mode="overwrite")
+    assert V._read_manifest(root, v5)["dv_files"] == []
+    assert V.read(spark, root).count() == 93
+    removed = V.vacuum(root, keep_last=1)
+    assert removed and V.read(spark, root).count() == 93

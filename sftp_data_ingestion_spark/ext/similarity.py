@@ -1732,3 +1732,47 @@ def coarse_assignments(
         top["cell"].cast("int").alias("cluster_id"),
         top["score"].alias("score"),
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Distributed Gram-matrix build G = X^T X — the linear-algebra
+    block PCA / whitening / ridge regression start from. Each Arrow
+    batch computes its (dim × dim) partial with ONE BLAS matmul and
+    emits exactly dim² rows, so the shuffled payload is
+    dim² × n_batches — independent of the corpus row count — and one
+    partial-aggregating groupBy sums the blocks (the treeAggregate
+    shape, expressed relationally so AQE still owns the exchange).
+    Output: ``(i, j, g)`` with g rounded to ``digits`` (the rounding
+    makes the FP sum order-insensitive at oracle precision).
+    """
+    import pandas as pd
+
+    idx_i, idx_j = [], []
+    for a in range(dim):
+        for b in range(dim):
+            idx_i.append(a)
+            idx_j.append(b)
+
+    def fn(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x):
+                acc += x.T @ x
+        yield pd.DataFrame(
+            {"i": idx_i, "j": idx_j, "g": acc.reshape(-1)}
+        )
+
+    partials = df.select(vec_col).mapInPandas(fn, "i int, j int, g double")
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("g"), digits).alias("g")
+    )

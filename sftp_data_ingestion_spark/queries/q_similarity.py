@@ -727,3 +727,35 @@ def v_semdedup_coarse_recall(spark, sf_dir):
     )
     nv = corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
     return nv.crossJoin(stats)
+
+
+@query(
+    "v_gram_matrix",
+    oracle="""
+SELECT i, j, round(g, 6) AS g FROM (
+  SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS g
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+  ) a JOIN (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+  ) b USING (vec_id)
+  GROUP BY 1, 2
+)
+""",
+)
+def v_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix G = X^T X over the embedding corpus —
+    the block PCA, whitening, and ridge solvers start from. One BLAS
+    matmul per Arrow batch, dim² rows per batch crossing the wire
+    (independent of corpus size), one partial-aggregating groupBy; the
+    oracle rebuilds the same 64×64 sums by exploding dimension pairs
+    per vector. Values rounded to 6 dp so the distributed sum order
+    cannot move the hash (magnitudes ~10², FP error ~1e-12)."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    return sim.gram_matrix(e, dim=64)

@@ -488,3 +488,14 @@ def test_semdedup_coarse_recall_gate(spark):
         spark, "/root/testdata/sf0.01"
     ).collect()[0]
     assert row["recall_ok"] and row["n_vecs"] == 750
+
+
+def test_gram_matrix_partition_invariant(spark, emb):
+    """The blocked Gram accumulation must not depend on how rows are
+    batched: 1-partition and 7-partition runs are value-identical,
+    G is symmetric, and diagonals are non-negative."""
+    a = {(r["i"], r["j"]): r["g"] for r in sim.gram_matrix(emb.coalesce(1)).collect()}
+    b = {(r["i"], r["j"]): r["g"] for r in sim.gram_matrix(emb.repartition(7)).collect()}
+    assert a == b and len(a) == 64 * 64
+    assert all(a[(i, j)] == a[(j, i)] for i in range(64) for j in range(64))
+    assert all(a[(i, i)] >= 0 for i in range(64))

@@ -1776,3 +1776,64 @@ def gram_matrix(
     return partials.groupBy("i", "j").agg(
         F.round(F.sum("g"), digits).alias("g")
     )
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark F.round / DuckDB round semantics (HALF_UP on the exact
+    decimal expansion of the double) — Python's builtin round() is
+    banker's (half-even) and would diverge from both engines on
+    decimal ties."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iters: int = 10,
+    digits: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """PCA top component, engine-portable: the Gram matrix builds
+    distributed (:func:`gram_matrix`, rounded blocks), the power
+    iteration runs on the DRIVER over the collected dim×dim matrix
+    (4096 floats — bounded at any corpus size), and the projection is
+    a lazy codegen expression with the eigenvector as literals. Every
+    cross-stage value is rounded HALF_UP to ``digits`` and every sum
+    folds left-to-right, so a SQL oracle replaying the identical
+    iteration lands on bit-equal projections (the kmeans-loop
+    discipline applied to an eigensolver). Returns
+    ``(eigenvector, projections)`` where projections =
+    ``(vec_id, proj)``."""
+    import math
+
+    rows = gram_matrix(df, vec_col, dim, digits).collect()
+    g = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        g[r["i"]][r["j"]] = r["g"]
+    v = [_round_half_up(1.0 / math.sqrt(dim), digits)] * dim
+    for _ in range(n_iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + g[i][j] * v[j]
+            w.append(_round_half_up(acc, digits))
+        nrm = 0.0
+        for x in w:
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        v = [
+            _round_half_up(x / nrm, digits) if nrm else x for x in w
+        ]
+    vec = as_double(F.col(vec_col))
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    proj = df.select(
+        F.col("vec_id"),
+        F.round(dot(vec, vlit), digits).alias("proj"),
+    )
+    return v, proj

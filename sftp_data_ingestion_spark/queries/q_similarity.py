@@ -759,3 +759,71 @@ def v_gram_matrix(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     return sim.gram_matrix(e, dim=64)
+
+
+_PCA_ITER = """
+{out} AS (
+  SELECT list_transform(w, x -> round(x / sqrt(
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(w, y -> y * y)), (a, b) -> a + b)), 6)) AS v
+  FROM (
+    SELECT list_transform(range(64), i ->
+      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(64), j -> gl.gf[i*64 + j + 1] * p.v[j+1])),
+        (a, b) -> a + b), 6)) AS w
+    FROM gl, {prev} p
+  )
+)"""
+
+_PCA_ITERS = ",".join(
+    _PCA_ITER.format(out=f"p{n+1}", prev=f"p{n}") for n in range(10)
+)
+
+
+@query(
+    "v_pca_top_component",
+    oracle=f"""
+WITH gm AS (
+  SELECT i, j, round(g, 6) AS g FROM (
+    SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS g
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) a
+    JOIN (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) b
+    USING (vec_id) GROUP BY 1, 2
+  )
+), gl AS (SELECT list(g ORDER BY i * 64 + j) AS gf FROM gm),
+p0 AS (SELECT list_transform(range(64), i -> round(1.0 / sqrt(64.0), 6)) AS v),
+{_PCA_ITERS},
+u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+SELECT vec_id,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(64), k -> u.x[k+1] * p.v[k+1])),
+         (a, b) -> a + b), 6) AS proj
+FROM u, p10 p
+""",
+)
+def v_pca_top_component(spark, sf_dir):
+    """PCA top component graded END-TO-END cross-engine: the Gram
+    matrix builds distributed (one BLAS matmul per Arrow batch —
+    v_gram_matrix's machinery), the 10-step power iteration runs on
+    the driver over the collected 64×64 matrix with every value
+    rounded HALF_UP and every sum folded left-to-right, and the
+    projection is a lazy codegen dot with the eigenvector as
+    literals. The oracle replays the ENTIRE pipeline — Gram sums,
+    all ten normalize-and-round iterations (unrolled CTEs, the
+    kmeans-loop discipline applied to an eigensolver), and the final
+    fold — landing on bit-equal projections. Python's builtin
+    round() is banker's and would diverge; see
+    ``ext.similarity._round_half_up``.
+
+    EAGER at composition time: building this frame runs the Gram job
+    + driver iteration. Scale shape: the only distributed stages are
+    the Gram build (shuffle payload dim² per batch, corpus-size
+    independent) and the projection scan; the eigensolve touches
+    4096 floats on the driver at ANY corpus size."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    _vec, proj = sim.pca_top_component(e, dim=64, n_iters=10)
+    return proj

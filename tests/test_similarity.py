@@ -499,3 +499,19 @@ def test_gram_matrix_partition_invariant(spark, emb):
     assert a == b and len(a) == 64 * 64
     assert all(a[(i, j)] == a[(j, i)] for i in range(64) for j in range(64))
     assert all(a[(i, i)] >= 0 for i in range(64))
+
+
+def test_pca_top_component_captures_variance(spark, emb):
+    """The 10-step power-iteration direction must capture at least
+    the average per-dimension second moment (i.e. beat a random
+    axis), be unit-norm after rounding, and be rerun-identical."""
+    v1, proj = sim.pca_top_component(emb, dim=64, n_iters=10)
+    v2, _ = sim.pca_top_component(emb, dim=64, n_iters=10)
+    assert v1 == v2
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-4
+    g = {(r["i"], r["j"]): r["g"] for r in sim.gram_matrix(emb).collect()}
+    rayleigh = sum(
+        v1[i] * g[(i, j)] * v1[j] for i in range(64) for j in range(64)
+    )
+    mean_diag = sum(g[(i, i)] for i in range(64)) / 64
+    assert rayleigh >= mean_diag

@@ -1837,3 +1837,90 @@ def pca_top_component(
         F.round(dot(vec, vlit), digits).alias("proj"),
     )
     return v, proj
+
+
+def xty_vector(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    y_col: str = "label",
+    dim: int = 64,
+    digits: int = 6,
+) -> list[float]:
+    """The b = X^T y block (ridge/least-squares normal equations),
+    built with the same blocked Arrow kernel economics as
+    :func:`gram_matrix`: one BLAS matvec per batch, dim rows per
+    batch crossing the wire, one groupBy sum, rounded. Returns the
+    dim driver-side floats."""
+    import pandas as pd
+
+    def fn(batches):
+        import numpy as np
+
+        acc = np.zeros(dim, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                y = np.asarray(pdf[y_col], dtype=np.float64)
+                acc += x.T @ y
+        yield pd.DataFrame({"i": list(range(dim)), "b": acc})
+
+    rows = (
+        df.select(vec_col, F.col(y_col).cast("double").alias(y_col))
+        .mapInPandas(fn, "i int, b double")
+        .groupBy("i")
+        .agg(F.round(F.sum("b"), digits).alias("b"))
+        .collect()
+    )
+    out = [0.0] * dim
+    for r in rows:
+        out[r["i"]] = r["b"]
+    return out
+
+
+def ridge_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    y_col: str = "label",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_steps: int = 15,
+    eta: float = 0.001,
+    lam: float = 1.0,
+    digits: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """Distributed ridge regression, engine-portable: the normal-
+    equation blocks G = X^T X and b = X^T y build distributed ONCE
+    (blocked Arrow kernels, corpus-size-independent shuffle payload);
+    gradient descent then runs entirely on the DRIVER — the gradient
+    (G·beta − b)/n + lam·beta needs no further corpus pass — with
+    every value rounded HALF_UP and every sum a left fold, so a SQL
+    oracle replaying the identical steps lands on bit-equal
+    coefficients and predictions (the PCA/kmeans portability
+    discipline applied to model TRAINING). Returns
+    ``(beta, predictions)``; predictions = ``(id_col, pred)`` lazy."""
+    rows = gram_matrix(df, vec_col, dim, digits).collect()
+    g = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        g[r["i"]][r["j"]] = r["g"]
+    b = xty_vector(df, vec_col, y_col, dim, digits)
+    n = df.count()
+    beta = [0.0] * dim
+    for _ in range(n_steps):
+        nb = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + g[i][j] * beta[j]
+            acc = _round_half_up(acc, digits)
+            grad = (acc - b[i]) / n + lam * beta[i]
+            nb.append(_round_half_up(beta[i] - eta * grad, digits))
+        beta = nb
+    vec = as_double(F.col(vec_col))
+    blit = F.array(*[F.lit(float(x)) for x in beta])
+    preds = df.select(
+        F.col(id_col),
+        F.round(dot(vec, blit), digits).alias("pred"),
+    )
+    return beta, preds

@@ -515,3 +515,34 @@ def test_pca_top_component_captures_variance(spark, emb):
     )
     mean_diag = sum(g[(i, i)] for i in range(64)) / 64
     assert rayleigh >= mean_diag
+
+
+def test_ridge_fit_recovers_planted_signal(spark, emb):
+    """On the planted linear target, 15 GD steps must cut SSE by
+    >90% and land near the planted (3, -2, 0.5) coefficients; the
+    fit is rerun-identical."""
+    import pyspark.sql.functions as F2
+
+    v = F2.col("embedding").cast("array<double>")
+    derived = emb.select(
+        "vec_id", "embedding",
+        F2.round(
+            F2.lit(3.0) * F2.element_at(v, 1)
+            - F2.lit(2.0) * F2.element_at(v, 2)
+            + F2.lit(0.5) * F2.element_at(v, 3), 6,
+        ).alias("y"),
+    )
+    b1, preds = sim.ridge_fit(
+        derived, y_col="y", n_steps=15, eta=9.7, lam=0.0013
+    )
+    b2, _ = sim.ridge_fit(
+        derived, y_col="y", n_steps=15, eta=9.7, lam=0.0013
+    )
+    assert b1 == b2
+    assert abs(b1[0] - 3) < 0.8 and abs(b1[1] + 2) < 0.8
+    joined = preds.join(derived.select("vec_id", "y"), "vec_id")
+    sse = joined.agg(
+        F2.sum((F2.col("pred") - F2.col("y")) ** 2).alias("s")
+    ).first()["s"]
+    sse0 = derived.agg(F2.sum(F2.col("y") ** 2).alias("s")).first()["s"]
+    assert sse < sse0 * 0.1, (sse, sse0)

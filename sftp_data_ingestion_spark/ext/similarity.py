@@ -1924,3 +1924,52 @@ def ridge_fit(
         F.round(dot(vec, blit), digits).alias("pred"),
     )
     return beta, preds
+
+
+def farthest_first_seeds(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    digits: int = 6,
+) -> list[tuple[int, int]]:
+    """Deterministic k-means++-style seeding (farthest-first
+    traversal, Gonzalez 1985): start from the min-id vector, then
+    repeatedly pick the vector LEAST similar to its nearest chosen
+    seed (rounded cosine, ties to the smaller id) — the seeding-
+    quality lever over the stride sample, without kmeans++'s
+    randomness (which would be retry-unstable and engine-specific).
+    Returns ``[(ord, vec_id), ...]``.
+
+    Scale shape: k-1 scans, each a pure-Column max-over-literals
+    projection + a global argmin via orderBy(...).limit(1) (plans as
+    TakeOrderedAndProject); chosen seeds ride as k×dim literals, so
+    nothing but one row per step reaches the driver."""
+    v = as_double(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v")).localCheckpoint()
+    first = base.orderBy("id").limit(1).collect()[0]
+    chosen = [(0, first["id"], list(first["v"]))]
+    for t in range(1, k):
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c[2]]) for c in chosen]
+        )
+        x = F.col("v")
+        nx = F.sqrt(dot_flat(x, x, dim)) if dim else norm(x)
+        sims = F.transform(
+            cents,
+            lambda c: F.round(
+                (dot_flat(x, c, dim) if dim else dot(x, c))
+                / (nx * F.sqrt(dot_flat(c, c, dim) if dim else dot(c, c))),
+                digits,
+            ),
+        )
+        ms = F.array_max(sims)
+        nxt = (
+            base.select("id", "v", ms.alias("ms"))
+            .orderBy(F.col("ms").asc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((t, nxt["id"], list(nxt["v"])))
+    return [(c[0], c[1]) for c in chosen]

@@ -924,3 +924,50 @@ def v_ridge_fit_predict(spark, sf_dir):
         derived, y_col="y", dim=64, n_steps=15, eta=9.7, lam=0.0013
     )
     return preds
+
+
+_FF_STEP = """
+d{t} AS (
+  SELECT u.vec_id, u.v,
+         max(round(list_dot_product(u.v, c.v)
+               / (sqrt(list_dot_product(u.v, u.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6)) AS ms
+  FROM u, c{p} c GROUP BY u.vec_id, u.v
+),
+n{t} AS (
+  SELECT CAST({t} AS INT) AS ord, vec_id, v FROM d{t}
+  ORDER BY ms ASC, vec_id ASC LIMIT 1
+),
+c{t} AS (SELECT ord, vec_id, v FROM c{p}
+         UNION ALL SELECT ord, vec_id, v FROM n{t})"""
+
+_FF_STEPS = ",".join(_FF_STEP.format(t=t, p=t - 1) for t in range(1, 8))
+
+
+@query(
+    "v_kmeanspp_seeds",
+    oracle=f"""
+WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT CAST(0 AS INT) AS ord, vec_id, v FROM u
+  ORDER BY vec_id LIMIT 1
+),
+{_FF_STEPS}
+SELECT ord, vec_id FROM c7
+""",
+)
+def v_kmeanspp_seeds(spark, sf_dir):
+    """Deterministic farthest-first k-means seeding (the k-means++
+    quality idea without its randomness — random seeding would be
+    retry-unstable and engine-specific): start at the min-id vector,
+    then 7 rounds of \"pick the vector least similar to its nearest
+    chosen seed\" (rounded cosine, id tiebreak). Graded against 7
+    unrolled argmin CTEs replaying the identical selection. EAGER at
+    composition time (each round is one scan + a 1-row collect)."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    seeds = sim.farthest_first_seeds(e, k=8, dim=64)
+    return spark.createDataFrame(
+        [(int(o), int(i)) for o, i in seeds], "ord int, vec_id long"
+    )

@@ -546,3 +546,36 @@ def test_ridge_fit_recovers_planted_signal(spark, emb):
     ).first()["s"]
     sse0 = derived.agg(F2.sum(F2.col("y") ** 2).alias("s")).first()["s"]
     assert sse < sse0 * 0.1, (sse, sse0)
+
+
+def test_farthest_first_seeds_spread(spark, emb):
+    """Farthest-first seeds must be more spread out than the stride
+    sample: the max pairwise cosine among chosen seeds is strictly
+    lower. Also: 8 distinct ids, first = min id, rerun-identical."""
+    import itertools
+
+    seeds = sim.farthest_first_seeds(emb, k=8, dim=64)
+    assert seeds == sim.farthest_first_seeds(emb, k=8, dim=64)
+    ids = [i for _, i in seeds]
+    assert len(set(ids)) == 8 and ids[0] == 0
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    def maxpair(idlist):
+        return max(
+            cos(vecs[a], vecs[b]) for a, b in itertools.combinations(idlist, 2)
+        )
+
+    n = len(vecs)
+    stride = sorted(vecs)[:: max(n // 8, 1)][:8]
+    assert maxpair(ids) < maxpair(stride)

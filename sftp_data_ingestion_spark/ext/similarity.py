@@ -1973,3 +1973,155 @@ def farthest_first_seeds(
         )
         chosen.append((t, nxt["id"], list(nxt["v"])))
     return [(c[0], c[1]) for c in chosen]
+
+
+def group_blocks(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    digits: int = 6,
+):
+    """Per-group sufficient statistics for linear models in ONE pass
+    each: G_g = X_g^T X_g (dim² rows per group), b_g = X_g^T y_g,
+    ysq_g = Σ y², n_g — everything leave-one-group-out training AND
+    held-out evaluation need, with no further corpus scans (see
+    :func:`loso_valuation`). Returns driver-side dicts keyed by
+    group value."""
+    import pandas as pd
+
+    def gram_fn(key, pdf):
+        import numpy as np
+
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        g = x.T @ x
+        ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+        return pd.DataFrame(
+            {
+                "grp": [key[0]] * (dim * dim),
+                "i": ii.reshape(-1),
+                "j": jj.reshape(-1),
+                "g": g.reshape(-1),
+            }
+        )
+
+    def vec_fn(key, pdf):
+        import numpy as np
+
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        y = np.asarray(pdf[y_col], dtype=np.float64)
+        b = x.T @ y
+        out = pd.DataFrame({"grp": [key[0]] * dim, "i": range(dim), "b": b})
+        out.loc[len(out)] = [key[0], -1, float((y * y).sum())]
+        out.loc[len(out)] = [key[0], -2, float(len(y))]
+        return out
+
+    gsel = df.select(group_col, vec_col, F.col(y_col).cast("double"))
+    gram_rows = (
+        gsel.groupBy(group_col)
+        .applyInPandas(gram_fn, f"grp string, i int, j int, g double")
+        .groupBy("grp", "i", "j")
+        .agg(F.round(F.sum("g"), digits).alias("g"))
+        .collect()
+    )
+    vec_rows = (
+        gsel.groupBy(group_col)
+        .applyInPandas(vec_fn, "grp string, i int, b double")
+        .groupBy("grp", "i")
+        .agg(F.round(F.sum("b"), digits).alias("b"))
+        .collect()
+    )
+    gmats: dict = {}
+    bvecs: dict = {}
+    ysq: dict = {}
+    ns: dict = {}
+    for r in gram_rows:
+        gmats.setdefault(r["grp"], [[0.0] * dim for _ in range(dim)])[
+            r["i"]
+        ][r["j"]] = r["g"]
+    for r in vec_rows:
+        if r["i"] == -1:
+            ysq[r["grp"]] = r["b"]
+        elif r["i"] == -2:
+            ns[r["grp"]] = int(r["b"])
+        else:
+            bvecs.setdefault(r["grp"], [0.0] * dim)[r["i"]] = r["b"]
+    return gmats, bvecs, ysq, ns
+
+
+def loso_valuation(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    holdouts: list[str],
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_steps: int = 15,
+    eta: float = 9.7,
+    lam: float = 0.0013,
+    digits: int = 6,
+):
+    """Leave-one-group-out data valuation from sufficient statistics:
+    for each held-out group s, fit ridge on everything EXCEPT s
+    (driver GD over G_{-s} = Σ_{g≠s} G_g, b_{-s}) and score the
+    held-out SSE via the quadratic form
+    SSE_s = βᵀG_sβ − 2·βᵀb_s + Σy²_s — so evaluating |holdouts|
+    models costs ONE corpus pass total, not 2·|holdouts| (the
+    sufficient-statistics economics that make per-source valuation
+    affordable at 100 TB). Every value rounds HALF_UP, every sum is
+    a left fold over sorted group order, so a SQL oracle replays to
+    bit-equal valuations. Returns rows of
+    ``(group, n_rows, sse_holdout)``."""
+    gmats, bvecs, ysq, ns = group_blocks(
+        df, group_col, y_col, vec_col, dim, digits
+    )
+    groups = sorted(gmats)
+    out = []
+    for s in holdouts:
+        rest = [g for g in groups if g != s]
+        gneg = [[0.0] * dim for _ in range(dim)]
+        bneg = [0.0] * dim
+        for i in range(dim):
+            for j in range(dim):
+                acc = 0.0
+                for g in rest:
+                    acc = acc + gmats[g][i][j]
+                gneg[i][j] = _round_half_up(acc, digits)
+            acc = 0.0
+            for g in rest:
+                acc = acc + bvecs[g][i]
+            bneg[i] = _round_half_up(acc, digits)
+        n = sum(ns[g] for g in rest)
+        beta = [0.0] * dim
+        for _ in range(n_steps):
+            nb = []
+            for i in range(dim):
+                acc = 0.0
+                for j in range(dim):
+                    acc = acc + gneg[i][j] * beta[j]
+                acc = _round_half_up(acc, digits)
+                grad = (acc - bneg[i]) / n + lam * beta[i]
+                nb.append(_round_half_up(beta[i] - eta * grad, digits))
+            beta = nb
+        inner = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + gmats[s][i][j] * beta[j]
+            inner.append(_round_half_up(acc, digits))
+        qf = 0.0
+        for i in range(dim):
+            qf = qf + beta[i] * inner[i]
+        qf = _round_half_up(qf, digits)
+        bdot = 0.0
+        for i in range(dim):
+            bdot = bdot + beta[i] * bvecs[s][i]
+        bdot = _round_half_up(bdot, digits)
+        sse = _round_half_up(qf - 2.0 * bdot + ysq[s], digits)
+        out.append((s, ns[s], sse))
+    return out

@@ -971,3 +971,115 @@ def v_kmeanspp_seeds(spark, sf_dir):
     return spark.createDataFrame(
         [(int(o), int(i)) for o, i in seeds], "ord int, vec_id long"
     )
+
+
+_LOSO_STEP = """
+s{S}b{t} AS (
+  SELECT list_transform(range(64), i ->
+    round(p.beta[i+1] - 9.7 * (
+      (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(64), j -> gl.gf[i*64 + j + 1] * p.beta[j+1])),
+         (a, b) -> a + b), 6) - bl.bf[i+1]) / nn.n
+      + 0.0013 * p.beta[i+1]), 6)) AS beta
+  FROM gl{S} gl, bl{S} bl, nn{S} nn, s{S}b{p} p
+)"""
+
+_LOSO_HOLDOUT = """
+gn{S} AS (SELECT i, j, round(sum(g), 6) AS g FROM gms
+          WHERE grp <> '{s}' GROUP BY i, j),
+gl{S} AS (SELECT list(g ORDER BY i * 64 + j) AS gf FROM gn{S}),
+bn{S} AS (SELECT i, round(sum(b), 6) AS b FROM bms
+          WHERE grp <> '{s}' GROUP BY i),
+bl{S} AS (SELECT list(b ORDER BY i) AS bf FROM bn{S}),
+nn{S} AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM yqs WHERE grp <> '{s}'),
+s{S}b0 AS (SELECT list_transform(range(64), i -> CAST(0.0 AS DOUBLE)) AS beta),
+{steps},
+hg{S} AS (SELECT list(g ORDER BY i * 64 + j) AS gf FROM gms
+          WHERE grp = '{s}'),
+hb{S} AS (SELECT list(b ORDER BY i) AS bf FROM bms WHERE grp = '{s}'),
+val{S} AS (
+  SELECT '{s}' AS grp, q.n AS n_rows,
+         round(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(64), i -> p.beta[i+1] * inn.iv[i+1])),
+             (a, b) -> a + b), 6)
+           - 2.0 * round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(64), i -> p.beta[i+1] * hb.bf[i+1])),
+             (a, b) -> a + b), 6)
+           + q.ysq, 6) AS sse_holdout
+  FROM s{S}b15 p, hb{S} hb,
+       (SELECT ysq, n FROM yqs WHERE grp = '{s}') q,
+       (SELECT list_transform(range(64), i ->
+            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(64), j -> hg.gf[i*64 + j + 1] * p2.beta[j+1])),
+              (a, b) -> a + b), 6)) AS iv
+        FROM hg{S} hg, s{S}b15 p2) inn
+)"""
+
+
+def _loso_sql():
+    parts = []
+    for s in ("0", "1", "2"):
+        steps = ",".join(
+            _LOSO_STEP.format(S=s, t=t, p=t - 1) for t in range(1, 16)
+        )
+        parts.append(_LOSO_HOLDOUT.format(S=s, s=s, steps=steps))
+    return ",\n".join(parts)
+
+
+@query(
+    "v_loso_valuation",
+    oracle=f"""
+WITH u AS (SELECT vec_id, CAST(label AS VARCHAR) AS grp,
+                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+yy AS (SELECT vec_id, grp, v,
+              round(3.0 * v[1] - 2.0 * v[2] + 0.5 * v[3]
+                    + CASE WHEN grp = '0' THEN 1.0 ELSE 0.0 END, 6) AS y
+       FROM u),
+ex AS (SELECT vec_id, grp, y, generate_subscripts(v, 1) - 1 AS dim,
+              unnest(v) AS x FROM yy),
+gms AS (SELECT a.grp, a.dim AS i, b.dim AS j, round(sum(a.x * b.x), 6) AS g
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2, 3),
+bms AS (SELECT grp, dim AS i, round(sum(x * y), 6) AS b FROM ex GROUP BY 1, 2),
+yqs AS (SELECT grp, round(sum(y * y), 6) AS ysq,
+               CAST(count(*) AS BIGINT) AS n FROM yy GROUP BY 1),
+{_loso_sql()}
+SELECT grp, n_rows, sse_holdout FROM val0
+UNION ALL SELECT grp, n_rows, sse_holdout FROM val1
+UNION ALL SELECT grp, n_rows, sse_holdout FROM val2
+""",
+)
+def v_loso_valuation(spark, sf_dir):
+    """Leave-one-group-out data VALUATION from sufficient statistics:
+    per-group blocks (G_g, b_g, Σy², n) build in one distributed pass
+    each; for every held-out label the ridge fit on the remainder AND
+    its held-out SSE (the quadratic form βᵀG_sβ − 2βᵀb_s + Σy²_s)
+    run entirely on the driver — evaluating all three held-out models
+    costs no additional corpus scan, the economics that make
+    per-source valuation affordable at 100 TB. The target plants an
+    ANOMALY: label 0's y is shifted +1, so a model trained without
+    label 0 must mis-predict it — the valuation table flags exactly
+    the group a data buyer should distrust (pinned by pytest). The
+    oracle replays per-group blocks, three 15-step GD fits, and the
+    quadratic forms to bit-equal SSEs. EAGER at composition time."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    derived = e.select(
+        F.col("label").cast("string").alias("grp"),
+        "embedding",
+        F.round(
+            F.lit(3.0) * F.element_at(v, 1)
+            - F.lit(2.0) * F.element_at(v, 2)
+            + F.lit(0.5) * F.element_at(v, 3)
+            + F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("y"),
+    )
+    rows = sim.loso_valuation(
+        derived, group_col="grp", y_col="y", holdouts=["0", "1", "2"]
+    )
+    return spark.createDataFrame(
+        [(g, int(n), float(s)) for g, n, s in rows],
+        "grp string, n_rows long, sse_holdout double",
+    )

@@ -579,3 +579,17 @@ def test_farthest_first_seeds_spread(spark, emb):
     n = len(vecs)
     stride = sorted(vecs)[:: max(n // 8, 1)][:8]
     assert maxpair(ids) < maxpair(stride)
+
+
+def test_loso_valuation_flags_planted_anomaly(spark):
+    """The held-out SSE of the +1-shifted group must dwarf the clean
+    groups' — the valuation finding a data buyer acts on."""
+    from sftp_data_ingestion_spark import queries as q
+
+    rows = {
+        r["grp"]: r["sse_holdout"]
+        for r in q.QUERIES["v_loso_valuation"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows["0"] > 10 * max(rows["1"], rows["2"])

@@ -111,6 +111,12 @@ PROBES = [
     "x_dsir_importance",
     "x_epoch_shuffle",
     "t_gopher_rules",
+    # r11 session 2b: blocked Gram (dim^2-per-batch shuffle payload),
+    # CDC chunking (array-HOF projection + chunk groupBy), HRW
+    # sharding (bounded explode + max_by)
+    "v_gram_matrix",
+    "d_cdc_chunk_dedup",
+    "x_hrw_stable_sharding",
 ]
 
 

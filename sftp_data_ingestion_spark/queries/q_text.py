@@ -1595,10 +1595,14 @@ def d_cdc_chunk_dedup(spark, sf_dir):
     every doc_id % 4 = 1 document plants a real cross-doc duplicated
     span (the fixture corpus is random words).
 
-    Scale shape: chunking is one shuffle-free array-HOF projection
-    (no UDF); the only exchange is the chunk groupBy, whose key
-    cardinality is corpus-mass / mean-chunk-size — ordinary
-    hash-aggregate territory at any scale."""
+    Scale shape: chunking runs on the Arrow/numpy engine
+    (``cdc_chunks_arrow`` — 8 vectorized passes per doc; the 10x
+    probe caught the expression-HOF engine at >20 min on 50k docs,
+    the interpreted O(len*window) fold), which is pinned
+    value-identical to the graded HOF reference; the only exchange
+    is the chunk groupBy, whose key cardinality is corpus-mass /
+    mean-chunk-size — ordinary hash-aggregate territory at any
+    scale."""
     d = table(spark, sf_dir, "documents")
     derived = d.select(
         "doc_id",
@@ -1610,7 +1614,7 @@ def d_cdc_chunk_dedup(spark, sf_dir):
         .alias("text"),
     )
     return (
-        dd.cdc_chunks(derived)
+        dd.cdc_chunks_arrow(derived)
         .where(F.length("chunk") >= 8)
         .groupBy("chunk")
         .agg(

@@ -353,3 +353,21 @@ def test_star_contraction_beats_label_prop_on_chains(spark):
     # label propagation refuses loudly: needed iterations = diameter
     with _pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(verts, edges, max_iters=20).collect()
+
+
+def test_cdc_arrow_engine_value_identical(spark):
+    """The vectorized CDC kernel must emit exactly the chunks the
+    expression-HOF reference emits (same normalization, same window
+    hash, same bounds), including on multi-space and short inputs."""
+    from sftp_data_ingestion_spark.ext import dedup as dd
+
+    rows = [
+        (1, "the   quick\tbrown fox  jumps over the lazy dog tonight"),
+        (2, "tiny"),
+        (3, "  padded   with   runs   of   whitespace  everywhere  "),
+        (4, "x" * 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dd.cdc_chunks(df).collect()))
+    b = sorted(map(tuple, dd.cdc_chunks_arrow(df).collect()))
+    assert a == b

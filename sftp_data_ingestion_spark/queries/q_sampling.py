@@ -450,3 +450,70 @@ def x_hrw_stable_sharding(spark, sf_dir):
     return pick.withColumn(
         "moved", F.col("shard8") != F.col("shard9")
     )
+
+
+_BOOT_R = 32  # bootstrap replicates
+# cumulative Poisson(1) thresholds on the unit interval: the hash
+# u ~ U[0,1) maps to a deterministic per-(row, replicate) weight
+_POIS = "CASE WHEN {u} < 0.367879 THEN 0 WHEN {u} < 0.735759 THEN 1 " \
+        "WHEN {u} < 0.919699 THEN 2 WHEN {u} < 0.980996 THEN 3 ELSE 4 END"
+
+
+@query(
+    "g_poisson_bootstrap_ci",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, n_chars, r,
+         {_POIS.format(u=f"(((doc_id * 131 + r) * {_KNUTH}) % {_SHUF_M})"
+                         f" * 1.0 / {_SHUF_M}")} AS wt
+  FROM documents, (SELECT unnest(range({_BOOT_R})) AS r)
+), reps AS (
+  SELECT r,
+         round(sum(wt * n_chars) * 1.0 / sum(wt), 6) AS rep_mean
+  FROM w GROUP BY r
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       round(avg(rep_mean), 6) AS boot_mean,
+       round(stddev_samp(rep_mean), 6) AS boot_se
+FROM reps
+""",
+)
+def g_poisson_bootstrap_ci(spark, sf_dir):
+    """One-pass Poisson bootstrap (Chamandy et al. 2012, the
+    standard-error-at-scale technique): each (row, replicate) pair
+    gets a DETERMINISTIC Poisson(1)-distributed weight from the
+    portable hash — no resampling pass per replicate, no sampling
+    state, retry-reproducible — and every replicate's weighted mean
+    of n_chars aggregates in the same single shuffle. Output: the
+    bootstrap mean and standard error of the corpus mean over 32
+    replicates. The replicate explode multiplies rows by a CONSTANT
+    (32), not the corpus size; at 100 TB the alternative (32
+    independent sample passes) is 32 scans — this is one."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    u = (
+        F.pmod(
+            (F.col("doc_id") * 131 + F.col("r")) * F.lit(_KNUTH),
+            F.lit(_SHUF_M),
+        )
+        * 1.0
+        / F.lit(_SHUF_M)
+    )
+    wt = (
+        F.when(u < 0.367879, 0)
+        .when(u < 0.735759, 1)
+        .when(u < 0.919699, 2)
+        .when(u < 0.980996, 3)
+        .otherwise(4)
+    )
+    w = d.select("doc_id", "n_chars", r).withColumn("wt", wt)
+    reps = w.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("wt") * F.col("n_chars")) * 1.0 / F.sum("wt"), 6
+        ).alias("rep_mean")
+    )
+    return reps.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.avg("rep_mean"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("rep_mean"), 6).alias("boot_se"),
+    )

@@ -1083,3 +1083,78 @@ def v_loso_valuation(spark, sf_dir):
         [(g, int(n), float(s)) for g, n, s in rows],
         "grp string, n_rows long, sse_holdout double",
     )
+
+
+@query(
+    "v_source_embedding_drift",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), lm AS (
+  SELECT label, dim, round(avg(x), 6) AS m,
+         count(DISTINCT vec_id) AS n
+  FROM ex GROUP BY 1, 2
+), la AS (
+  SELECT label, list(m ORDER BY dim) AS mv, min(n) AS n
+  FROM lm GROUP BY label
+), ga AS (
+  SELECT list(m ORDER BY dim) AS gv FROM (
+    SELECT dim, round(avg(x), 6) AS m FROM ex GROUP BY dim
+  )
+)
+SELECT label, CAST(n AS BIGINT) AS n_vecs,
+       round(list_dot_product(mv, gv)
+             / (sqrt(list_dot_product(mv, mv))
+                * sqrt(list_dot_product(gv, gv))), 6) AS drift_cos
+FROM la, ga
+""",
+)
+def v_source_embedding_drift(spark, sf_dir):
+    """Per-group embedding drift monitor: each label's mean vector
+    against the global mean, as a cosine — the cheap geometric check
+    a corpus pipeline runs per source/snapshot to catch a collapsed
+    or shifted embedding batch before it trains. One explode + two
+    partial-aggregating groupBys; the k mean vectors are the only
+    thing that leaves the aggregation (k x dim floats at any corpus
+    size), and the global mean broadcasts back as one row."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ex = e.select("vec_id", "label", F.posexplode(v).alias("dim", "x"))
+    lm = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.count_distinct("vec_id").alias("n"),
+    )
+    la = lm.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("mv"),
+        F.min("n").alias("n"),
+    )
+    ga = (
+        ex.groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("gv")
+        )
+    )
+    from sftp_data_ingestion_spark.ext.similarity import dot
+
+    joined = la.crossJoin(F.broadcast(ga))
+    cos = F.round(
+        dot(F.col("mv"), F.col("gv"))
+        / (
+            F.sqrt(dot(F.col("mv"), F.col("mv")))
+            * F.sqrt(dot(F.col("gv"), F.col("gv")))
+        ),
+        6,
+    )
+    return joined.select(
+        "label", F.col("n").cast("long").alias("n_vecs"),
+        cos.alias("drift_cos"),
+    )

@@ -1791,6 +1791,31 @@ def _round_half_up(x: float, digits: int) -> float:
     )
 
 
+def _power_iterate(
+    g: list[list[float]], dim: int, n_iters: int, digits: int
+) -> list[float]:
+    """The engine-portable power-iteration loop shared by the PCA
+    components: HALF_UP rounds, left-fold sums (see
+    :func:`pca_top_component` for the discipline)."""
+    import math
+
+    v = [_round_half_up(1.0 / math.sqrt(dim), digits)] * dim
+    for _ in range(n_iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + g[i][j] * v[j]
+            w.append(_round_half_up(acc, digits))
+        nrm = 0.0
+        for x in w:
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        v = [_round_half_up(x / nrm, digits) if nrm else x for x in w]
+    return v
+
+
+
 def pca_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1815,21 +1840,7 @@ def pca_top_component(
     g = [[0.0] * dim for _ in range(dim)]
     for r in rows:
         g[r["i"]][r["j"]] = r["g"]
-    v = [_round_half_up(1.0 / math.sqrt(dim), digits)] * dim
-    for _ in range(n_iters):
-        w = []
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):
-                acc = acc + g[i][j] * v[j]
-            w.append(_round_half_up(acc, digits))
-        nrm = 0.0
-        for x in w:
-            nrm = nrm + x * x
-        nrm = math.sqrt(nrm)
-        v = [
-            _round_half_up(x / nrm, digits) if nrm else x for x in w
-        ]
+    v = _power_iterate(g, dim, n_iters, digits)
     vec = as_double(F.col(vec_col))
     vlit = F.array(*[F.lit(float(x)) for x in v])
     proj = df.select(
@@ -2125,3 +2136,53 @@ def loso_valuation(
         sse = _round_half_up(qf - 2.0 * bdot + ysq[s], digits)
         out.append((s, ns[s], sse))
     return out
+
+
+def pca_top2_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iters: int = 10,
+    digits: int = 6,
+) -> tuple[list[float], list[float], DataFrame]:
+    """Top TWO principal components via Hotelling deflation: v1 from
+    the power iteration, eigenvalue estimate l1 = ||G·v1|| (rounded),
+    then the second iteration runs on the deflated
+    G2 = G − l1·v1·v1ᵀ (rounded per entry) — all on the driver over
+    the one distributed Gram build. Same portability discipline as
+    :func:`pca_top_component`; returns ``(v1, v2, projections)`` with
+    projections = ``(vec_id, proj1, proj2)``."""
+    import math
+
+    rows = gram_matrix(df, vec_col, dim, digits).collect()
+    g = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        g[r["i"]][r["j"]] = r["g"]
+    v1 = _power_iterate(g, dim, n_iters, digits)
+    w = []
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + g[i][j] * v1[j]
+        w.append(_round_half_up(acc, digits))
+    nrm = 0.0
+    for x in w:
+        nrm = nrm + x * x
+    l1 = _round_half_up(math.sqrt(nrm), digits)
+    g2 = [
+        [
+            _round_half_up(g[i][j] - l1 * v1[i] * v1[j], digits)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v2 = _power_iterate(g2, dim, n_iters, digits)
+    vec = as_double(F.col(vec_col))
+    v1l = F.array(*[F.lit(float(x)) for x in v1])
+    v2l = F.array(*[F.lit(float(x)) for x in v2])
+    proj = df.select(
+        F.col("vec_id"),
+        F.round(dot(vec, v1l), digits).alias("proj1"),
+        F.round(dot(vec, v2l), digits).alias("proj2"),
+    )
+    return v1, v2, proj

@@ -517,3 +517,46 @@ def g_poisson_bootstrap_ci(spark, sf_dir):
         F.round(F.avg("rep_mean"), 6).alias("boot_mean"),
         F.round(F.stddev_samp("rep_mean"), 6).alias("boot_se"),
     )
+
+
+@query(
+    "g_jackknife_source_influence",
+    oracle="""
+WITH tot AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM documents
+), per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS s_g,
+         CAST(count(*) AS BIGINT) AS n_g
+  FROM documents GROUP BY source
+)
+SELECT source, n_g AS n_docs,
+       round((tot.s - s_g) * 1.0 / (tot.n - n_g), 6) AS loo_mean,
+       round((tot.s - s_g) * 1.0 / (tot.n - n_g)
+             - tot.s * 1.0 / tot.n, 6) AS influence
+FROM per, tot
+""",
+)
+def g_jackknife_source_influence(spark, sf_dir):
+    """Delete-one-source jackknife influence on the corpus mean
+    (n_chars): every source's leave-it-out mean and its signed pull
+    on the global statistic, from EXACT integer sufficient
+    statistics — one groupBy plus a one-row broadcast, no second
+    scan per source (the same delete-a-block economics as the LOSO
+    ridge valuation, at aggregate granularity). The source whose
+    removal moves the mean most is the one to audit first."""
+    d = table(spark, sf_dir, "documents")
+    tot = d.agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").alias("s_g"), F.count(F.lit(1)).alias("n_g")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    loo = (F.col("s") - F.col("s_g")) * 1.0 / (F.col("n") - F.col("n_g"))
+    return j.select(
+        "source",
+        F.col("n_g").alias("n_docs"),
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(loo - F.col("s") * 1.0 / F.col("n"), 6).alias("influence"),
+    )

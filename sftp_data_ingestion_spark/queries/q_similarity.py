@@ -1158,3 +1158,72 @@ def v_source_embedding_drift(spark, sf_dir):
         "label", F.col("n").cast("long").alias("n_vecs"),
         cos.alias("drift_cos"),
     )
+
+
+_PCA2_ITERS = ",".join(
+    _PCA_ITER.format(out=f"q{n+1}", prev=f"q{n}")
+    .replace("gl.gf", "g2.gf")
+    .replace("FROM gl,", "FROM g2,")
+    for n in range(10)
+)
+
+
+@query(
+    "v_pca_top2_components",
+    oracle=f"""
+WITH gm AS (
+  SELECT i, j, round(g, 6) AS g FROM (
+    SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS g
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) a
+    JOIN (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings) b
+    USING (vec_id) GROUP BY 1, 2
+  )
+), gl AS (SELECT list(g ORDER BY i * 64 + j) AS gf FROM gm),
+p0 AS (SELECT list_transform(range(64), i -> round(1.0 / sqrt(64.0), 6)) AS v),
+{_PCA_ITERS},
+w1 AS (
+  SELECT list_transform(range(64), i ->
+    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(64), j -> gl.gf[i*64 + j + 1] * p.v[j+1])),
+      (a, b) -> a + b), 6)) AS w
+  FROM gl, p10 p
+),
+l1 AS (
+  SELECT round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list_transform(w, y -> y * y)), (a, b) -> a + b)), 6) AS l
+  FROM w1
+),
+g2 AS (
+  SELECT list_transform(range(4096), t ->
+    round(gl.gf[t+1] - l1.l * p.v[t // 64 + 1] * p.v[t % 64 + 1], 6))
+    AS gf
+  FROM gl, p10 p, l1
+),
+q0 AS (SELECT list_transform(range(64), i -> round(1.0 / sqrt(64.0), 6)) AS v),
+{_PCA2_ITERS},
+u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+SELECT vec_id,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(64), k -> u.x[k+1] * p.v[k+1])),
+         (a, b) -> a + b), 6) AS proj1,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(64), k -> u.x[k+1] * q.v[k+1])),
+         (a, b) -> a + b), 6) AS proj2
+FROM u, p10 p, q10 q
+""",
+)
+def v_pca_top2_components(spark, sf_dir):
+    """Top-2 PCA via Hotelling deflation, graded end-to-end: v1 from
+    the power iteration, eigenvalue estimate l1 = ||G·v1|| (rounded),
+    second iteration on the deflated G − l1·v1·v1ᵀ — the oracle
+    replays BOTH ten-step iterations, the deflation, and both
+    projection folds to bit-equal values. Same one-Gram-build
+    economics as v_pca_top_component (the deflation is 4096 driver
+    floats); EAGER at composition time."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    _v1, _v2, proj = sim.pca_top2_components(e, dim=64, n_iters=10)
+    return proj

@@ -279,3 +279,130 @@ def cc_star_contraction(
     ).select(
         "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
     )
+
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]  # alphabetical
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    channels: list[str] | None = None,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    conv: str = "purchase",
+    n_iters: int = 30,
+    digits: int = 6,
+):
+    """First-order Markov removal-effect attribution (Anderl et al.
+    2014): build each user's journey (truncated at the FIRST
+    conversion, else terminated in NULL), count transitions over
+    START + channel states + the CONV/NULL absorbers, and solve the
+    absorbing chain by fixed-point iteration — then re-solve with
+    each channel's state pinned to zero (its conversion mass
+    redirected to NULL) and attribute by normalized removal effect.
+
+    Scale shape: the distributed work is one per-user window-free
+    path build (sort_array over collect_list, bounded by journey
+    length) and a (src, dst) groupBy whose cardinality is
+    (|channels|+2)² — the chain solve touches a ≤6×6 matrix on the
+    driver. Every probability and iterate rounds HALF_UP with
+    left-fold sums, so a SQL oracle replays all five chains
+    (full + 4 removals) to bit-equal attributions."""
+    channels = channels or _MK_CHANNELS
+    states = ["START"] + channels
+    k = len(states)
+
+    state = F.when(F.col(type_col) == conv, F.lit("CONV")).otherwise(
+        F.col(type_col)
+    )
+    srt = events.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, seq_col, state.alias("s")))
+            ),
+            lambda x: x["s"],
+        ).alias("full")
+    )
+    pos = F.array_position(F.col("full"), "CONV")
+    lst = srt.select(
+        F.concat(
+            F.array(F.lit("START")),
+            F.when(pos > 0, F.slice(F.col("full"), 1, pos)).otherwise(
+                F.concat(F.col("full"), F.array(F.lit("NULL")))
+            ),
+        ).alias("l")
+    )
+    pairs = lst.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("l"), i + 1).alias("src"),
+                    F.element_at(F.col("l"), i + 2).alias("dst"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    cnt = {
+        (r["src"], r["dst"]): r["c"]
+        for r in pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    tot = {}
+    for (s, _d), c in cnt.items():
+        tot[s] = tot.get(s, 0) + c
+    P = [[0.0] * k for _ in range(k)]
+    b = [0.0] * k
+    for i, s in enumerate(states):
+        t = tot.get(s, 0)
+        if not t:
+            continue
+        for j, d in enumerate(states):
+            c = cnt.get((s, d), 0)
+            if c:
+                P[i][j] = _round_half_up(c * 1.0 / t, digits)
+        cc = cnt.get((s, "CONV"), 0)
+        if cc:
+            b[i] = _round_half_up(cc * 1.0 / t, digits)
+
+    def solve(removed: int) -> float:
+        v = [0.0] * k
+        for _ in range(n_iters):
+            nv = []
+            for i in range(k):
+                if i == removed:
+                    nv.append(0.0)
+                    continue
+                acc = 0.0
+                for j in range(k):
+                    acc = acc + P[i][j] * v[j]
+                nv.append(_round_half_up(acc + b[i], digits))
+            v = nv
+        return v[0]
+
+    p0 = solve(-1)
+    res = []
+    for ci, ch in enumerate(channels):
+        pc = solve(ci + 1)
+        re = _round_half_up((p0 - pc) / p0, digits) if p0 else 0.0
+        res.append([ch, re])
+    s = 0.0
+    for _, re in res:
+        s = s + re
+    out = []
+    for ch, re in res:
+        share = _round_half_up(re / s, digits) if s else 0.0
+        out.append((ch, re, share))
+    return out
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )

@@ -430,3 +430,55 @@ def e_hourly_windowed_agg(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "e_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, sum(c) AS t FROM pairs GROUP BY src
+)
+SELECT p.src, p.dst, CAST(p.c AS BIGINT) AS n_transitions,
+       round(p.c * 1.0 / t.t, 6) AS p_transition
+FROM pairs p JOIN tot t USING (src)
+""",
+)
+def e_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition matrix (the Markov building
+    block under attribution / next-event prediction): order each
+    user's events by time, pair each with its successor, and
+    row-normalize the transition counts. One window partitioned by
+    user (never global — sessions sort within their own key), one
+    partial-aggregating groupBy on the (src, dst) pair whose
+    cardinality is |event types|², corpus-size independent; the
+    row totals broadcast back onto that tiny matrix."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("c").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src", "dst", F.col("c").alias("n_transitions"),
+            F.round(F.col("c") * 1.0 / F.col("t"), 6).alias("p_transition"),
+        )
+    )

@@ -675,3 +675,104 @@ def z2_cc_star_chain(spark, sf_dir):
     )
     comp = cc_star_contraction(d, e1.unionAll(e2), id_col="doc_id")
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+_MK_STEP = """
+c{L}{t} AS (
+  SELECT list_transform(range(5), i ->
+    CASE WHEN i = {r} THEN CAST(0.0 AS DOUBLE) ELSE
+      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(5), j -> pl.pf[i*5 + j + 1] * p.v[j+1])),
+        (a, b) -> a + b) + bl2.bf[i+1], 6) END) AS v
+  FROM pl, bl2, c{L}{p} p
+)"""
+
+
+def _mk_chains():
+    parts = []
+    for label, r in (("f", -1), ("r1", 1), ("r2", 2), ("r3", 3), ("r4", 4)):
+        parts.append(
+            f"c{label}0 AS (SELECT list_transform(range(5), i ->"
+            " CAST(0.0 AS DOUBLE)) AS v)"
+        )
+        for t in range(1, 31):
+            parts.append(_MK_STEP.format(L=label, t=t, p=t - 1, r=r))
+    return ",".join(parts)
+
+
+@query(
+    "z2_markov_attribution",
+    oracle=f"""
+WITH srt AS MATERIALIZED (
+  -- the path column is NOT named "full": FULL is a reserved join
+  -- keyword and DuckDB's parser rejects it unquoted in SELECT lists
+  SELECT user_id,
+         list(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                   ELSE event_type END ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+), lst AS MATERIALIZED (
+  SELECT list_prepend('START',
+           CASE WHEN COALESCE(pos, 0) > 0
+                THEN list_slice(path, 1, pos)
+                ELSE list_append(path, 'NULL') END) AS l
+  FROM (SELECT path, list_position(path, 'CONV') AS pos FROM srt)
+), pr AS MATERIALIZED (
+  SELECT l, unnest(range(length(l) - 1)) AS i FROM lst
+), pairs AS MATERIALIZED (
+  SELECT l[i+1] AS src, l[i+2] AS dst FROM pr
+), cnt AS MATERIALIZED (SELECT src, dst, count(*) AS c FROM pairs GROUP BY 1, 2),
+tots AS MATERIALIZED (SELECT src, sum(c) AS t FROM cnt GROUP BY 1),
+sts(i, s) AS (
+  SELECT * FROM (VALUES (0, 'START'), (1, 'click'), (2, 'error'),
+                        (3, 'signup'), (4, 'view')) v(i, s)
+), pm AS MATERIALIZED (
+  SELECT a.i AS i, b2.i AS j,
+         COALESCE(round(cnt.c * 1.0 / tots.t, 6), 0.0) AS p
+  FROM sts a CROSS JOIN sts b2
+  LEFT JOIN cnt ON cnt.src = a.s AND cnt.dst = b2.s
+  LEFT JOIN tots ON tots.src = a.s
+), pl AS MATERIALIZED (SELECT list(p ORDER BY i * 5 + j) AS pf FROM pm),
+bm AS MATERIALIZED (
+  SELECT a.i AS i, COALESCE(round(cnt.c * 1.0 / tots.t, 6), 0.0) AS b
+  FROM sts a
+  LEFT JOIN cnt ON cnt.src = a.s AND cnt.dst = 'CONV'
+  LEFT JOIN tots ON tots.src = a.s
+), bl2 AS MATERIALIZED (SELECT list(b ORDER BY i) AS bf FROM bm),
+{_mk_chains()},
+fin AS (
+  SELECT f.v[1] AS p0, a.v[1] AS p1, b.v[1] AS p2,
+         c.v[1] AS p3, d.v[1] AS p4
+  FROM cf30 f, cr130 a, cr230 b, cr330 c, cr430 d
+), re AS (
+  SELECT round((p0 - p1) / p0, 6) AS e1, round((p0 - p2) / p0, 6) AS e2,
+         round((p0 - p3) / p0, 6) AS e3, round((p0 - p4) / p0, 6) AS e4
+  FROM fin
+)
+SELECT 'click' AS channel, e1 AS removal_effect,
+       round(e1 / (e1 + e2 + e3 + e4), 6) AS share FROM re
+UNION ALL SELECT 'error', e2, round(e2 / (e1 + e2 + e3 + e4), 6) FROM re
+UNION ALL SELECT 'signup', e3, round(e3 / (e1 + e2 + e3 + e4), 6) FROM re
+UNION ALL SELECT 'view', e4, round(e4 / (e1 + e2 + e3 + e4), 6) FROM re
+""",
+)
+def z2_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014) graded
+    end-to-end: per-user journeys truncated at the first conversion,
+    transition counts over START + 4 channels + CONV/NULL absorbers,
+    the absorbing chain solved by 30 rounded fixed-point iterations,
+    then re-solved with each channel pinned to zero — attribution is
+    the normalized removal effect. The oracle replays the path build,
+    the 6×6 probability matrix, and all FIVE chains (full + 4
+    removals) to bit-equal shares. Distributed work is the path build
+    + a (src, dst) groupBy; the solve touches a ≤6×6 matrix on the
+    driver. EAGER at composition time (counts collect)."""
+    from sftp_data_ingestion_spark.ext.graph import (
+        markov_removal_attribution,
+    )
+
+    e = table(spark, sf_dir, "events")
+    rows = markov_removal_attribution(e)
+    return spark.createDataFrame(
+        [(c, float(r), float(s)) for c, r, s in rows],
+        "channel string, removal_effect double, share double",
+    )

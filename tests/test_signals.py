@@ -515,3 +515,19 @@ def test_url_domain_stats_hand_computed(spark, tmp_path):
         "cdn1.example.com": (1, 1),
         "api.example.org": (1, 1),
     }
+
+
+def test_markov_attribution_shares_sum_to_one(spark):
+    """Removal-effect shares are a distribution over channels and the
+    whole pipeline is rerun-identical."""
+    from sftp_data_ingestion_spark.ext.graph import (
+        markov_removal_attribution,
+    )
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, "/root/testdata/sf0.01", "events")
+    a = markov_removal_attribution(e)
+    b = markov_removal_attribution(e)
+    assert a == b
+    assert all(re > 0 for _, re, _ in a)
+    assert abs(sum(s for _, _, s in a) - 1.0) < 1e-4

@@ -10,7 +10,12 @@ says where the next lever is).
 
 Each timing materializes the plan end-to-end with a noop write,
 min-of-N in one JVM, with bench._calibrate's fixed CPU anchor printed
-alongside so readings are comparable across hosts/sessions.
+alongside so readings are comparable across hosts/sessions. Rounds
+are INTERLEAVED across stages (s0,s1,s2,s3, s0,s1,... rather than
+s0 x N then s1 x N): a slow-host window then inflates every stage's
+round equally instead of biasing whichever stage it landed on — the
+r11 decompose's +7.3s s2->s3 "merge delta" was exactly such
+between-stage drift (a same-JVM follow-up read s2 = s3).
 
 Run: SPARK_GRAFT_PROBE_COPIES=100 python scripts/flagship_decompose.py
 """
@@ -60,13 +65,10 @@ def build_orders(spark) -> None:
     out.write.parquet(f"{DST}/orders.parquet")
 
 
-def timed(df, runs=RUNS) -> float:
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+def timed_once(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
 
 
 def main() -> None:
@@ -89,9 +91,15 @@ def main() -> None:
         ),
     }
     out = {"copies": COPIES, "runs": RUNS, "calib_s": bench._calibrate(spark)}
-    for name, fn in stages.items():
-        out[name] = timed(fn())
-        print(f"# {name}: {out[name]}s", file=sys.stderr)
+    dfs = {name: fn() for name, fn in stages.items()}
+    best = {name: float("inf") for name in dfs}
+    for r in range(RUNS):
+        for name, df in dfs.items():
+            t = timed_once(df)
+            best[name] = min(best[name], t)
+            print(f"# round {r} {name}: {round(t, 3)}s", file=sys.stderr)
+    for name, v in best.items():
+        out[name] = round(v, 3)
     out["calib_post_s"] = bench._calibrate(spark)
     print(json.dumps(out))
 

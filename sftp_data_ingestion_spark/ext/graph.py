@@ -271,6 +271,13 @@ def cc_star_contraction(
         if fp2 == fp:
             break
         fp = fp2
+    else:
+        # never hand back possibly-wrong labels: match the loud
+        # failure contract of dedup.connected_components
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
     labels = mins(sym)
     return vertices.select(F.col(id_col).alias("id")).join(
         labels.select(F.col("u").alias("id"), F.col("m").alias("component")),

@@ -1584,8 +1584,10 @@ def semdedup_survivors(
     v = as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     m = asg.join(base, "id").withColumn(
-        "n", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim) if dim
-                    else dot(F.col("v"), F.col("v")))
+        # _checked_norm (not a bare dot_flat) so a wrong caller dim
+        # fails loudly instead of silently truncating the vectors
+        "n", _checked_norm(F.col("v"), dim) if dim
+        else F.sqrt(dot(F.col("v"), F.col("v")))
     )
     a = m.select(
         F.col("id").alias("id_a"), "cluster_id",

@@ -61,6 +61,38 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _dv_entries(m: dict) -> list[dict]:
+    """The manifest's deletion vectors as scoped entries
+    ``{"files": [dv paths], "version": commit version}``. Legacy
+    manifests (written before DV scoping) carry only the flat
+    ``dv_files`` list; synthesize a single entry pinned at the
+    manifest's own version so it applies to every file present when
+    that manifest was written — and to nothing appended later."""
+    e = m.get("dv_entries")
+    if e is not None:
+        return e
+    dvf = m.get("dv_files") or []
+    return [{"files": dvf, "version": m["version"]}] if dvf else []
+
+
+def _prune_files(m: dict, prune: tuple | None) -> list[str]:
+    """Apply manifest-stats file skipping to ``m``'s file list.
+    ``prune`` = ``(col, lo, hi)``: keep only files whose recorded
+    [min, max] for ``col`` overlaps [lo, hi]; files WITHOUT stats for
+    the column are always kept (pruning must never drop data)."""
+    files = m["files"]
+    if prune is None:
+        return files
+    col, lo, hi = prune
+    stats = m.get("stats", {})
+    return [
+        f
+        for f in files
+        if (rng := stats.get(f, {}).get(col)) is None
+        or (rng[0] <= hi and rng[1] >= lo)
+    ]
+
+
 def _write_data(df: DataFrame, root: str) -> list[str]:
     """Write df's parquet files under a fresh commit dir; return their
     root-relative paths. The commit dir is invisible to readers until
@@ -158,13 +190,23 @@ def commit(
         stats = dict(new_stats)
         dv_files: list[str] = []
         dv_key = None
+        dv_entries: list[dict] = []
+        file_versions = {f: target for f in new_files}
         if mode == "append" and head:
             prev = _read_manifest(root, head)
             files = prev["files"] + files
             stats = {**prev.get("stats", {}), **stats}
-            # deletes stay in effect across appends (merge-on-read)
+            # deletes stay in effect across appends (merge-on-read),
+            # but each DV is SCOPED to the files already present when
+            # it was committed (dv_entries carries the version) — a
+            # key re-inserted by this append is NOT erased by an
+            # older delete of the same key (Iceberg sequence-number
+            # semantics; see read())
             dv_files = prev.get("dv_files", [])
             dv_key = prev.get("dv_key")
+            dv_entries = _dv_entries(prev)
+            file_versions = {**prev.get("file_versions", {}),
+                             **file_versions}
         manifest = {
             "version": target,
             "mode": mode,
@@ -174,6 +216,8 @@ def commit(
             "committed_at_ms": committed_at_ms,
             "dv_files": dv_files,
             "dv_key": dv_key,
+            "dv_entries": dv_entries,
+            "file_versions": file_versions,
         }
         tmp = os.path.join(
             root, _VDIR, f".tmp-{uuid.uuid4().hex}.json"
@@ -205,17 +249,7 @@ def files_for(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not found (have {versions})")
     m = _read_manifest(root, v)
-    files = m["files"]
-    if prune is None:
-        return files
-    col, lo, hi = prune
-    stats = m.get("stats", {})
-    kept = []
-    for f in files:
-        rng = stats.get(f, {}).get(col)
-        if rng is None or (rng[0] <= hi and rng[1] >= lo):
-            kept.append(f)
-    return kept
+    return _prune_files(m, prune)
 
 
 def read(
@@ -231,28 +265,70 @@ def read(
     ``prune=(col, lo, hi)`` applies MANIFEST-LEVEL file skipping
     before Spark ever lists a file (see :func:`files_for`); the
     caller still applies the row-level filter — pruning only shrinks
-    the scan set, it never stands in for the predicate."""
-    kept = files_for(root, version, prune)
+    the scan set, it never stands in for the predicate.
+
+    Deletion vectors are SCOPED: a DV committed at version V erases
+    its keys only from data files already present at V
+    (``file_versions[f] <= V``). A file appended AFTER the delete is
+    never anti-joined against that DV, so re-inserting a previously
+    deleted key behaves like Delta/Iceberg equality deletes (the
+    delete is not a tombstone on the key forever). Files are grouped
+    by their applicable DV set — one group per distinct delete
+    horizon, typically 1–2 — each group anti-joins its broadcast key
+    set, then the groups union. Everything below derives from ONE
+    manifest read, so a concurrent commit between head resolution
+    and DV resolution can never pair version-N files with
+    version-N+1 deletes."""
     versions_ = _list_versions(root)
+    if not versions_:
+        raise FileNotFoundError(f"no committed version under {root}")
     v = versions_[-1] if version is None else version
+    if v not in versions_:
+        raise FileNotFoundError(
+            f"version {v} not found (have {versions_})"
+        )
     m = _read_manifest(root, v)
+    kept = _prune_files(m, prune)
     if not kept:  # every file pruned: empty frame with the schema
         import pyspark.sql.types as T
 
-        versions = _list_versions(root)
-        v = versions[-1] if version is None else version
-        schema = T.StructType.fromJson(
-            __import__("json").loads(_read_manifest(root, v)["schema"])
-        )
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    df = spark.read.parquet(*[os.path.join(root, f) for f in kept])
-    if m.get("dv_files"):
-        key = m["dv_key"]
-        dv = spark.read.parquet(
-            *[os.path.join(root, f) for f in m["dv_files"]]
-        ).select(key).distinct()
-        df = df.join(F.broadcast(dv), key, "left_anti")
-    return df
+
+    def _scan(rel_files: list[str]) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(root, f) for f in rel_files]
+        )
+
+    entries = _dv_entries(m)
+    if not entries:
+        return _scan(kept)
+    key = m["dv_key"]
+    fver = m.get("file_versions", {})
+    # group data files by the set of DVs that apply to them: DV at
+    # version V covers files added at or before V (unknown age -> 0,
+    # i.e. covered by every DV — the safe legacy reading)
+    groups: dict[tuple, list[str]] = {}
+    for f in kept:
+        added = fver.get(f, 0)
+        applicable = tuple(
+            p
+            for e in entries
+            if e["version"] >= added
+            for p in e["files"]
+        )
+        groups.setdefault(applicable, []).append(f)
+    parts = []
+    for dv_paths, grp_files in sorted(groups.items()):
+        part = _scan(grp_files)
+        if dv_paths:
+            dv = _scan(list(dv_paths)).select(key).distinct()
+            part = part.join(F.broadcast(dv), key, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def versions(root: str) -> list[int]:
@@ -294,6 +370,8 @@ def _drop_manifests_and_sweep(root: str, drop: list[int]) -> list[str]:
             m = _read_manifest(root, v)
             referenced.update(m["files"])
             referenced.update(m.get("dv_files", []))
+            for e in _dv_entries(m):
+                referenced.update(e["files"])
     for v in drop:
         os.unlink(_version_path(root, v))
     deleted = []
@@ -437,7 +515,11 @@ def commit_delete(
     sees every row (the DV lives in the manifest, not the data).
     DVs accumulate across deletes and appends; an ``overwrite`` commit
     (compaction/OPTIMIZE) naturally clears them by rewriting the
-    snapshot. Returns the new version number."""
+    snapshot. Each DV is recorded with ITS OWN commit version
+    (``dv_entries``) and applies only to files present at or before
+    that version — a later append that re-introduces a deleted key is
+    untouched by the old delete (see :func:`read`). Returns the new
+    version number."""
     versions_ = _list_versions(root)
     if not versions_:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -463,6 +545,9 @@ def commit_delete(
             "committed_at_ms": committed_at_ms,
             "dv_files": prev.get("dv_files", []) + new_dv,
             "dv_key": key_col,
+            "dv_entries": _dv_entries(prev)
+            + [{"files": new_dv, "version": target}],
+            "file_versions": prev.get("file_versions", {}),
         }
         tmp = os.path.join(root, _VDIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:

@@ -1458,9 +1458,13 @@ def t_gopher_rules(spark, sf_dir):
             ).otherwise(x),
         ).alias("t2"),
     )
+    # empty-token guard: sequence(0, -1) is the DESCENDING [0, -1] in
+    # Spark (the exact trap cdc_chunks guards against) — an empty doc
+    # must yield zero lines, matching DuckDB's range(0) = []
     lined = dirty.select(
         "doc_id",
-        F.transform(
+        F.when(F.size("t2") == 0, F.array().cast("array<string>"))
+        .otherwise(F.transform(
             F.sequence(
                 F.lit(0), ((F.size("t2") + 7) / F.lit(8)).cast("int") - 1
             ),
@@ -1473,7 +1477,7 @@ def t_gopher_rules(spark, sf_dir):
                     (F.col("doc_id") % 7 == 0) & (j % 2 == 0), F.lit("...")
                 ).otherwise(F.lit("")),
             ),
-        ).alias("lines"),
+        )).alias("lines"),
     )
     words = lined.select(
         "doc_id",

@@ -311,3 +311,61 @@ def test_deletion_vector_merge_on_read(spark, tmp_path):
     assert V.read(spark, root).count() == 93
     removed = V.vacuum(root, keep_last=1)
     assert removed and V.read(spark, root).count() == 93
+
+
+def test_deletion_vector_scoped_to_files_at_delete_time(spark, tmp_path):
+    """A key re-inserted AFTER its delete must survive: the DV is
+    scoped to files present at the delete's commit version
+    (Delta/Iceberg sequence-number semantics), not a forever
+    tombstone on the key."""
+    from sftp_data_ingestion_spark.io import versioned as V
+
+    root = str(tmp_path / "dvscope")
+    V.commit(spark.range(10).withColumnRenamed("id", "k"), root)
+    V.commit_delete(
+        spark.range(3, 6).withColumnRenamed("id", "k"), root, "k"
+    )
+    assert V.read(spark, root).count() == 7
+    # re-insert key 4 after the delete: the old DV must NOT erase it
+    V.commit(
+        spark.range(4, 5).withColumnRenamed("id", "k"),
+        root, mode="append",
+    )
+    got = sorted(r["k"] for r in V.read(spark, root).collect())
+    assert got == [0, 1, 2, 4, 6, 7, 8, 9]
+    # a NEW delete of key 4 covers the re-inserted file too
+    V.commit_delete(
+        spark.range(4, 5).withColumnRenamed("id", "k"), root, "k"
+    )
+    got = sorted(r["k"] for r in V.read(spark, root).collect())
+    assert got == [0, 1, 2, 6, 7, 8, 9]
+    # and the DV survives a further append, still scoped
+    V.commit(
+        spark.range(5, 6).withColumnRenamed("id", "k"),
+        root, mode="append",
+    )
+    got = sorted(r["k"] for r in V.read(spark, root).collect())
+    assert got == [0, 1, 2, 5, 6, 7, 8, 9]
+
+
+def test_legacy_manifest_without_dv_entries_still_reads(spark, tmp_path):
+    """Manifests written before DV scoping (flat dv_files only) read
+    with the old apply-to-all semantics instead of crashing."""
+    import json as _json
+
+    from sftp_data_ingestion_spark.io import versioned as V
+
+    root = str(tmp_path / "legacy")
+    V.commit(spark.range(10).withColumnRenamed("id", "k"), root)
+    V.commit_delete(
+        spark.range(0, 10, 2).withColumnRenamed("id", "k"), root, "k"
+    )
+    # strip the new fields to simulate a legacy manifest
+    p = V._version_path(root, 2)
+    m = _json.load(open(p))
+    m.pop("dv_entries", None)
+    m.pop("file_versions", None)
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    got = sorted(r["k"] for r in V.read(spark, root).collect())
+    assert got == [1, 3, 5, 7, 9]

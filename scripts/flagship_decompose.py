@@ -3,10 +3,14 @@
 
 The flagship (`pedidos_pipeline_flagship`) is staging-derive ->
 explode -> 41-expression clean -> dedup window -> NULL-key filter ->
-full-outer merge. This script times the CUMULATIVE stages at scale so
-each round can re-answer "what dominates now?" after a perf change
-(r9 cut the cleaning cascade 37.7% at 100x; this is the harness that
-says where the next lever is).
+two output casts. NOTE: the flagship contains NO merge stage
+(`upsert_newer_wins` lives in `run_upsert_pipeline` and is benched by
+`u1_upsert_newer_wins`) — s3 is s2 plus two decimal->double casts, so
+any large s3-s2 delta is HOST NOISE by construction (the r11 "+merge
+delta" was exactly this). This script times the CUMULATIVE stages at
+scale so each round can re-answer "what dominates now?" after a perf
+change (r9 cut the cleaning cascade 37.7% at 100x; this is the
+harness that says where the next lever is).
 
 Each timing materializes the plan end-to-end with a noop write,
 min-of-N in one JVM, with bench._calibrate's fixed CPU anchor printed

@@ -1048,6 +1048,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    pairs: DataFrame | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """Corpus-level near-dup clustering: MinHash-LSH pairs -> exact
@@ -1056,10 +1057,18 @@ def neardup_clusters(
     of the component (singletons are their own cluster) — the actual
     keep/drop decision a training-data pipeline needs, where pair
     lists alone are not actionable (near-dup similarity is not
-    transitive, but the DROP decision must be)."""
-    pairs = minhash_near_dup_pairs(
-        df, id_col, text_col, threshold=threshold, **minhash_kwargs
-    ).select(F.col("id_a"), F.col("id_b"))
+    transitive, but the DROP decision must be).
+
+    ``pairs`` (optional, columns ``id_a, id_b``) supplies the verified
+    near-dup edges from elsewhere — e.g. the organize-once bucketed
+    signature layout (:func:`minhash_near_dup_pairs_bucketed`), so
+    repeated cluster consumers skip the eager inline pair derivation
+    entirely; by default the pairs derive inline."""
+    if pairs is None:
+        pairs = minhash_near_dup_pairs(
+            df, id_col, text_col, threshold=threshold, **minhash_kwargs
+        )
+    pairs = pairs.select(F.col("id_a"), F.col("id_b"))
     comp = connected_components(
         df.select(id_col), pairs, id_col=id_col
     )

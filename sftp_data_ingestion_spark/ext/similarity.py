@@ -1633,16 +1633,20 @@ def _group_centroids(
     """Tiny driver-side Lloyd over the CENTROIDS themselves (k points,
     k << n — microseconds): returns ``(group_means, members)`` where
     ``members[g]`` lists the centroid indices routed to group g.
-    Deterministic: stride seeding, argmax on the rounded dot with
-    ties to the larger group (the same tiebreak the engine-portable
-    loop uses), empty groups keep their previous mean."""
+    Deterministic AND engine-portable: stride seeding, argmax on the
+    rounded dot with ties to the larger group (the same tiebreak the
+    engine-portable loop uses), empty groups keep their previous
+    mean, and — like every cross-stage value in this module — the
+    normalized group-mean components are rounded to 6 dp, so a SQL
+    oracle replaying this loop (``v_semdedup_coarse_k64``) lands on
+    bit-equal group boundaries instead of drifting at fp ulps."""
     import math
 
     k, dim = len(cents), len(cents[0])
 
     def _norm(v):
         s = math.sqrt(sum(x * x for x in v))
-        return [x / s if s else x for x in v]
+        return [round(x / s if s else x, 6) for x in v]
 
     stride = max(k // n_groups, 1)
     means = [_norm(cents[i]) for i in range(0, k, stride)][:n_groups]
@@ -1691,14 +1695,22 @@ def coarse_assignments(
     g = n_groups or max(1, math.isqrt(k))
     means, members = _group_centroids(centroids, g)
     v = as_double(F.col(vec_col))
-    coarse = F.array(
-        *[F.array(*[F.lit(float(x)) for x in m]) for m in means]
-    )
-    scored_g = F.transform(
-        coarse,
-        lambda c, i: F.struct(
-            F.round(dot(v, c), digits).alias("score"), i.alias("grp")
-        ),
+    # rank only NON-EMPTY groups (an empty group has no candidate
+    # centroids — probing it wastes one of the nprobe slots and, on
+    # the knife edge, picks no candidates at all); grp keeps its
+    # ORIGINAL index so tiebreaks stay oracle-portable
+    nonempty = [gi for gi, mem in enumerate(members) if mem]
+    scored_g = F.array(
+        *[
+            F.struct(
+                F.round(
+                    dot(v, F.array(*[F.lit(float(x)) for x in means[gi]])),
+                    digits,
+                ).alias("score"),
+                F.lit(gi).alias("grp"),
+            )
+            for gi in nonempty
+        ]
     )
     top_gs = F.slice(F.reverse(F.array_sort(scored_g)), 1, nprobe)
     # ragged nested literal: members[g] -> array of (cell, vector)

@@ -463,3 +463,97 @@ def st_late_data_drop(spark, sf_dir):
     return spark.table(uniq).withColumn(
         "late_drop_counter_positive", F.lit(dropped > 0)
     )
+
+
+@query(
+    "st_rocksdb_exact_dedup",
+    oracle=r"""
+WITH h AS (
+  SELECT CAST(doc_id % 4 AS INT) AS b,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+), first_seen AS (
+  SELECT h, min(b) AS batch_seq FROM h GROUP BY h
+)
+SELECT batch_seq, CAST(count(*) AS BIGINT) AS n_new_hashes,
+       TRUE AS rocksdb_engaged
+FROM first_seen GROUP BY 1
+""",
+)
+def st_rocksdb_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup with its keyed state in the ROCKSDB
+    state store, graded end-to-end: the corpus arrives as four
+    mtime-ordered files (batch = doc_id % 4, one per trigger),
+    ``dropDuplicates`` on the sha256 of the normalized text keeps the
+    FIRST-SEEN row per content hash — so a hash's surviving
+    batch_seq is the earliest batch containing it, which the oracle
+    replays as min(batch) per hash. The graded statement is
+    first-occurrence-across-ordered-batches (ordering + dedup state
+    correctness) per batch, plus a positive witness that the RocksDB
+    provider really engaged (the per-operator rocksdb* metrics — the
+    same evidence tests/test_rocksdb_state.py pins). This is the
+    100 TB shape for the unbounded seen-hash set: dedup state pages
+    to local SST files instead of executor heap, the practical
+    ceiling on how long an exact-dedup stream can run; the LSH
+    near-dup twin of the same state story is
+    ``streaming.stream_ingest_neardup_stateful``."""
+    import shutil
+
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("batch_seq"),
+        F.sha2(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256
+        ).alias("h"),
+    )
+    chunk = tempfile.mkdtemp(prefix="rocksdedup_")
+    src = os.path.join(chunk, "arrivals")
+    os.makedirs(src)
+    for k in range(4):
+        tmp = os.path.join(chunk, f"b{k}")
+        d.where(F.col("batch_seq") == k).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"chunk_{k}.parquet")
+        os.link(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+
+    dedup = (
+        spark.readStream.schema("batch_seq int, h string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates(["h"])
+    )
+    uniq = f"st_rocksdedup_{next(_run_seq)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    q = None
+    try:
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(uniq)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        engaged = any(k.startswith("rocksdb") for k in metrics)
+    finally:
+        if q is not None:
+            q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(chunk, ignore_errors=True)
+    return (
+        spark.table(uniq)
+        .groupBy("batch_seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_hashes"))
+        .withColumn("rocksdb_engaged", F.lit(engaged))
+    )

@@ -515,3 +515,202 @@ def stream_ingest_neardup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful LSH admission: admitted signatures live in the STATE STORE
+# ---------------------------------------------------------------------------
+
+_ADMIT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+_ADMIT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dup", T.BooleanType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _make_band_admission_fn(threshold: float):
+    """Per-(band_idx, band_hash) GroupState fold: state is the list of
+    (doc_id, minhash signature) previously SEEN in this bucket; an
+    incoming doc is a duplicate IN THIS BUCKET if any stored signature
+    agrees on >= ``threshold`` of its components (the MinHash estimate
+    of Jaccard — E[agreement] = J). Docs are processed in doc_id order
+    and compare against earlier same-batch entries too, so replaying a
+    batch is deterministic. A doc clean in this bucket enters this
+    bucket's state even if another bucket flags it (SEEN-set
+    semantics — the standard online-dedup trade: state updates cannot
+    see other buckets' verdicts inside one pass; a false entry only
+    ever makes the filter MORE conservative)."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ids: list = []
+        sigs: list = []
+        if state.exists:
+            st_ids, st_sigs = state.get
+            ids = list(st_ids)
+            sigs = [list(s) for s in st_sigs]
+        rows = []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                rows.append(
+                    (int(row.doc_id), [int(x) for x in row.sig], row.text)
+                )
+        rows.sort(key=lambda r: r[0])
+        out = []
+        for doc_id, sig, text in rows:
+            n = len(sig)
+            dup = any(
+                sum(1 for x, y in zip(sig, s) if x == y) >= threshold * n
+                for s in sigs
+            )
+            if not dup:
+                ids.append(doc_id)
+                sigs.append(sig)
+            out.append({"doc_id": doc_id, "dup": dup, "text": text})
+        state.update((ids, sigs))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "dup", "text"]
+        )
+
+    return fn
+
+
+def stream_ingest_neardup_stateful(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_files_per_trigger: int = 1,
+):
+    """The STATE-STORE form of :func:`stream_ingest_neardup`: admitted
+    LSH signatures live in keyed streaming state (one key per
+    ``(band_idx, band_hash)`` bucket, value = the bucket's seen
+    (doc_id, signature) list) instead of being re-derived from the
+    corpus parquet every micro-batch. With
+    ``spark.sql.streaming.stateStore.providerClass`` set to
+    ``RocksDBStateStoreProvider`` the signature store pages to local
+    SST files — the named 1000x scale term of the stream-release
+    composition (admission state grows linearly with admitted docs)
+    becomes disk-bounded instead of heap-bounded, and the engine's
+    per-operator state metrics (numRowsTotal, rocksdb*) expose its
+    size every trigger.
+
+    Differences from the foreachBatch form, both deliberate:
+    signature-agreement verification (the MinHash Jaccard estimate)
+    instead of exact-Jaccard-on-shingles — state stores 64 longs/doc
+    /band, never text — and SEEN-set rather than admitted-set bucket
+    membership (see :func:`_make_band_admission_fn`). Cold start:
+    state begins empty; pre-seed by landing the seed corpus as the
+    first file(s).
+
+    The signature is the pure-projection fold (``minhash_signature``)
+    — no aggregation upstream of the stateful operator, so the plan
+    has exactly ONE stateful op. Admitted docs append to
+    ``corpus_path`` tagged with ``batch_seq`` under the same replay
+    guard as the foreachBatch form."""
+    from sftp_data_ingestion_spark.ext.dedup import (
+        minhash_signature,
+        shingles,
+    )
+
+    rows_per_band = num_hashes // bands
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    sig = stream.select(
+        "doc_id",
+        "text",
+        minhash_signature(
+            shingles(F.col("text"), shingle_n), num_hashes
+        ).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        "text",
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    ).select(
+        "band_idx",
+        "band_hash",
+        "doc_id",
+        "sig",
+        # text rides on exactly one band row per doc; the other 15
+        # carry NULL — the stateful op never stores or shuffles 16
+        # copies of the document
+        F.when(F.col("band_idx") == 0, F.col("text")).alias("text"),
+    )
+    verdicts = banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _make_band_admission_fn(threshold),
+        outputStructType=_ADMIT_OUT_SCHEMA,
+        stateStructType=_ADMIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def release(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            replayed = (
+                s.read.parquet(corpus_path)
+                .where(F.col("batch_seq") == batch_id)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException as e:
+            cold = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+            if (e.getCondition() or "") not in cold:
+                raise
+            replayed = 0
+        if replayed:
+            return  # replayed batch: already admitted
+        per_doc = batch_df.groupBy("doc_id").agg(
+            F.max("dup").alias("dup"),  # dup in ANY bucket
+            F.max("text").alias("text"),  # the one non-NULL copy
+        )
+        (
+            per_doc.where(~F.col("dup"))
+            .select(
+                "doc_id",
+                "text",
+                F.lit(batch_id).cast("int").alias("batch_seq"),
+            )
+            .write.mode("append")
+            .parquet(corpus_path)
+        )
+
+    return (
+        verdicts.writeStream.outputMode("update")
+        .foreachBatch(release)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -242,6 +242,25 @@ _PROBE_ADVERSARIAL = [
     "2024-01-15 10:30:45Z+02:00",  # both suffixes -> reject
     "2024-01-15 10:30.123",        # frac on minutes shape
     "2024-",                       # '-'@4, tiny
+    # cast-leniency traps (r12 fast-cast rewrite): Spark's native
+    # string->date/timestamp cast accepts year-only / year-month /
+    # short-field / trailing-junk / timezone forms the strict
+    # formatter rejects — each must still come back NULL because the
+    # _pin separator-position + digit-purity checks refuse the shape
+    "2024-1-2 3",            # short fields + junk tail, len 10 iso probe
+    "2024-01 -2",            # displaced '-', len 10
+    "2024-1-150",            # short month, all else digits
+    "12/04/2 24",            # space inside year field (date branch)
+    "12/4/20240 03:04:05",   # '/'@5 — misaligned but nd == '// ::'
+    "12/04/2024 03:04+05",   # timezone instead of :ss, len 19
+    "2024-01-02 03:04+05",   # same on the iso branch
+    "12/04/2024 0x:04:05",   # letter in time field
+    "2024-01-02 03:04:05999",  # digit tail, len 22
+    # calendar/range edges where cast and formatter must agree
+    "01/01/0000", "01/01/0000 00:00:00", "0000-01-02", "0001-01-01",
+    "2024-01-02 23:59:60",   # leap second
+    "2024-01-02 24:00:00",   # hour 24
+    "12/04/2024 23:59:60", "29/02/2024", "29/02/2023", "00000000",
 ]
 
 
@@ -291,13 +310,21 @@ def test_date_probe_dispatch_equals_regex_guards(spark):
         )
         .otherwise(F.lit(None).cast("date"))
     )
-    got = df.select(
-        F.col("s"),
-        C.parse_date_multi(F.col("s")).alias("new"),
-        old.alias("old"),
-    ).collect()
-    for r in got:
-        assert r["new"] == r["old"], (r["s"], r["new"], r["old"])
+    # compare JVM-side: a year-0000 date is VALID in Spark (pattern
+    # 'y' maps to 'u' — both forms agree) but cannot convert to a
+    # Python datetime.date, so collecting the raw dates would explode
+    # on exactly the rows that prove the equivalence
+    bad = (
+        df.select(
+            F.col("s"),
+            C.parse_date_multi(F.col("s")).alias("new"),
+            old.alias("old"),
+        )
+        .where(~F.col("new").eqNullSafe(F.col("old")))
+        .select("s", F.col("new").cast("string"), F.col("old").cast("string"))
+        .collect()
+    )
+    assert bad == [], bad
 
 
 def test_ts_probe_dispatch_equals_regex_guards(spark):
@@ -328,15 +355,25 @@ def test_ts_probe_dispatch_equals_regex_guards(spark):
             )
             .otherwise(F.lit(None).cast("timestamp"))
         )
-        got = df.select(
-            F.col("s"),
-            C.parse_timestamp_multi(F.col("s"), iso_extras=extras).alias(
-                "new"
-            ),
-            old.alias("old"),
-        ).collect()
-        for r in got:
-            assert r["new"] == r["old"], (extras, r["s"], r["new"], r["old"])
+        # JVM-side compare (see the date test: year-0000 timestamps
+        # are valid in Spark but not convertible to datetime)
+        bad = (
+            df.select(
+                F.col("s"),
+                C.parse_timestamp_multi(
+                    F.col("s"), iso_extras=extras
+                ).alias("new"),
+                old.alias("old"),
+            )
+            .where(~F.col("new").eqNullSafe(F.col("old")))
+            .select(
+                "s",
+                F.col("new").cast("string"),
+                F.col("old").cast("string"),
+            )
+            .collect()
+        )
+        assert bad == [], (extras, bad)
 
 
 def test_decimal_contains_dispatch_equals_flat_chain(spark):

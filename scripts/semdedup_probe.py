@@ -33,7 +33,12 @@ from sftp_data_ingestion_spark.queries.q_similarity import (  # noqa: E402
 from sftp_data_ingestion_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BIG = "/tmp/spark_graft_sf10x"
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+BIG = f"/tmp/spark_graft_sf{COPIES}x"
+# force a fixed k at both scales (e.g. 64 = the graded coarse
+# operating point of v_semdedup_coarse_k64) instead of the k-prop
+# regime; unset -> k scales with n
+K_FIXED = os.environ.get("SPARK_GRAFT_SEMDEDUP_K")
 
 
 def probe(spark, sf_dir, k):
@@ -66,11 +71,13 @@ def probe(spark, sf_dir, k):
 def main():
     spark = get_spark(app_name="semdedup-probe")
     calib = bench._calibrate(spark)
-    small = probe(spark, SRC, k=8)
+    k_small = int(K_FIXED) if K_FIXED else 8
+    small = probe(spark, SRC, k=k_small)
     out = {"calib_s": calib, "small": small}
     if os.path.isdir(BIG):
-        # hold cluster size ~constant: k scales with n
-        k_big = max(8, round(10 * small["n"] / (small["n"] / 8)))
+        # fixed-k override, else hold cluster size ~constant
+        # (k scales with n)
+        k_big = int(K_FIXED) if K_FIXED else max(8, 8 * COPIES)
         out["big"] = probe(spark, BIG, k=k_big)
         out["calib_post_s"] = bench._calibrate(spark)
     print(json.dumps(out))

@@ -1614,3 +1614,151 @@ def z_deletion_vector_read(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.lit(n_before).cast("long").alias("n_before_delete"),
     )
+
+
+@query(
+    "z_dv_reinsert_scope",
+    oracle="""
+WITH live AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 1000 <> 3
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 14 = 0 AND o_orderkey % 1000 <> 3
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM live GROUP BY o_orderstatus
+""",
+)
+def z_dv_reinsert_scope(spark, sf_dir):
+    """Deletion-vector SCOPING graded end-to-end (the r12 semantics
+    fix in io/versioned): a DV applies only to data files present at
+    its commit version, so a key RE-INSERTED by a later append is not
+    erased by the older delete — while a NEWER delete covers the
+    appended file too. Sequence: commit orders (v1); delete keys
+    ≡0 mod 7 (v2); APPEND the ≡0 mod 14 half of them back (v3 —
+    re-insertion, must survive v2's DV); delete keys ≡3 mod 1000
+    (v4 — must erase matching rows in BOTH the original and the
+    appended files). The oracle derives the surviving multiset
+    independently; the pre-fix reader (one DV anti-join over ALL
+    files) would silently drop every re-inserted row and
+    hash-mismatch. Root deterministic per (sf_dir, user), rebuilt
+    each call."""
+    import getpass
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sftp_data_ingestion_spark.io import versioned as vt
+
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"z_dvscope_{tag}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    vt.commit(o, root, committed_at_ms=1)
+    vt.commit_delete(
+        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        root, "o_orderkey", committed_at_ms=2,
+    )
+    vt.commit(
+        o.where(F.col("o_orderkey") % 14 == 0), root,
+        mode="append", committed_at_ms=3,
+    )
+    vt.commit_delete(
+        o.where(F.col("o_orderkey") % 1000 == 3).select("o_orderkey"),
+        root, "o_orderkey", committed_at_ms=4,
+    )
+    return vt.read(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "z_expiry_dv_compose",
+    oracle="""
+WITH live AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 14 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       TRUE AS expired_files_deleted,
+       TRUE AS dv_survives_expiry,
+       TRUE AS expired_read_fails
+FROM live GROUP BY o_orderstatus
+""",
+)
+def z_expiry_dv_compose(spark, sf_dir):
+    """Snapshot expiry × deletion vectors, COMPOSED (both shipped
+    r11, never exercised together): v1 is a small overwrite snapshot
+    (day 1), v2 overwrites with the full orders table (day 2), v3
+    deletes keys ≡0 mod 7 merge-on-read (day 3), v4 appends the
+    ≡0 mod 14 half back (day 40, re-insertion under the scoped DV).
+    Age-based expiry (cutoff day 30, keep_last=3) must then expire
+    ONLY v1 — deleting v1's private files while keeping every file
+    the retained manifests reference, INCLUDING the v3 deletion-
+    vector file (the sweep walks dv_entries; dropping the DV file
+    would resurrect the deleted keys). Graded output: the head read
+    after expiry (scoped-DV semantics intact) + flags pinning that
+    v1's files are physically gone, the DV file physically survives,
+    and time travel to v1 raises."""
+    import getpass
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sftp_data_ingestion_spark.io import versioned as vt
+
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"z_expdv_{tag}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    day = 86_400_000
+    t0 = 1_700_000_000_000
+    vt.commit(
+        o.where(F.col("o_orderkey") < 100), root,
+        committed_at_ms=t0 + 1 * day,
+    )
+    vt.commit(o, root, committed_at_ms=t0 + 2 * day)
+    v3 = vt.commit_delete(
+        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        root, "o_orderkey", committed_at_ms=t0 + 3 * day,
+    )
+    vt.commit(
+        o.where(F.col("o_orderkey") % 14 == 0), root,
+        mode="append", committed_at_ms=t0 + 40 * day,
+    )
+    dv_files = vt._read_manifest(root, v3)["dv_entries"][-1]["files"]
+    r = vt.expire_snapshots(root, t0 + 30 * day, keep_last=3)
+    dv_survives = all(
+        os.path.isfile(os.path.join(root, f)) for f in dv_files
+    )
+    try:
+        vt.read(spark, root, version=1)
+        expired_read_fails = False
+    except FileNotFoundError:
+        expired_read_fails = True
+    return vt.read(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).select(
+        "*",
+        F.lit(len(r["deleted_files"]) > 0).alias("expired_files_deleted"),
+        F.lit(dv_survives).alias("dv_survives_expiry"),
+        F.lit(expired_read_fails).alias("expired_read_fails"),
+    )

@@ -560,3 +560,61 @@ def g_jackknife_source_influence(spark, sf_dir):
         F.round(loo, 6).alias("loo_mean"),
         F.round(loo - F.col("s") * 1.0 / F.col("n"), 6).alias("influence"),
     )
+
+
+@query(
+    "x_temperature_source_mix",
+    oracle=r"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tt, sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS tp
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / tt, 6) AS p_raw,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / tp, 6) AS p_temp,
+       round(3.0 * (pow(CAST(n_tokens AS DOUBLE), 0.3) / tp)
+             / (n_tokens * 1.0 / tt), 6) AS epochs,
+       (3.0 * (pow(CAST(n_tokens AS DOUBLE), 0.3) / tp)
+        / (n_tokens * 1.0 / tt)) > 3.0 AS over_one_pass_share
+FROM per, tot
+""",
+)
+def x_temperature_source_mix(spark, sf_dir):
+    """Temperature-based multilingual/source mixing (the mT5 / XLM-R
+    sampling rule, alpha = 0.3): per-source sampling probability
+    p_s ∝ n_tokens_s^alpha, flattening the raw token distribution so
+    low-resource sources are upsampled. The graded output carries the
+    raw and temperature probabilities plus the EPOCH multiplier each
+    source would see under a 3x-total-token training budget
+    (epochs_s = 3·p_temp/p_raw — the quantity UniMax's per-source
+    epoch cap bounds; the flag marks sources pushed past their
+    proportional share, i.e. the ones a cap would clip). One groupBy
+    over the corpus, a one-row broadcast cross-join for the totals —
+    no shuffle beyond the source agg at any scale."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ts.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tt"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.3)).alias("tp"),
+    )
+    p_raw = F.col("n_tokens") / F.col("tt")
+    p_temp = F.pow(F.col("n_tokens").cast("double"), 0.3) / F.col("tp")
+    epochs = 3.0 * p_temp / p_raw
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 3.0).alias("over_one_pass_share"),
+    )

@@ -729,8 +729,8 @@ def v_semdedup_coarse_recall(spark, sf_dir):
     return nv.crossJoin(stats)
 
 
-def _coarse_k64_oracle() -> str:
-    """DuckDB replay of the ENTIRE coarse SemDeDup pipeline at k=64:
+def _coarse_oracle(k: int) -> str:
+    """DuckDB replay of the ENTIRE coarse SemDeDup pipeline at ``k``:
     k-means training (stride seeds + 2 unrolled Lloyd iterations),
     the driver-side group-Lloyd over the 64 centroids (stride seeds,
     5 unrolled iterations, empty groups keep-previous), the two-stage
@@ -789,8 +789,8 @@ nn AS (SELECT count(*) AS n FROM base),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
   FROM (SELECT b.vec_id, b.v FROM base b, nn
-        WHERE b.vec_id % greatest(nn.n // 64, 1) = 0
-        ORDER BY b.vec_id LIMIT 64)
+        WHERE b.vec_id % greatest(nn.n // {k}, 1) = 0
+        ORDER BY b.vec_id LIMIT {k})
 ), cents0 AS MATERIALIZED (
   SELECT cell, list_transform(v, x -> round(x /
            CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
@@ -850,7 +850,7 @@ FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vid
     return sql
 
 
-@query("v_semdedup_coarse_k64", oracle=_coarse_k64_oracle())
+@query("v_semdedup_coarse_k64", oracle=_coarse_oracle(64))
 def v_semdedup_coarse_k64(spark, sf_dir):
     """SemDeDup with the COARSE two-stage assignment as the graded
     engine, at an operating point where it matters (k=64, n_groups=8,
@@ -870,6 +870,25 @@ def v_semdedup_coarse_k64(spark, sf_dir):
     Lloyd loop."""
     return sim.semdedup_survivors(
         _planted_corpus(spark, sf_dir), k=64, n_iters=2, threshold=0.9,
+        dim=64, coarse=True, n_groups=8, nprobe=2,
+    )
+
+
+@query("v_semdedup_coarse_k256", oracle=_coarse_oracle(256))
+def v_semdedup_coarse_k256(spark, sf_dir):
+    """The coarse SemDeDup path graded at the operating point where
+    it WINS on wall clock, not just structure: the r11/r12 probes
+    measured the flat n*k assignment 17x slower than the two-stage
+    coarse path at k=256, and the r12 fixed-k probe put the
+    machinery-vs-dots crossover near k~128 — so k=256 is the
+    smallest graded point inside the coarse path's winning regime
+    (k continues to scale with the corpus at 100 TB; the pair stage
+    stays bounded by cluster size). Same oracle construction as
+    ``v_semdedup_coarse_k64`` with k=256 (group stride 32): the
+    DuckDB replay re-derives training, group-Lloyd, two-stage argmax,
+    and the drop policy bit-equal. EAGER at composition time."""
+    return sim.semdedup_survivors(
+        _planted_corpus(spark, sf_dir), k=256, n_iters=2, threshold=0.9,
         dim=64, coarse=True, n_groups=8, nprobe=2,
     )
 

@@ -1685,3 +1685,129 @@ def d_cdc_chunk_dedup(spark, sf_dir):
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "t_c4_filters",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), dirty AS (
+  SELECT doc_id,
+    list_concat(list_concat(list_concat(t,
+      CASE WHEN doc_id % 13 = 0 THEN ['lorem', 'ipsum']
+           ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 11 = 0 THEN ['{var}']
+           ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN doc_id % 17 = 0 THEN ['badword1']
+           ELSE CAST([] AS VARCHAR[]) END) AS t2
+  FROM toks
+), lined AS (
+  SELECT doc_id, t2,
+    list_transform(range((length(t2) + 7) // 8), j ->
+      CASE WHEN doc_id % 7 = 0 AND j % 4 = 1 THEN 'javascript '
+           ELSE '' END
+      || array_to_string(t2[8*j+1:8*j+8], ' ')
+      || CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+  FROM dirty
+), meas AS (
+  SELECT doc_id,
+    length(lines) AS nl,
+    length(list_filter(lines, l -> l LIKE '%.'
+        AND length(string_split(l, ' ')) >= 5
+        AND NOT contains(l, 'javascript'))) AS nk,
+    list_contains(t2, 'lorem') AS has_lorem,
+    length(list_filter(t2, x -> contains(x, '{'))) > 0 AS has_brace,
+    (list_contains(t2, 'badword1') OR list_contains(t2, 'badword2'))
+      AS has_badword
+  FROM lined
+)
+SELECT doc_id, CAST(nl AS INT) AS n_lines, CAST(nk AS INT) AS n_kept_lines,
+       (nk >= 3) AS r_min_lines,
+       NOT has_lorem AS r_no_lorem,
+       NOT has_brace AS r_no_brace,
+       NOT has_badword AS r_no_badword,
+       (nk >= 3 AND NOT has_lorem AND NOT has_brace
+        AND NOT has_badword) AS keep
+FROM meas
+""",
+)
+def t_c4_filters(spark, sf_dir):
+    """The C4 cleaning-filter battery (Raffel et al. 2020, §2.2) as
+    per-rule flags plus the page keep decision — the OTHER canonical
+    published web-corpus filter, complementing `t_gopher_rules`:
+    line-level retention (keep only lines ending in terminal
+    punctuation, with >= 5 words, and without the word "javascript")
+    and page-level discards ("lorem ipsum" placeholder text, curly
+    braces as a code marker, a bad-word list, and a minimum of 3
+    retained lines standing in for C4's sentence floor). Runs over a
+    deterministically dirtied twin (doc_id-keyed token injection +
+    the 8-token line chunking the Gopher battery established) so
+    every rule discriminates on this fixture; the oracle replays the
+    identical injection, chunking, and rule set.
+
+    Scale shape: one shuffle-free projection pipeline — tokenize
+    once, inject, chunk once, every rule reads the same materialized
+    arrays via array HOFs (no explode, no UDF), one row per doc."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", ts.tokens(F.col("text")).alias("t"))
+    doc = F.col("doc_id")
+    t2 = F.when(
+        doc % 13 == 0,
+        F.concat(F.col("t"), F.array(F.lit("lorem"), F.lit("ipsum"))),
+    ).otherwise(F.col("t"))
+    t3 = F.when(
+        doc % 11 == 0, F.concat(t2, F.array(F.lit("{var}")))
+    ).otherwise(t2)
+    t4 = F.when(
+        doc % 17 == 0, F.concat(t3, F.array(F.lit("badword1")))
+    ).otherwise(t3)
+    dirty = base.select("doc_id", t4.alias("t2"))
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), ((F.size("t2") + 7) / F.lit(8)).cast("int") - 1
+        ),
+        lambda j: F.concat(
+            F.when(
+                (doc % 7 == 0) & (j % 4 == 1), F.lit("javascript ")
+            ).otherwise(F.lit("")),
+            F.array_join(F.slice(F.col("t2"), j * 8 + 1, F.lit(8)), " "),
+            F.when((doc + j) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = dirty.select("doc_id", "t2", lines.alias("lines"))
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: l.endswith(".")
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~l.contains("javascript"),
+    )
+    meas = lined.select(
+        "doc_id",
+        F.size("lines").alias("nl"),
+        F.size(kept).alias("nk"),
+        F.array_contains("t2", "lorem").alias("has_lorem"),
+        (
+            F.size(F.filter(F.col("t2"), lambda x: x.contains("{"))) > 0
+        ).alias("has_brace"),
+        (
+            F.array_contains("t2", "badword1")
+            | F.array_contains("t2", "badword2")
+        ).alias("has_badword"),
+    )
+    ok = (
+        (F.col("nk") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword")
+    )
+    return meas.select(
+        "doc_id",
+        F.col("nl").cast("int").alias("n_lines"),
+        F.col("nk").cast("int").alias("n_kept_lines"),
+        (F.col("nk") >= 3).alias("r_min_lines"),
+        (~F.col("has_lorem")).alias("r_no_lorem"),
+        (~F.col("has_brace")).alias("r_no_brace"),
+        (~F.col("has_badword")).alias("r_no_badword"),
+        ok.alias("keep"),
+    )

@@ -1333,3 +1333,98 @@ def z3_jpeg_color_progressive_roundtrip(spark, sf_dir):
         "n_scans",
     )
 
+
+
+@query(
+    "t_ccnet_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(s, ' '), 1) AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+), big AS (
+  SELECT doc_id, prev, tok AS cur FROM (
+    SELECT doc_id, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL AND tok <> '' AND prev <> ''
+), c2 AS (
+  SELECT prev, cur, count(*) AS cnt2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT prev, sum(cnt2) AS cnt1 FROM c2 GROUP BY 1
+), scored AS (
+  SELECT doc_id, round(AVG(-ln(cnt2 / CAST(cnt1 AS DOUBLE))), 6) AS xent
+  FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+  GROUP BY doc_id
+), bucketed AS (
+  SELECT doc_id, xent,
+         ntile(3) OVER (ORDER BY xent, doc_id) AS tercile
+  FROM scored
+)
+SELECT doc_id, xent,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       (tercile = 1) AS keep_head
+FROM bucketed
+""",
+)
+def t_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every
+    document under a corpus LM (here the self-trained bigram model of
+    `z3_bigram_cross_entropy` — CCNet uses a KenLM 5-gram; the
+    bucketing logic is the published part), split the corpus into
+    HEAD / MIDDLE / TAIL terciles by ascending cross-entropy, and
+    keep the head as the high-fluency slice. Graded per document
+    (score, bucket, keep) with deterministic doc_id tie-break.
+
+    Scale shape: scoring is the proven bigram-LM composition (one
+    counted-bigram shuffle join); the tercile split here is an exact
+    global ntile — one single-partition window over (doc_id, score)
+    PAIRS ONLY, never text. At 100 TB the exact sort gives way to
+    percentile_approx cutoffs (the g_approx_quantiles_bounded
+    pattern: two sketch values replace the global sort and bucket
+    assignment becomes a per-row comparison) — the bucketing then
+    costs one pass, which is why CCNet computes its thresholds on a
+    sample."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
+    arr = F.split(normalized(F.col("text")), " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.prev").alias("prev"),
+            F.col("bg.cur").alias("cur"),
+        )
+        .where((F.col("prev") != "") & (F.col("cur") != ""))
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = c2.groupBy("prev").agg(F.sum("cnt2").alias("cnt1"))
+    neg_log_p = -F.log(F.col("cnt2").cast("double") / F.col("cnt1"))
+    scored = (
+        big.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(neg_log_p), 6).alias("xent"))
+    )
+    w = Window.orderBy("xent", "doc_id")
+    b = scored.withColumn("tercile", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "xent",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (F.col("tercile") == 1).alias("keep_head"),
+    )

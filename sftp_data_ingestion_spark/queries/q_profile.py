@@ -116,3 +116,76 @@ def g_drift_chisq(spark, sf_dir):
             F.round((c - r) * (c - r) / (r + 1e-12), 6).alias("drift_term"),
         )
     )
+
+
+@query(
+    "g_approx_quantiles_bounded",
+    oracle="""
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS ev
+  FROM lineitem
+)
+SELECT CAST(t.q AS DOUBLE) AS q, round(t.v, 4) AS exact_value,
+       TRUE AS within_rank_bound
+FROM e, (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+         unnest(e2.ev) AS v
+  FROM (SELECT ev AS ev FROM e) e2(ev)
+) t
+""",
+)
+def g_approx_quantiles_bounded(spark, sf_dir):
+    """Approximate quantile sketch graded by its OWN guarantee:
+    ``approx_percentile`` (Greenwald-Khanna style, accuracy 10 000 ->
+    rank error <= n/10 000) over lineitem prices, verified
+    DISTRIBUTEDLY against the rank definition — for each target q,
+    count(x <= approx)/n must reach q - eps and count(x < approx)/n
+    must not exceed q + eps (the two-sided form that is correct under
+    ties). The graded values are the EXACT interpolated percentiles
+    (Spark `percentile` vs DuckDB `quantile_cont` — same linear
+    interpolation) plus the boolean witness that the sketch met its
+    bound; the sketch values themselves are engine-specific and never
+    enter the hash. At 100 TB the sketch is the only affordable path
+    (one pass, mergeable per-partition summaries); this query pins
+    that the cheap path stays inside its error contract."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps = 1.0 / 10000 + 1e-9
+    one = li.agg(
+        F.percentile_approx("x", qs, 10000).alias("a"),
+        F.percentile("x", F.array(*[F.lit(v) for v in qs])).alias("e"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per = one.select(
+        F.posexplode(
+            F.zip_with(
+                "a", "e", lambda a, e: F.struct(a.alias("a"), e.alias("e"))
+            )
+        ).alias("i", "s"),
+        "n",
+    ).select(
+        "i", F.col("s.a").alias("a"), F.col("s.e").alias("e"), "n"
+    )
+    qlit = F.element_at(F.array(*[F.lit(v) for v in qs]), F.col("i") + 1)
+    ranks = (
+        li.crossJoin(F.broadcast(per))
+        .groupBy("i", "a", "e", "n")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("a"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+            F.sum(F.when(F.col("x") < F.col("a"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+        )
+    )
+    return ranks.select(
+        qlit.alias("q"),
+        F.round("e", 4).alias("exact_value"),
+        (
+            (F.col("n_le") / F.col("n") >= qlit - F.lit(eps))
+            & (F.col("n_lt") / F.col("n") <= qlit + F.lit(eps))
+        ).alias("within_rank_bound"),
+    )

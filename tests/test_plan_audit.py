@@ -100,6 +100,10 @@ def test_no_unjustified_session_conf_flips_in_query_bodies():
         ("q_streaming.py", "_events_stream"),          # nanosAsLong
         ("q_streaming.py", "_drain"),                  # streaming state
         ("q_streaming.py", "st_stream_cms_topk"),      # streaming state
+        # the RocksDB state-store provider is a session-conf-only
+        # knob (no writeStream option exists for it); the query sets
+        # it in a try/finally that restores the previous value
+        ("q_streaming.py", "st_rocksdb_exact_dedup"),  # state provider
         ("q_warehouse.py", "wh_stream_multibatch_counts"),  # streaming
         ("registry.py", "table"),                      # nanosAsLong
     }

@@ -80,17 +80,30 @@ def drain(spark, n_docs: int) -> dict:
         wall = time.time() - t0
         op = q.lastProgress["stateOperators"][0]
         admitted = spark.read.parquet(corpus).count()
+        # check each candidate metric with `is not None` (not an
+        # or-chain): a legitimate 0 from the first metric must NOT
+        # fall through to the next one, or the two probe scales can
+        # report bytes from DIFFERENT sources and skew the
+        # bytes-per-admitted-doc slope; record which source won so
+        # the JSON is self-describing
+        state_bytes, bytes_src = 0, "none"
+        for src, val in (
+            ("memoryUsedBytes", op.get("memoryUsedBytes")),
+            ("stateMemory", op.get("stateMemory")),
+            (
+                "rocksdbTotalMemoryUsageBytes",
+                op["customMetrics"].get("rocksdbTotalMemoryUsageBytes"),
+            ),
+        ):
+            if val is not None:
+                state_bytes, bytes_src = int(val), src
+                break
         out = {
             "n_docs": n_docs,
             "admitted": admitted,
             "state_rows": int(op["numRowsTotal"]),
-            "state_bytes": int(
-                op.get("memoryUsedBytes")
-                or op.get("stateMemory")
-                or op["customMetrics"].get(
-                    "rocksdbTotalMemoryUsageBytes", 0
-                )
-            ),
+            "state_bytes": state_bytes,
+            "state_bytes_source": bytes_src,
             "rocksdb_metrics": {
                 k: int(v)
                 for k, v in op["customMetrics"].items()

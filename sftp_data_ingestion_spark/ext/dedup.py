@@ -1063,7 +1063,18 @@ def neardup_clusters(
     near-dup edges from elsewhere — e.g. the organize-once bucketed
     signature layout (:func:`minhash_near_dup_pairs_bucketed`), so
     repeated cluster consumers skip the eager inline pair derivation
-    entirely; by default the pairs derive inline."""
+    entirely; by default the pairs derive inline. When ``pairs`` is
+    given, ``threshold``/``**minhash_kwargs`` CANNOT apply (the edges
+    were derived elsewhere, at whatever parameters built them), so
+    passing a non-default threshold or any minhash kwargs alongside
+    ``pairs`` raises instead of silently ignoring them — clusters that
+    contradict the stated threshold were the failure mode."""
+    if pairs is not None and (threshold != 0.7 or minhash_kwargs):
+        raise ValueError(
+            "neardup_clusters: `pairs` supplies pre-derived edges, so "
+            "`threshold`/minhash kwargs cannot apply — drop them (the "
+            "pairs frame fixes the effective threshold)"
+        )
     if pairs is None:
         pairs = minhash_near_dup_pairs(
             df, id_col, text_col, threshold=threshold, **minhash_kwargs

@@ -85,6 +85,8 @@ def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
     plan captures the value at start; the session conf is restored for
     the batch queries that follow. On a cluster the deployment sizes
     this to its state volume instead."""
+    import shutil
+
     spark = stream.sparkSession
     uniq = f"{name}_{next(_run_seq)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{uniq}_")
@@ -92,7 +94,16 @@ def _drain(stream: DataFrame, name: str, mode: str) -> DataFrame:
     prev = spark.conf.get(key)
     spark.conf.set(key, "4")
     try:
-        return st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
+        out = st.run_to_memory(stream, uniq, ckpt, output_mode=mode)
+        # the memory sink holds the drained rows independently of the
+        # checkpoint and run_to_memory stopped the query, so the
+        # checkpoint is garbage now — removing it here keeps a full
+        # sweep from accumulating ~100 MB of dead WAL/state dirs
+        # (cleanup only on the success path: a failed drain may leave
+        # the query running, and its checkpoint must not vanish
+        # underneath it)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return out
     finally:
         spark.conf.set(key, prev)
 
@@ -296,6 +307,13 @@ def st_stream_cms_topk(spark, sf_dir):
         if q is not None:
             q.stop()
         spark.conf.set(key, prev)
+        # the stream is stopped: its checkpoint and the landed chunks
+        # are dead weight (state_path must SURVIVE — the sketch read
+        # below scans it lazily at action time)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
     sketch = spark.read.parquet(state_path).select("row", "col", "cnt")
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     # TakeOrderedAndProject (per-partition 20-row heaps, driver merge)
@@ -460,6 +478,7 @@ def st_late_data_drop(spark, sf_dir):
     finally:
         q.stop()
         shutil.rmtree(chunk, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(uniq).withColumn(
         "late_drop_counter_positive", F.lit(dropped > 0)
     )
@@ -496,7 +515,15 @@ def st_rocksdb_exact_dedup(spark, sf_dir):
     to local SST files instead of executor heap, the practical
     ceiling on how long an exact-dedup stream can run; the LSH
     near-dup twin of the same state story is
-    ``streaming.stream_ingest_neardup_stateful``."""
+    ``streaming.stream_ingest_neardup_stateful``.
+
+    SERIALIZATION ASSUMPTION: the state-store provider conf is a
+    SESSION-global flip (set here, restored in the finally) — any
+    other streaming query started in this session while this one
+    drains would silently run under RocksDB too. The driver sweep and
+    the test suite run queries serially, which is the regime this
+    query assumes; concurrent streaming launchers should isolate it
+    in its own ``spark.newSession()``."""
     import shutil
 
     d = table(spark, sf_dir, "documents").select(
@@ -551,6 +578,7 @@ def st_rocksdb_exact_dedup(spark, sf_dir):
         else:
             spark.conf.set(provider_key, prev_provider)
         shutil.rmtree(chunk, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(uniq)
         .groupBy("batch_seq")

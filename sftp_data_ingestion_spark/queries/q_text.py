@@ -618,9 +618,10 @@ def d_neardup_best_survivor(spark, sf_dir):
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
+    # pairs fix the effective threshold (0.5 — see
+    # _bucketed_neardup_pairs_t05); threshold= alongside pairs raises
     clusters = dd.neardup_clusters(
-        d, threshold=0.5,
-        pairs=_bucketed_neardup_pairs_t05(spark, sf_dir),
+        d, pairs=_bucketed_neardup_pairs_t05(spark, sf_dir),
     ).select("doc_id", "cluster_id")
     scored = d.select(
         "doc_id", ts.quality_score(F.col("text")).alias("quality")
@@ -838,7 +839,12 @@ def _shared_banded_sigtable(spark, sf_dir):
     parquet's mtime; any mismatch — or a session that has not
     registered the table — rebuilds. Path/name are deterministic per
     (sf_dir, user), the same convention as the other organize-once
-    layouts."""
+    layouts. The marker lands via write-temp + os.rename (atomic on
+    POSIX), so a sibling sweep racing this one can never read a torn
+    half-written marker; note the table FILES themselves are still
+    per-(sf_dir, user) — two concurrent sweeps by the same user over
+    the same sf_dir serialize on the last-writer-wins rebuild, the
+    documented single-sweep assumption."""
     import getpass
     import hashlib
     import os
@@ -861,8 +867,10 @@ def _shared_banded_sigtable(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     signed = dd.minhash_signatures(d)
     banded = dd.banded_bucketed_signatures(spark, signed, name, path)
-    with open(marker, "w") as fh:
+    tmp = marker + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         fh.write(params)
+    os.rename(tmp, marker)
     return banded
 
 
@@ -960,9 +968,11 @@ def d_neardup_clusters(spark, sf_dir):
     once per sweep — instead of an eager inline LSH derivation per
     query."""
     d = table(spark, sf_dir, "documents")
+    # pairs fix the effective threshold (built at 0.5 in
+    # _bucketed_neardup_pairs_t05); passing threshold= alongside pairs
+    # now raises (it cannot apply to pre-derived edges)
     return dd.neardup_clusters(
-        d, threshold=0.5,
-        pairs=_bucketed_neardup_pairs_t05(spark, sf_dir),
+        d, pairs=_bucketed_neardup_pairs_t05(spark, sf_dir),
     )
 
 
@@ -1763,7 +1773,12 @@ def t_c4_filters(spark, sf_dir):
         doc % 17 == 0, F.concat(t3, F.array(F.lit("badword1")))
     ).otherwise(t3)
     dirty = base.select("doc_id", t4.alias("t2"))
-    lines = F.transform(
+    # empty-token guard (same trap t_gopher_rules guards): sequence(0,
+    # -1) is the DESCENDING [0, -1] in Spark — a zero-token doc must
+    # yield zero lines, matching the oracle's range(0) = []
+    lines = F.when(
+        F.size("t2") == 0, F.array().cast("array<string>")
+    ).otherwise(F.transform(
         F.sequence(
             F.lit(0), ((F.size("t2") + 7) / F.lit(8)).cast("int") - 1
         ),
@@ -1774,7 +1789,7 @@ def t_c4_filters(spark, sf_dir):
             F.array_join(F.slice(F.col("t2"), j * 8 + 1, F.lit(8)), " "),
             F.when((doc + j) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
         ),
-    )
+    ))
     lined = dirty.select("doc_id", "t2", lines.alias("lines"))
     kept = F.filter(
         F.col("lines"),

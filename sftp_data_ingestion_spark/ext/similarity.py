@@ -715,6 +715,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     digits: int = 6,
     train_frac: float | None = None,
+    engine: str = "auto",
 ) -> list[list[float]]:
     """The EAGER half of the engine-portable k-means: stride-sample
     seeding + ``n_iters`` Lloyd iterations, returning the final
@@ -743,7 +744,16 @@ def kmeans_train(
     subset of the corpus ((id * 2654435761) mod 10000 <
     frac * 10000 — the repo's engine-portable sampling discipline,
     reproducible on any cluster size, never ``rand()``). Centroid
-    quality needs a sample; membership needs the corpus."""
+    quality needs a sample; membership needs the corpus.
+
+    ``engine`` picks the per-iteration assignment implementation:
+    ``expr`` (centroid-literal plan — right below the measured k~128
+    crossover), ``arrow`` (:func:`kmeans_assign_arrow`'s broadcast
+    numpy matrix — the large-k engine whose plan size is O(1) in k),
+    or ``auto`` (dispatch on the crossover). Either engine lands on
+    the same rounded cross-stage values, so the trained centroids are
+    engine-portable (graded: v_semdedup_coarse_k512 trains under
+    arrow against the same DuckDB replay the expr points use)."""
 
     v = as_double(F.col(vec_col))
 
@@ -776,9 +786,15 @@ def kmeans_train(
         )
     ).collect()
     cents = [list(r["c"]) for r in seed_rows]
+    eng = _resolve_engine(engine, len(cents), train, id_col)
 
     for _ in range(n_iters):
-        a = _kmeans_assign(train, cents, vec_col, id_col, digits)
+        if eng == "arrow":
+            a = kmeans_assign_arrow(
+                train, cents, vec_col, id_col, digits, keep_vec=True
+            )
+        else:
+            a = _kmeans_assign(train, cents, vec_col, id_col, digits)
         upd = (
             a.select(
                 "cluster_id", F.posexplode("__v").alias("dim", "x")
@@ -815,6 +831,7 @@ def kmeans_assignments(
     digits: int = 6,
     train_frac: float | None = None,
     centroids: list[list[float]] | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-vector assignment ``(id, cluster_id, score)`` from the
     engine-portable k-means loop — exposed so samplers and
@@ -834,11 +851,16 @@ def kmeans_assignments(
     walks the registry (pinned by
     tests/test_similarity.py::test_kmeans_injected_centroids_is_lazy).
     ``k``/``n_iters``/``train_frac`` are ignored when ``centroids``
-    is given."""
+    is given. ``engine`` dispatches flat assignment between the
+    centroid-literal plan and :func:`kmeans_assign_arrow` (see
+    :func:`kmeans_train`); both engines are lazy here when centroids
+    are injected (broadcasting the numpy matrix runs no job)."""
     if centroids is None:
         centroids = kmeans_train(
-            df, k, n_iters, vec_col, id_col, digits, train_frac
+            df, k, n_iters, vec_col, id_col, digits, train_frac, engine
         )
+    if _resolve_engine(engine, len(centroids), df, id_col) == "arrow":
+        return kmeans_assign_arrow(df, centroids, vec_col, id_col, digits)
     return _kmeans_assign(df, centroids, vec_col, id_col, digits).select(
         "id", "cluster_id", "score"
     )
@@ -1548,6 +1570,7 @@ def semdedup_survivors(
     coarse: bool = False,
     n_groups: int | None = None,
     nprobe: int = 2,
+    engine: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding corpus with the engine-portable k-means loop, compute
@@ -1572,14 +1595,17 @@ def semdedup_survivors(
         # ~2*sqrt(k) dots per row — approximate, gate on measured
         # recall (see coarse_assignments)
         if centroids is None:
-            centroids = kmeans_train(df, k, n_iters, vec_col, id_col, digits)
+            centroids = kmeans_train(
+                df, k, n_iters, vec_col, id_col, digits, engine=engine
+            )
         asg = coarse_assignments(
             df, centroids, vec_col, id_col, digits, n_groups=n_groups,
-            nprobe=nprobe,
+            nprobe=nprobe, engine=engine,
         )
     else:
         asg = kmeans_assignments(
-            df, k, n_iters, vec_col, id_col, digits, centroids=centroids
+            df, k, n_iters, vec_col, id_col, digits, centroids=centroids,
+            engine=engine,
         )
     v = as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
@@ -1678,6 +1704,7 @@ def coarse_assignments(
     digits: int = 6,
     n_groups: int | None = None,
     nprobe: int = 2,
+    engine: str = "auto",
 ) -> DataFrame:
     """IVF-style two-stage centroid assignment: rank ~sqrt(k) group
     means first, then argmax over the top-``nprobe`` groups' member
@@ -1688,10 +1715,19 @@ def coarse_assignments(
     gate it on measured agreement/recall (see
     ``v_semdedup_coarse_recall``), exactly the IVF nprobe trade.
     Returns ``(id, cluster_id, score)`` like :func:`kmeans_assignments`;
-    fully lazy (centroids are literals)."""
+    fully lazy (centroids are literals). Above the measured k~128
+    crossover, ``engine='auto'`` dispatches to
+    :func:`coarse_assign_arrow` — same two-stage semantics, broadcast
+    numpy structure instead of the O(k x dim) nested literal tree
+    (which is a plan-size blow-up in the k ~ n regime, the exact gap
+    this escape exists for)."""
     import math
 
     k = len(centroids)
+    if _resolve_engine(engine, k, df, id_col) == "arrow":
+        return coarse_assign_arrow(
+            df, centroids, vec_col, id_col, digits, n_groups, nprobe
+        )
     g = n_groups or max(1, math.isqrt(k))
     means, members = _group_centroids(centroids, g)
     v = as_double(F.col(vec_col))
@@ -1746,6 +1782,291 @@ def coarse_assignments(
         top["cell"].cast("int").alias("cluster_id"),
         top["score"].alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# large-k centroid assignment: Arrow/numpy engines
+# ---------------------------------------------------------------------------
+
+# measured flat-expr vs arrow crossover (scripts/kmeans_assign_probe.py):
+# below this k the literal-expression argmax wins (no Python worker
+# round-trip); above it the k x dim literal tree starts costing more in
+# plan/codegen than the Arrow batch transfer — and at the k ~ n regime
+# SemDeDup prescribes for 100 TB (k = 10^4..10^6) the literal plan is
+# not merely slow but a driver-side plan-size blow-up, which the numpy
+# kernel sidesteps entirely (centroids travel as ONE broadcast matrix,
+# plan size O(1) in k).
+_ARROW_K_CROSSOVER = 128
+
+
+def _integral_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _resolve_engine(engine: str, k: int, df: DataFrame, id_col: str) -> str:
+    """Pick the assignment engine: ``expr`` (centroid literals, codegen,
+    zero Python) below the measured crossover, ``arrow`` (broadcast
+    numpy matrix, BLAS matmul per batch) above it. The arrow kernels
+    carry ids as int64, so a non-integral id pins ``auto`` to expr and
+    makes an explicit ``arrow`` request fail loudly up front."""
+    if engine == "expr":
+        return "expr"
+    if engine == "arrow":
+        if not _integral_id(df, id_col):
+            raise TypeError(
+                f"arrow assignment engine needs an integral {id_col!r} "
+                f"(got {df.schema[id_col].dataType.simpleString()}); "
+                "use engine='expr' for non-integral ids"
+            )
+        return "arrow"
+    if engine != "auto":
+        raise ValueError(f"unknown engine {engine!r} (expr|arrow|auto)")
+    if k > _ARROW_K_CROSSOVER and _integral_id(df, id_col):
+        return "arrow"
+    return "expr"
+
+
+def _round_half_up_vec(a, digits: int):
+    """Vectorized HALF_UP (away from zero) decimal rounding of a float64
+    array, bit-matching :func:`_round_half_up`: the bulk path is the
+    scaled floor trick (exact except when the FP multiply lands within
+    ~1e-7 of a .5 boundary in scaled space), and every suspect entry is
+    re-rounded through the exact decimal path — so knife-edge values
+    cannot silently diverge between the numpy and expression engines."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    mag = np.abs(a) * scale
+    out = np.sign(a) * np.floor(mag + 0.5) / scale
+    frac = np.abs(mag - np.floor(mag) - 0.5)
+    suspect = np.nonzero((frac < 1e-7).ravel())[0]
+    if len(suspect):
+        flat_a, flat_o = a.ravel(), out.ravel().copy()
+        for i in suspect:
+            flat_o[i] = _round_half_up(float(flat_a[i]), digits)
+        out = flat_o.reshape(a.shape)
+    return out
+
+
+def _argmax_rounded(s, cells, digits: int):
+    """Per-row argmax over (HALF_UP-rounded score, cell id) — the exact
+    lexicographic criterion ``_kmeans_assign``'s
+    ``reverse(array_sort(struct(round(dot), cell)))`` produces (ties to
+    the LARGER cell). ``s`` is the (rows x candidates) unrounded score
+    matrix; ``cells`` maps candidate column -> original cell id (None =
+    identity). Vectorized on the common unique-winner path; rows with
+    several candidates within rounding distance (1.5 x 10^-digits — a
+    value below that of the max rounds strictly lower) fall to an exact
+    decimal re-round + tiebreak loop, so the winner is bit-equal to the
+    expression engine's."""
+    import numpy as np
+
+    tol = 1.5 * 10.0 ** (-digits)
+    best = s.max(axis=1)
+    mask = s >= (best[:, None] - tol)
+    win = s.argmax(axis=1)
+    score = _round_half_up_vec(best, digits)
+    if cells is None:
+        cell = win.astype(np.int64)
+    else:
+        cell = cells[win].astype(np.int64)
+    for r in np.nonzero(mask.sum(axis=1) > 1)[0]:
+        bs, bc = None, -1
+        for ci in np.nonzero(mask[r])[0]:
+            rs = _round_half_up(float(s[r, ci]), digits)
+            oc = int(ci) if cells is None else int(cells[ci])
+            if bs is None or rs > bs or (rs == bs and oc > bc):
+                bs, bc = rs, oc
+        cell[r], score[r] = bc, bs
+    return cell, score
+
+
+def kmeans_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """FLAT centroid assignment as an Arrow/numpy kernel — the large-k
+    twin of :func:`_kmeans_assign`, same contract (argmax over the
+    HALF_UP-rounded dot, ties to the larger cell; ``keep_vec`` emits
+    ``__v`` so the Lloyd update can posexplode), different engine: the
+    k x dim centroid matrix ships ONCE per executor as a Spark
+    broadcast (never as literal expressions — the expr path's plan is
+    O(k x dim) literal nodes, a plan/codegen blow-up at the k ~ n
+    regime SemDeDup needs at 100 TB), and each Arrow batch scores with
+    one BLAS matmul, dimension- and k-oblivious. Pure scan shape: no
+    shuffle, no collect; fully LAZY (broadcasting runs no job).
+
+    Scores come from BLAS reductions, so the least significant float
+    bits can differ from the fold/flat expression dots; every
+    cross-engine value is HALF_UP-rounded to ``digits`` (the module's
+    engine-portability discipline), which absorbs summation-order ulps
+    except exactly at a rounding boundary — the same accepted seam as
+    :func:`cosine_topk_arrow` vs the expression engine, and the graded
+    queries pin it green against the DuckDB replay. Ids ride the
+    kernel as int64: non-integral id columns fail up front (use the
+    expression engine there). The kernel chunks each batch so the
+    score matrix stays ~32 MB regardless of k."""
+    import numpy as np
+
+    if not _integral_id(df, id_col):
+        raise TypeError(
+            f"kmeans_assign_arrow needs an integral {id_col!r} (got "
+            f"{df.schema[id_col].dataType.simpleString()}); use the "
+            "expression engine for non-integral ids"
+        )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    k, dim = cmat.shape
+    bc = df.sparkSession.sparkContext.broadcast(cmat)
+    # rows per kernel chunk: bound the (rows x k) score matrix ~32 MB
+    chunk_rows = max(1, int(4_000_000 // max(k, 1)))
+    schema = "id long, cluster_id int, score double"
+    if keep_vec:
+        schema = "id long, __v array<double>, cluster_id int, score double"
+
+    def fn(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                if len(part) == 0:
+                    continue
+                ids = part[id_col].to_numpy(dtype=np.int64)
+                x = np.array(list(part[vec_col]), dtype=np.float64)
+                if x.shape[1] != c.shape[1]:
+                    raise ValueError(
+                        f"vector dim mismatch: centroids have "
+                        f"{c.shape[1]}, vectors have {x.shape[1]}"
+                    )
+                cell, score = _argmax_rounded(x @ c.T, None, digits)
+                data = {"id": ids}
+                if keep_vec:
+                    data["__v"] = list(x)
+                data["cluster_id"] = cell.astype(np.int32)
+                data["score"] = score
+                yield pd.DataFrame(data)
+
+    src = df.select(
+        F.col(id_col).alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    )
+    return src.mapInPandas(fn, schema)
+
+
+def coarse_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    digits: int = 6,
+    n_groups: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """TWO-STAGE (IVF-style) centroid assignment as an Arrow/numpy
+    kernel — semantics bit-equal to :func:`coarse_assignments` (same
+    :func:`_group_centroids` group structure, same rank-nonempty-groups
+    -> argmax-over-member-centroids pipeline, same rounded-score /
+    larger-index tiebreaks), but the centroids, group means, and member
+    lists travel as ONE broadcast instead of a ragged nested literal
+    tree whose plan size grows O(k x dim). This is the honest 100 TB
+    engine for SemDeDup's k ~ n regime: ~(G + nprobe * k/G) dots per
+    row with G = sqrt(k) groups, plan size O(1) in k, no shuffle.
+
+    Group ranking orders by (rounded mean-dot desc, original group idx
+    desc), implemented as a strictly-monotone composite sort key: the
+    rounded scores are multiples of 10^-digits, and each group adds a
+    distinct offset < half that quantum, so the numpy argsort realizes
+    the exact lexicographic order with no per-row Python. Stage-2 rows
+    are grouped by their probed-group SET, one gathered matmul per
+    distinct probe set per batch."""
+    import math
+
+    import numpy as np
+
+    if not _integral_id(df, id_col):
+        raise TypeError(
+            f"coarse_assign_arrow needs an integral {id_col!r} (got "
+            f"{df.schema[id_col].dataType.simpleString()}); use "
+            "coarse_assignments(engine='expr') for non-integral ids"
+        )
+    k = len(centroids)
+    g = n_groups or max(1, math.isqrt(k))
+    means, members = _group_centroids(centroids, g)
+    nonempty = [gi for gi, mem in enumerate(members) if mem]
+    gm = np.asarray([means[gi] for gi in nonempty], dtype=np.float64)
+    member_arrs = [
+        np.asarray(members[gi], dtype=np.int64) for gi in nonempty
+    ]
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((cmat, gm, member_arrs))
+    p = min(nprobe, len(nonempty))
+    quantum = 10.0 ** (-digits)
+    chunk_rows = max(1, int(4_000_000 // max(len(nonempty), 1)))
+
+    def fn(batches):
+        import pandas as pd
+
+        c, gmat, mems = bc.value
+        n_g = gmat.shape[0]
+        # strictly-increasing per-group offsets, all < quantum/2: adding
+        # them to scores that are exact multiples of the quantum breaks
+        # ties toward the LARGER group position (== larger original grp,
+        # nonempty is ascending) without ever flipping a real ordering
+        offs = (np.arange(n_g, dtype=np.float64) + 1.0) * (
+            0.4 * quantum / max(n_g, 1)
+        )
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                if len(part) == 0:
+                    continue
+                ids = part[id_col].to_numpy(dtype=np.int64)
+                x = np.array(list(part[vec_col]), dtype=np.float64)
+                if x.shape[1] != c.shape[1]:
+                    raise ValueError(
+                        f"vector dim mismatch: centroids have "
+                        f"{c.shape[1]}, vectors have {x.shape[1]}"
+                    )
+                gkey = _round_half_up_vec(x @ gmat.T, digits) + offs
+                top = np.argsort(-gkey, axis=1)[:, :p]
+                probe_sets = np.sort(top, axis=1)
+                uniq, inv = np.unique(
+                    probe_sets, axis=0, return_inverse=True
+                )
+                out_cell = np.empty(len(ids), dtype=np.int64)
+                out_score = np.empty(len(ids), dtype=np.float64)
+                for u in range(len(uniq)):
+                    rows = np.nonzero(inv == u)[0]
+                    cand = np.concatenate([mems[gi] for gi in uniq[u]])
+                    sub_chunk = max(1, int(4_000_000 // len(cand)))
+                    for slo in range(0, len(rows), sub_chunk):
+                        rr = rows[slo : slo + sub_chunk]
+                        cell, score = _argmax_rounded(
+                            x[rr] @ c[cand].T, cand, digits
+                        )
+                        out_cell[rr] = cell
+                        out_score[rr] = score
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "cluster_id": out_cell.astype(np.int32),
+                        "score": out_score,
+                    }
+                )
+
+    src = df.select(
+        F.col(id_col).alias(id_col), as_double(F.col(vec_col)).alias(vec_col)
+    )
+    return src.mapInPandas(fn, "id long, cluster_id int, score double")
 
 
 def gram_matrix(

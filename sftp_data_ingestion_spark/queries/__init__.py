@@ -64,20 +64,29 @@ from sftp_data_ingestion_spark.queries import q_training  # noqa: F401,E402
 # queries that go green rotate out of the window automatically next
 # round, with no manual rank edits (before r6 this was hand-curated
 # per round and the backlog hit 72 never-graded queries).
-def _green_in_driver_rows() -> set[str]:
+def _scan_driver_artifacts() -> tuple[set[str], dict[str, int]]:
+    """Parse every CORRECTNESS_r*.json once: the green set (LATEST
+    verdict per query wins — a red row in a later round REMOVES the
+    query from the green set, so a regression rotates back into the
+    grading window instead of hiding behind an early-round green, r6
+    ADVICE) plus each query's most recent graded round, which orders
+    the proven block least-recently-regraded-first (r12 VERDICT #10:
+    with the whole registry green, the window's proven tail must
+    CYCLE through stale greens instead of re-proving the same oldest
+    registrations every round)."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    # LATEST verdict per query wins: round files are processed in round
-    # order, and a red row in a later round REMOVES the query from the
-    # green set, so a regression rotates back into the grading window
-    # instead of hiding behind an early-round green (r6 ADVICE).
     green: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -88,6 +97,7 @@ def _green_in_driver_rows() -> set[str]:
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue
+            last[name] = max(last.get(name, 0), rnd)
             ok = (
                 r.get("rows_match") is True
                 and r.get("schema_match") is not False
@@ -99,7 +109,11 @@ def _green_in_driver_rows() -> set[str]:
                 green.add(name)
             else:
                 green.discard(name)
-    return green
+    return green, last
+
+
+def _green_in_driver_rows() -> set[str]:
+    return _scan_driver_artifacts()[0]
 
 
 def _family_rank(name: str) -> int:
@@ -124,20 +138,33 @@ def _family_rank(name: str) -> int:
     return 8
 
 
-def _proof_priority_order(names: list[str], green: set[str]) -> list[str]:
+def _proof_priority_order(
+    names: list[str],
+    green: set[str],
+    last_graded: dict[str, int] | None = None,
+) -> list[str]:
     """Pure ordering contract (tested in tests/test_entry.py).
 
     With NO driver artifacts (``green`` empty — e.g. a fresh checkout
     without CORRECTNESS_r*.json) every query keeps its family rank and
     ties break on registration order, so the order is fully
     deterministic and depends only on module import order.
-    """
+
+    Within the PROVEN block, ``last_graded`` (query -> most recent
+    graded round) orders least-recently-regraded first, so with the
+    whole registry green the ~50-row window cycles through stale
+    greens round-robin (each regrade bumps the query's round, pushing
+    it behind everything staler) instead of pinning the same oldest
+    registrations forever. ``None`` preserves pure registration order
+    (the pre-r13 contract the deterministic-fallback test pins)."""
+    last_graded = last_graded or {}
     return [
         name
         for _, name in sorted(
             enumerate(names),
             key=lambda t: (
                 9 if t[1] in green else _family_rank(t[1]),
+                last_graded.get(t[1], 0) if t[1] in green else 0,
                 t[0],
             ),
         )
@@ -145,7 +172,8 @@ def _proof_priority_order(names: list[str], green: set[str]) -> list[str]:
 
 
 def _reorder() -> None:
-    order = _proof_priority_order(list(QUERIES), _green_in_driver_rows())
+    green, last = _scan_driver_artifacts()
+    order = _proof_priority_order(list(QUERIES), green, last)
     qs = {name: QUERIES[name] for name in order}
     ors = {name: ORACLES[name] for name in order if name in ORACLES}
     QUERIES.clear()

@@ -886,9 +886,101 @@ def v_semdedup_coarse_k256(spark, sf_dir):
     stays bounded by cluster size). Same oracle construction as
     ``v_semdedup_coarse_k64`` with k=256 (group stride 32): the
     DuckDB replay re-derives training, group-Lloyd, two-stage argmax,
-    and the drop policy bit-equal. EAGER at composition time."""
+    and the drop policy bit-equal. EAGER at composition time.
+
+    Since r13 this point dispatches (engine='auto', k=256 > the
+    measured k~128 crossover) to the ARROW engines — broadcast numpy
+    centroid matrix for the Lloyd iterations
+    (``ext.similarity.kmeans_assign_arrow``) and for the two-stage
+    argmax (``coarse_assign_arrow``) — so the graded row also pins the
+    numpy kernels bit-equal against the same SQL replay the
+    expression engines were graded on."""
     return sim.semdedup_survivors(
         _planted_corpus(spark, sf_dir), k=256, n_iters=2, threshold=0.9,
+        dim=64, coarse=True, n_groups=8, nprobe=2,
+    )
+
+
+def _flat_assign_oracle(k: int) -> str:
+    """DuckDB replay of k-means training (stride seeds + 2 unrolled
+    Lloyd iterations) followed by the FLAT per-vector assignment —
+    the oracle for the Arrow flat-assignment engine (same rounding
+    discipline as `_coarse_oracle`, minus the group stages)."""
+    km1 = _KM_ASSIGN.format(score="", cents="cents0", src="base")
+    km2 = _KM_ASSIGN.format(score="", cents="cents1", src="base")
+    upd1 = _KM_UPDATE.format(
+        m="m1", asg="asg1", arr="arr1", out="cents1", prev="cents0"
+    )
+    upd2 = _KM_UPDATE.format(
+        m="m2", asg="asg2", arr="arr2", out="cents2", prev="cents1"
+    )
+    fin = _KM_ASSIGN.format(
+        score=", sc AS score", cents="cents2", src="base"
+    )
+    return f"""
+WITH u AS ({_PLANT_SQL}),
+base AS MATERIALIZED (SELECT vec_id, v FROM u),
+nn AS (SELECT count(*) AS n FROM base),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT b.vec_id, b.v FROM base b, nn
+        WHERE b.vec_id % greatest(nn.n // {k}, 1) = 0
+        ORDER BY b.vec_id LIMIT {k})
+), cents0 AS MATERIALIZED (
+  SELECT cell, list_transform(v, x -> round(x /
+           CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                ELSE sqrt(list_dot_product(v, v)) END, 6)) AS c
+  FROM seeds
+), asg1 AS MATERIALIZED ({km1}),
+{upd1},
+asg2 AS MATERIALIZED ({km2}),
+{upd2},
+fin AS ({fin})
+SELECT vec_id, CAST(cell AS INT) AS cluster_id, score FROM fin
+"""
+
+
+@query("v_kmeans_assign_arrow", oracle=_flat_assign_oracle(192))
+def v_kmeans_assign_arrow(spark, sf_dir):
+    """The large-k FLAT assignment engine graded directly, per row:
+    train k-means at k=192 (above the measured k~128 crossover, so
+    auto-dispatch runs the Lloyd iterations under the Arrow engine
+    too) and emit every vector's (cluster_id, rounded score) from
+    ``ext.similarity.kmeans_assign_arrow`` — the broadcast-numpy
+    matmul kernel whose plan size is O(1) in k, vs the expression
+    engine's O(k x dim) literal tree (the named 100 TB gap: SemDeDup's
+    honest scale regime is k ~ n, where a literal plan blows up before
+    the compute does). The DuckDB oracle replays seeding, both Lloyd
+    iterations, and the final flat argmax bit-equal — the same
+    rounding discipline (HALF_UP at 6 dp on every cross-stage value)
+    that made the expression engines portable now pins the BLAS
+    kernel: summation-order ulps are absorbed at the rounding
+    boundary, tiebreaks (larger cell) replay exactly.
+
+    EAGER at composition time (the v_kmeans_* convention)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    cents = sim.kmeans_train(corpus, k=192, n_iters=2)
+    return sim.kmeans_assign_arrow(corpus, cents).select(
+        F.col("id").alias("vec_id"), "cluster_id", "score"
+    )
+
+
+@query("v_semdedup_coarse_k512", oracle=_coarse_oracle(512))
+def v_semdedup_coarse_k512(spark, sf_dir):
+    """SemDeDup at k=512 — the k ~ n operating point (n=750 here, so
+    k on the order of n, the regime PERFORMANCE.md prescribes for
+    100 TB) that the expression engines could not reach honestly: at
+    k=512 the literal centroid tree is 32k+ literal nodes per
+    assignment and every Lloyd iteration recompiles it. Under the r13
+    Arrow engines (auto-dispatched: k=512 > crossover) training,
+    group-Lloyd routing, and the two-stage argmax all run on ONE
+    broadcast numpy structure — plan size O(1) in k — and the whole
+    pipeline stays bit-equal to the same ``_coarse_oracle`` SQL
+    replay that grades the k=64 (expr) and k=256 points, proving the
+    engine swap moves no value anywhere in the composed pipeline.
+    EAGER at composition time."""
+    return sim.semdedup_survivors(
+        _planted_corpus(spark, sf_dir), k=512, n_iters=2, threshold=0.9,
         dim=64, coarse=True, n_groups=8, nprobe=2,
     )
 

@@ -106,3 +106,33 @@ def test_sample_query_runs(spark, sf_small):
     assert n > 0
     # one row per user (U2-style invariant)
     assert df.select("user_id").distinct().count() == n
+
+
+def test_proven_block_rotates_least_recently_graded_first():
+    """With the whole registry green the ~50-row grading window must
+    CYCLE stale greens (r12 VERDICT #10): within the proven block,
+    queries graded longest ago sort first; regrading bumps a query's
+    round and pushes it behind everything staler. The pure-ordering
+    contract: proven-block last-graded rounds are non-decreasing."""
+    from sftp_data_ingestion_spark.queries import (
+        QUERIES,
+        _proof_priority_order,
+        _scan_driver_artifacts,
+    )
+
+    green, last = _scan_driver_artifacts()
+    names = list(QUERIES)
+    order = _proof_priority_order(names, green, last)
+    rounds = [last.get(n, 0) for n in order if n in green]
+    assert rounds == sorted(rounds), "proven block must be stalest-first"
+
+    # synthetic check (independent of real artifacts): regrading a
+    # query moves it behind a never-regraded green with the same
+    # registration position class
+    nm = ["a", "b", "c"]
+    g = {"a", "b", "c"}
+    assert _proof_priority_order(nm, g, {"a": 5, "b": 3, "c": 4}) == [
+        "b", "c", "a",
+    ]
+    # None preserves the pre-r13 pure registration order
+    assert _proof_priority_order(nm, g, None) == nm

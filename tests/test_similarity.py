@@ -615,3 +615,131 @@ def test_pca_top2_orthogonal(spark, emb):
     # quality statement is that both directions carry real variance
     # of comparable magnitude
     assert r2 > 0 and r2 <= r1 * 1.15
+
+
+# ---------------------------------------------------------------------------
+# large-k Arrow assignment engines (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_flat_assign_matches_expression_engine(spark, emb):
+    """kmeans_assign_arrow must be row-identical (id, cluster_id,
+    rounded score) to the literal-expression argmax on the same
+    trained centroids — the engine swap moves no value."""
+    cents = sim.kmeans_train(emb, k=6, n_iters=2, engine="expr")
+    expr = sorted(
+        map(
+            tuple,
+            sim._kmeans_assign(emb, cents, "embedding", "vec_id", 6)
+            .select("id", "cluster_id", "score")
+            .collect(),
+        )
+    )
+    arrow = sorted(map(tuple, sim.kmeans_assign_arrow(emb, cents).collect()))
+    assert expr == arrow and len(expr) > 0
+
+
+def test_arrow_coarse_assign_matches_expression_engine(spark, emb):
+    """coarse_assign_arrow must replay coarse_assignments exactly:
+    same group-Lloyd structure, same top-nprobe group ranking (ties to
+    the larger original group index), same member argmax."""
+    cents = sim.kmeans_train(emb, k=12, n_iters=2, engine="expr")
+    for nprobe in (1, 2, 3):
+        expr = sorted(
+            map(
+                tuple,
+                sim.coarse_assignments(
+                    emb, cents, n_groups=4, nprobe=nprobe, engine="expr"
+                ).collect(),
+            )
+        )
+        arrow = sorted(
+            map(
+                tuple,
+                sim.coarse_assign_arrow(
+                    emb, cents, n_groups=4, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        assert expr == arrow and len(expr) > 0, f"nprobe={nprobe}"
+
+
+def test_arrow_train_matches_expression_train(spark, emb):
+    """Lloyd iterations under the arrow engine land on the SAME
+    rounded centroids as the expression engine (the cross-stage
+    rounding discipline absorbs BLAS summation-order ulps)."""
+    e = sim.kmeans_train(emb, k=6, n_iters=2, engine="expr")
+    a = sim.kmeans_train(emb, k=6, n_iters=2, engine="arrow")
+    assert e == a
+
+
+def test_arrow_assign_tiebreak_larger_cell(spark):
+    """Duplicate centroids force exact rounded-score ties: both
+    engines must resolve to the LARGER cell index."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cells 0 and 2 are identical; cell 1 identical to 3
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0]]
+    expr = {
+        r["id"]: (r["cluster_id"], r["score"])
+        for r in sim._kmeans_assign(df, cents, "embedding", "vec_id", 6)
+        .select("id", "cluster_id", "score")
+        .collect()
+    }
+    arrow = {
+        r["id"]: (r["cluster_id"], r["score"])
+        for r in sim.kmeans_assign_arrow(df, cents).collect()
+    }
+    assert expr == arrow
+    assert expr[0][0] == 2 and expr[1][0] == 3  # ties -> larger cell
+
+
+def test_arrow_engines_lazy_and_dispatch(spark, emb):
+    """Arrow engines compose with ZERO jobs (broadcast is not a job),
+    auto-dispatch flips on the measured crossover, and a non-integral
+    id fails loudly up front for arrow while auto falls back to expr."""
+    import pytest as _pytest
+
+    cents4 = sim.kmeans_train(emb, k=4, n_iters=1)
+    big = [list(c) for c in cents4] * 64  # 256 centroids > crossover
+    group = "arrow_lazy_probe"
+    spark.sparkContext.setJobGroup(group, "arrow lazy composition probe")
+    try:
+        a = sim.kmeans_assign_arrow(emb, big)
+        c = sim.coarse_assign_arrow(emb, big, n_groups=8, nprobe=2)
+        a.explain(True)
+        c.explain(True)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert list(jobs) == [], f"composition ran jobs: {jobs}"
+
+    assert sim._resolve_engine("auto", 256, emb, "vec_id") == "arrow"
+    assert sim._resolve_engine("auto", 64, emb, "vec_id") == "expr"
+    s = emb.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    assert sim._resolve_engine("auto", 256, s, "vec_id") == "expr"
+    with _pytest.raises(TypeError):
+        sim.kmeans_assign_arrow(s, big)
+    with _pytest.raises(TypeError):
+        sim.coarse_assign_arrow(s, big)
+    with _pytest.raises(ValueError):
+        sim._resolve_engine("nope", 8, emb, "vec_id")
+
+
+def test_round_half_up_vec_matches_scalar():
+    """The vectorized HALF_UP round must agree with the exact decimal
+    scalar on bulk values AND on planted knife-edge halves."""
+    import numpy as np
+
+    vals = np.array(
+        [0.1234565, -0.1234565, 0.9999995, -0.9999995, 1.0000005,
+         0.0, -0.25, 17.3333335, -2.0000004999, 3.25e-7, -3.25e-7]
+    )
+    got = sim._round_half_up_vec(vals, 6)
+    want = np.array([sim._round_half_up(float(v), 6) for v in vals])
+    assert np.array_equal(got, want), (got, want)
+    rng = np.random.default_rng(7)
+    bulk = rng.normal(scale=3.0, size=5000)
+    got = sim._round_half_up_vec(bulk, 6)
+    want = np.array([sim._round_half_up(float(v), 6) for v in bulk])
+    assert np.array_equal(got, want)

@@ -585,3 +585,178 @@ def st_rocksdb_exact_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_hashes"))
         .withColumn("rocksdb_engaged", F.lit(engaged))
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful LSH admission, graded end-to-end (r12 VERDICT #7)
+# ---------------------------------------------------------------------------
+
+# Planted structure for the STATE-STORE admission operator. Reuses the
+# z3 cross-batch pair (A admitted in batch 0, B rejected in batch 2 at
+# shingle-Jaccard 0.8) and adds what the foreachBatch grade cannot
+# exercise:
+#   * C1/C2 — a SAME-batch pair (batch 1, J~0.727: 32 shared of 44
+#     union shingles — high enough that the pair deterministically
+#     collides in a band; at the first attempt's J~0.58 the realized
+#     16-band hash draw produced no shared bucket and C2 was admitted):
+#     the kernel folds docs in doc_id order inside each bucket, so C2
+#     must be rejected against C1 within one micro-batch;
+#   * F1/F2/F3 — the SEEN-set witness: F2 (batch 1) is rejected
+#     against F1 (batch 0) at J~0.593, yet F2's signature still enters
+#     every bucket where F2 itself was clean — so F3 (batch 2,
+#     J(F2,F3)~0.593 but J(F1,F3)~0.324) is rejected by the REJECTED
+#     F2. An admitted-set filter (the foreachBatch form) would admit
+#     F3; the state-store form must not — this row pins that exact
+#     semantic difference. (Note J(F1,F3) < 0.5 is forced: two >= 0.6
+#     links with a disjoint far pair are set-theoretically impossible,
+#     max min-link is 0.5 — so the chain runs at ~0.59/0.32, margins
+#     the 64-hash MinHash estimate resolves deterministically.)
+# All plant ids follow the stream convention (id % 5 = 0, batch =
+# (id // 5) % 4) so the landing filters route them like fixture rows.
+_STATEFUL_PLANTS = [
+    (100000, " ".join(f"zzqplant{i:02d}" for i in range(1, 21))),  # A b0
+    (100010, " ".join([f"zzqplant{i:02d}" for i in range(1, 19)]
+                      + ["zzqnovel19", "zzqnovel20"])),            # B b2
+    (100005, " ".join(f"zzqv{i:02d}" for i in range(1, 41))),      # C1 b1
+    (100085, " ".join([f"zzqv{i:02d}" for i in range(1, 35)]
+                      + [f"zzqu{i:02d}" for i in range(35, 41)])),  # C2 b1
+    (100020, " ".join(f"zzqx{i:03d}" for i in range(1, 101))),     # F1 b0
+    (100025, " ".join([f"zzqx{i:03d}" for i in range(26, 101)]
+                      + [f"zzqy{i:02d}" for i in range(1, 26)])),   # F2 b1
+    (100030, " ".join([f"zzqx{i:03d}" for i in range(51, 101)]
+                      + [f"zzqy{i:02d}" for i in range(1, 26)]
+                      + [f"zzqw{i:02d}" for i in range(1, 26)])),   # F3 b2
+]
+
+_STATEFUL_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 "
+    + " ".join(
+        f"UNION ALL SELECT {i}, '{t}'" for i, t in _STATEFUL_PLANTS
+    )
+)
+
+
+@query(
+    "st_stream_ingest_stateful",
+    oracle=rf"""
+WITH docs AS (
+  SELECT doc_id, text, CAST((doc_id // 5) % 4 AS INT) AS batch
+  FROM ({_STATEFUL_DOCS_SQL})
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN length(string_split(s, ' ')) < 3 THEN [s]
+                ELSE list_transform(range(length(string_split(s, ' ')) - 2),
+                       i -> array_to_string(string_split(s, ' ')[i+1:i+3], ' '))
+           END)) AS sh
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        FROM docs)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+pj AS (
+  SELECT ia, ib FROM inter
+  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+),
+-- SEEN-set replay: X is rejected iff some EARLIER-ARRIVED doc
+-- (earlier batch, or same batch with smaller doc_id) is a >= 0.5
+-- near-dup — regardless of whether that doc was itself admitted,
+-- because a rejected doc's signature still populates every bucket
+-- where IT was clean (streaming._make_band_admission_fn)
+dup AS (
+  SELECT DISTINCT a.doc_id
+  FROM docs a JOIN pj ON pj.ia = a.doc_id JOIN docs b ON pj.ib = b.doc_id
+  WHERE b.batch < a.batch OR (b.batch = a.batch AND b.doc_id < a.doc_id)
+)
+SELECT d.doc_id, d.batch AS batch_seq
+FROM docs d LEFT JOIN dup USING (doc_id)
+WHERE dup.doc_id IS NULL
+""",
+)
+def st_stream_ingest_stateful(spark, sf_dir):
+    """The stateful LSH admission operator
+    (``streaming.stream_ingest_neardup_stateful``) graded end-to-end:
+    the 1-in-5 stream docs plus the planted battery above land as four
+    mtime-ordered files drained one per trigger from a COLD start
+    (state begins empty — no pre-seeded corpus parquet; the state
+    store IS the corpus memory), and the graded output is the admitted
+    (doc_id, batch_seq) ledger. One value hash therefore proves:
+    micro-batch ordering, within-batch doc_id-ordered folding (C2
+    rejected against C1 in the same trigger), cross-batch state
+    (B rejected against A two triggers later), and the SEEN-set
+    semantics unique to this form (F3 rejected by the already-rejected
+    F2 — the admitted-set foreachBatch twin z3_stream_ingest_neardup
+    would admit it).
+
+    The oracle replays admission as exact shingle-Jaccard against ALL
+    earlier-arrived docs (the seen-set rule needs no sequential
+    unrolling — arrival order, not admission status, decides what a
+    doc is compared against). The operator's decisions are MinHash
+    AGREEMENT estimates (>= 32/64 agreeing components) over banded
+    buckets; on this fixture every realized pair sits far enough from
+    the 0.5 threshold (planted: 0.8/0.727/0.593 reject, 0.324 admit;
+    natural stream-vs-stream pairs: none) that estimate and exact
+    Jaccard decide identically — deterministic (plants are
+    sf-independent, so the realized band/agreement draws never move),
+    pinned by this row.
+
+    Scale shape: state is (band bucket -> seen signatures), paging to
+    RocksDB under the provider flip st_rocksdb_exact_dedup grades;
+    growth is linear in admitted docs x bands (measured 2.6 KB/doc,
+    scripts/rocksdb_state_probe.py); no corpus-side rescan per batch
+    (the foreachBatch form re-reads the corpus parquet every trigger —
+    that rescan is exactly what the state store deletes)."""
+    import shutil
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            spark.createDataFrame(
+                _STATEFUL_PLANTS, "doc_id long, text string"
+            )
+        )
+        .localCheckpoint()
+    )
+    landing = tempfile.mkdtemp(prefix="stateful_landing_")
+    corpus_path = tempfile.mkdtemp(prefix="stateful_corpus_") + "/corpus"
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    for k in range(4):
+        tmp = tempfile.mkdtemp(prefix="stateful_chunk_")
+        (
+            d.where(F.expr("(doc_id div 5) % 4") == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"chunk_{k}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # strictly increasing mtimes pin the drain order
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    q = None
+    try:
+        q = st.stream_ingest_neardup_stateful(
+            spark, landing, corpus_path, ckpt, threshold=0.5
+        )
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set(key, prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.read.parquet(corpus_path).select(
+        "doc_id", F.col("batch_seq").cast("int").alias("batch_seq")
+    )

@@ -729,7 +729,7 @@ def v_semdedup_coarse_recall(spark, sf_dir):
     return nv.crossJoin(stats)
 
 
-def _coarse_oracle(k: int) -> str:
+def _coarse_oracle(k: int | str) -> str:
     """DuckDB replay of the ENTIRE coarse SemDeDup pipeline at ``k``:
     k-means training (stride seeds + 2 unrolled Lloyd iterations),
     the driver-side group-Lloyd over the 64 centroids (stride seeds,
@@ -741,7 +741,14 @@ def _coarse_oracle(k: int) -> str:
     means, normalized components — including the group means, see
     ext.similarity._group_centroids). Hot CTEs are MATERIALIZED:
     DuckDB re-inlines multiply-referenced CTEs, and cents2 is read
-    six times."""
+    six times.
+
+    ``k`` may be an int (fixed operating point) or a full SELECT
+    string deriving k from the corpus (e.g. the auto-k rule
+    ``SELECT greatest(8, count(*) // 4) AS k FROM base``) — the
+    derivation then replays INSIDE the oracle, pinning not just the
+    assignment at some k but the k-choosing rule itself
+    (v_semdedup_auto_k)."""
     grp_assign = """
   SELECT cell, c, grp FROM (
     SELECT k.cell, k.c, g.grp,
@@ -782,15 +789,17 @@ def _coarse_oracle(k: int) -> str:
     upd2 = _KM_UPDATE.format(
         m="m2", asg="asg2", arr="arr2", out="cents2", prev="cents1"
     )
+    k_select = f"SELECT {k} AS k" if isinstance(k, int) else k
     sql = f"""
 WITH u AS ({_PLANT_SQL}),
 base AS MATERIALIZED (SELECT vec_id, v FROM u),
 nn AS (SELECT count(*) AS n FROM base),
+kk0 AS ({k_select}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-  FROM (SELECT b.vec_id, b.v FROM base b, nn
-        WHERE b.vec_id % greatest(nn.n // {k}, 1) = 0
-        ORDER BY b.vec_id LIMIT {k})
+  FROM (SELECT b.vec_id, b.v FROM base b, nn, kk0
+        WHERE b.vec_id % greatest(nn.n // kk0.k, 1) = 0
+        QUALIFY row_number() OVER (ORDER BY b.vec_id) <= kk0.k)
 ), cents0 AS MATERIALIZED (
   SELECT cell, list_transform(v, x -> round(x /
            CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
@@ -982,6 +991,29 @@ def v_semdedup_coarse_k512(spark, sf_dir):
     return sim.semdedup_survivors(
         _planted_corpus(spark, sf_dir), k=512, n_iters=2, threshold=0.9,
         dim=64, coarse=True, n_groups=8, nprobe=2,
+    )
+
+
+@query(
+    "v_semdedup_auto_k",
+    oracle=_coarse_oracle("SELECT greatest(8, count(*) // 4) AS k FROM base"),
+)
+def v_semdedup_auto_k(spark, sf_dir):
+    """SemDeDup under the AUTO-k default (r12 VERDICT #8): k is not a
+    caller choice but the operator's own
+    ``max(8, n // target_cluster)`` rule — the k ~ n regime (bounded
+    cluster size, linear pair stage) as the default behavior rather
+    than a documented caveat. target_cluster=4 on the 750-row planted
+    corpus derives k=187 (above the arrow crossover, so the engines
+    this regime needs are also the ones that run). The oracle replays
+    the DERIVATION itself — ``greatest(8, count(*) // 4)`` computed
+    from the same corpus CTE — and then the whole coarse pipeline at
+    that derived k, so a drift in the k rule (not just in assignment
+    at some k) breaks the hash. EAGER at composition time (one count
+    job for the derivation + the Lloyd loop)."""
+    return sim.semdedup_survivors(
+        _planted_corpus(spark, sf_dir), n_iters=2, threshold=0.9,
+        dim=64, coarse=True, n_groups=8, nprobe=2, target_cluster=4,
     )
 
 

@@ -188,6 +188,140 @@ def crossdoc_dup_spans(
     )
 
 
+def exact_substr_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    merged token ranges covered by EXACT ``min_len``-token windows
+    that occur more than once in the corpus — the >= 50-token exact
+    duplicate spans the paper cuts before training (overlapping and
+    touching duplicate spans merge, as the paper's cut lists do).
+    Same output contract as :func:`crossdoc_dup_spans`
+    ``(id_col, span_start, span_end, n_tokens)``; semantically this
+    IS crossdoc_dup_spans at k=min_len, re-engineered for large L
+    (materializing 50-token shingle strings is what the fingerprint
+    kernel exists to avoid).
+
+    The paper's single-machine engine is a suffix array: it finds
+    repeated >= L windows without materializing O(n x L) window text.
+    A per-shard suffix array does NOT distribute (on 1000 executors
+    nearly every repeat is cross-shard, and a global suffix array is
+    a single-machine structure), so the Spark-native equivalent of
+    the suffix array's job is an O(1)-per-position Rabin-Karp window
+    FINGERPRINT: a vectorized Arrow kernel rolls a 64-bit polynomial
+    hash over each document's token-hash sequence, so the global
+    repeat-count shuffle moves 16 bytes per position instead of the
+    ~8 x min_len bytes :func:`positional_shingles` would move at
+    L=50 (the shuffle IS the scale cost; the kernel is scan-local).
+
+    Fingerprint equality is necessary but not sufficient, so
+    candidates (positions whose fingerprint occurs > 1 time — the
+    duplicate mass, small by construction) are re-verified on the
+    REAL window text before the island merge: the result is
+    bit-exact, never hash-approximate — a 64-bit collision can only
+    cost a discarded candidate, not a wrong span. Tokenization stays
+    in Spark expressions (``split(normalized(text))``), so the kernel
+    never re-implements the normalization contract.
+
+    Shuffles: fingerprint occurrence window (on h), candidate verify
+    join (on id) + exact window (on window text), islands (on id) —
+    all keyed, none corpus x corpus."""
+    import numpy as np
+
+    from sftp_data_ingestion_spark.rebalance import fan_out
+
+    toks_col = F.split(normalized(F.col(text_col)), " ")
+    src = df.select(F.col(id_col).alias("id"), toks_col.alias("toks"))
+
+    def fingerprints(batches):
+        import pandas as pd
+        import zlib
+
+        B = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier, mod 2^64
+        w = np.empty(min_len, dtype=np.uint64)
+        w[-1] = np.uint64(1)
+        for j in range(min_len - 2, -1, -1):
+            w[j] = w[j + 1] * B
+        for pdf in batches:
+            out_id, out_pos, out_h = [], [], []
+            for doc, toks in zip(pdf["id"], pdf["toks"]):
+                n = len(toks)
+                if n < min_len:
+                    continue
+                # hash each DISTINCT token once (crc32 -> spread to 64
+                # bits), then roll the fixed-L polynomial as min_len
+                # vectorized passes — no O(n x L) intermediate
+                codes, uniq = pd.factorize(pd.Series(list(toks)))
+                uh = np.array(
+                    [zlib.crc32(t.encode("utf-8")) for t in uniq],
+                    dtype=np.uint64,
+                ) * B
+                t = uh[codes]
+                m = n - min_len + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(min_len):
+                    h += t[j : j + m] * w[j]
+                out_id.extend([doc] * m)
+                out_pos.extend(range(m))
+                out_h.extend(h.view(np.int64))
+            yield pd.DataFrame(
+                {"id": out_id, "pos": out_pos, "h": out_h},
+            ).astype({"id": "int64", "pos": "int64", "h": "int64"})
+
+    fp = fan_out(src).mapInPandas(
+        fingerprints, "id long, pos long, h long"
+    )
+    occ = Window.partitionBy("h")
+    cand = fp.withColumn("occ", F.count(F.lit(1)).over(occ)).where(
+        F.col("occ") > 1
+    ).select("id", "pos")
+    # exact verify: candidates re-join their real window text; only
+    # windows whose TEXT occurs > 1 time survive (collision-proof)
+    win_text = F.array_join(
+        F.slice(F.col("toks"), F.col("pos") + 1, min_len), " "
+    )
+    verified = (
+        cand.join(src, "id")
+        .select("id", "pos", win_text.alias("w"))
+        .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        .where(F.col("occ") > 1)
+        .select("id", "pos")
+    )
+    byo = Window.partitionBy("id").orderBy("pos")
+    flagged = verified.select(
+        "id",
+        "pos",
+        F.when(
+            F.lag("pos").over(byo).isNull()
+            | (F.col("pos") - F.lag("pos").over(byo) > min_len),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(byo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_len).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
 def strip_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1826,3 +1826,93 @@ def t_c4_filters(spark, sf_dir):
         (~F.col("has_badword")).alias("r_no_badword"),
         ok.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup (Lee et al. 2022), graded on a planted fixture (r13)
+# ---------------------------------------------------------------------------
+
+# Planted >= 50-token exact duplication (natural docs are 10-99 tokens
+# and share no 50-token runs, so each plant isolates one behavior):
+#   P1/P2 — the same 60-token span S at DIFFERENT offsets (10 and 5);
+#   P3    — a WITHIN-doc repeat of a 55-token span T (offsets 5, 63 —
+#           the island gap 53 > 50 keeps the occurrences separate);
+#   P4/P5 — a shared 30-token span, BELOW min_len: must emit nothing.
+_XS_SPAN = " ".join(f"zzqspan{i:02d}" for i in range(1, 61))
+_XS_REP = " ".join(f"zzqrep{i:02d}" for i in range(1, 56))
+_XS_DECOY = " ".join(f"zzqdec{i:02d}" for i in range(1, 31))
+_XS_PLANTS = [
+    (200001, " ".join(f"zzqp1a{i:02d}" for i in range(1, 11)) + " "
+     + _XS_SPAN + " " + " ".join(f"zzqp1b{i:02d}" for i in range(1, 11))),
+    (200002, " ".join(f"zzqp2a{i:02d}" for i in range(1, 6)) + " "
+     + _XS_SPAN + " " + " ".join(f"zzqp2b{i:02d}" for i in range(1, 16))),
+    (200003, " ".join(f"zzqp3a{i:02d}" for i in range(1, 6)) + " "
+     + _XS_REP + " " + " ".join(f"zzqp3m{i:02d}" for i in range(1, 4))
+     + " " + _XS_REP + " " + " ".join(f"zzqp3z{i:02d}" for i in range(1, 3))),
+    (200004, " ".join(f"zzqp4a{i:02d}" for i in range(1, 16)) + " "
+     + _XS_DECOY + " " + " ".join(f"zzqp4b{i:02d}" for i in range(1, 11))),
+    (200005, " ".join(f"zzqp5a{i:02d}" for i in range(1, 11)) + " "
+     + _XS_DECOY + " " + " ".join(f"zzqp5b{i:02d}" for i in range(1, 16))),
+]
+
+_XS_DOCS_SQL = "SELECT doc_id, text FROM documents " + " ".join(
+    f"UNION ALL SELECT {i}, '{t}'" for i, t in _XS_PLANTS
+)
+
+
+@query(
+    "d_exact_substr_dup_spans",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM ({_XS_DOCS_SQL})
+), pos_sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i+1:i+50], ' ') AS sh
+  FROM (SELECT doc_id, t,
+               unnest(range(greatest(length(t) - 49, 0))) AS i
+        FROM toks)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS occ
+    FROM pos_sh
+  ) WHERE occ > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 50 THEN 1 ELSE 0 END AS f
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 50 AS span_end,
+       max(pos) + 50 - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, island
+""",
+)
+def d_exact_substr_dup_spans(spark, sf_dir):
+    """ExactSubstr dedup at the paper's operating point (Lee et al.
+    2022: cut every exact duplicate span of >= 50 tokens), graded on
+    the planted-duplication fixture above: cross-doc offset-shifted
+    60-token span, within-doc 55-token repeat, and a 30-token decoy
+    that must NOT fire. The operator
+    (``ext.dedup.exact_substr_dup_spans``) detects repeats through an
+    Arrow Rabin-Karp window-fingerprint kernel (16 bytes per position
+    on the shuffle instead of 50-token shingle strings — the
+    distributed-native form of the paper's suffix array) and
+    re-verifies every candidate on real window text, so the result is
+    bit-exact and the DuckDB oracle can replay it with materialized
+    50-token positional shingles — fingerprints never appear in the
+    graded values. Cross-checked against the shingle engine and the
+    strip accounting in
+    tests/test_dedup_clusters.py::test_exact_substr_*."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(_XS_PLANTS, "doc_id long, text string")
+    )
+    return dd.exact_substr_dup_spans(d, min_len=50)

@@ -371,3 +371,80 @@ def test_cdc_arrow_engine_value_identical(spark):
     a = sorted(map(tuple, dd.cdc_chunks(df).collect()))
     b = sorted(map(tuple, dd.cdc_chunks_arrow(df).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (Lee et al.) fingerprint engine vs shingle engine (r13)
+# ---------------------------------------------------------------------------
+
+
+def _xs_planted(spark):
+    from sftp_data_ingestion_spark.queries.q_text import _XS_PLANTS
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return d.unionByName(
+        spark.createDataFrame(_XS_PLANTS, "doc_id long, text string")
+    )
+
+
+def test_exact_substr_matches_shingle_engine(spark):
+    """exact_substr_dup_spans(min_len=L) is semantically
+    crossdoc_dup_spans(k=L) — the fingerprint kernel + exact verify
+    must reproduce the materialized-shingle engine row-for-row (the
+    cross-engine check that makes the 16-bytes-per-position shuffle a
+    pure optimization)."""
+    d = _xs_planted(spark)
+    fp = sorted(map(tuple, dd.exact_substr_dup_spans(d, min_len=50).collect()))
+    sh = sorted(map(tuple, dd.crossdoc_dup_spans(d, k=50).collect()))
+    assert fp == sh and len(fp) > 0
+
+
+def test_exact_substr_planted_spans_and_strip_accounting(spark):
+    """The planted battery resolves exactly (offset-shifted cross-doc
+    span, within-doc repeat at gap > L, sub-threshold decoy silent),
+    and strip_dup_spans(k=50) accounting agrees: tokens removed per
+    planted doc == the span coverage (spans are disjoint per doc by
+    construction of the island merge)."""
+    from pyspark.sql import functions as F
+
+    d = _xs_planted(spark)
+    spans = dd.exact_substr_dup_spans(d, min_len=50)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in spans.where(F.col("doc_id") >= 200001).collect()
+    }
+    planted = {
+        r["doc_id"]
+        for r in spans.where(F.col("doc_id") >= 200001)
+        .select("doc_id").distinct().collect()
+    }
+    assert got[200001] == (10, 70, 60)
+    assert got[200002] == (5, 65, 60)
+    assert planted == {200001, 200002, 200003}  # decoys 200004/5 silent
+    p3 = sorted(
+        map(
+            tuple,
+            spans.where(F.col("doc_id") == 200003)
+            .select("span_start", "span_end").collect(),
+        )
+    )
+    assert p3 == [(5, 60), (63, 118)]
+
+    removed = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in dd.strip_dup_spans(d, k=50)
+        .where(F.col("doc_id") >= 200001)
+        .collect()
+    }
+    cover = {
+        r["doc_id"]: r["cov"]
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("cov"))
+        .where(F.col("doc_id") >= 200001)
+        .collect()
+    }
+    assert removed[200001] == cover[200001] == 60
+    assert removed[200003] == cover[200003] == 110
+    assert removed[200004] == 0 and removed[200005] == 0

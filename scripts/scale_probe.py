@@ -117,6 +117,22 @@ PROBES = [
     "v_gram_matrix",
     "d_cdc_chunk_dedup",
     "x_hrw_stable_sharding",
+    # r13: the r12 additions' probe debt (VERDICT #4) + the r13
+    # operators. v_semdedup_auto_k is NOT probed as-registered for the
+    # same reason as v_semdedup: at 100x its auto-k derives k~19k and
+    # the driver-side group-Lloyd becomes the artifact being measured;
+    # semdedup_probe.py owns the k-proportional regime, and
+    # kmeans_assign_probe.py owns the assignment-engine crossover.
+    "t_c4_filters",               # array-HOF line battery (documents)
+    "t_ccnet_perplexity_buckets", # unigram LM join + ntile (documents)
+    "x_temperature_source_mix",   # per-source power weights + quota
+    "g_approx_quantiles_bounded", # approx_percentile partial-agg (lineitem)
+    "z_dv_reinsert_scope",        # DV anti-join vs file count (orders)
+    "z_expiry_dv_compose",        # snapshot expiry + DV compose (orders)
+    "st_rocksdb_exact_dedup",     # 4-trigger RocksDB dedup drain (documents)
+    "st_stream_ingest_stateful",  # stateful LSH admission drain (documents)
+    "d_exact_substr_dup_spans",   # Rabin-Karp window fingerprints (documents)
+    "v_kmeans_assign_arrow",      # arrow Lloyd train + flat assign, k=192
 ]
 
 

@@ -282,12 +282,22 @@ def x_dsir_importance(spark, sf_dir):
     step that tilts a raw crawl toward a target domain without
     training a classifier.
 
-    Scale shape: ONE conditional aggregation computes both sides'
-    bucket counts (no second scan); the 64-row ratio table broadcasts
-    back onto the exploded grams; per-doc summation partially
-    aggregates map-side; the top-100 plans as TakeOrderedAndProject
-    (per-partition heaps, no global sort). Nothing driver-side except
-    the k selected rows."""
+    Scale shape (r13: ONE corpus scan, was two): the corpus is
+    tokenized/hashed exactly once into the per-doc feature HISTOGRAM
+    ``(doc_id, source, f, c)`` — <= 64 rows per document, the
+    featurized-corpus artifact the DSIR pipeline materializes anyway —
+    and localCheckpointed; BOTH the bucket-count aggregation (one
+    conditional agg computes target and raw sides) and the scoring
+    pass then read the histogram, never the text again (the r12 form
+    re-derived explode+hash for the scoring join — the corpus scan,
+    tokenization included, ran twice; measured 1.9x on the scan-bound
+    probe). The 64-row ratio table broadcasts onto the histogram;
+    per-doc weight is the c-weighted ratio sum (identical values —
+    sum(lr) over occurrences == sum(c*lr) over distinct features —
+    pinned by the unchanged oracle hash); the top-100 plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Nothing driver-side except the k selected rows. EAGER at
+    composition time (the checkpoint materializes the histogram)."""
     d = table(spark, sf_dir, "documents")
     toks = ts.tokens(F.col("text"))
     grams = F.filter(
@@ -298,18 +308,22 @@ def x_dsir_importance(spark, sf_dir):
         ),
         lambda g: g.isNotNull(),
     )
-    feat = d.select(
-        "doc_id", "source", F.explode(grams).alias("gram")
-    ).select(
-        "doc_id",
-        "source",
-        F.pmod(ts.rolling_fingerprint(F.col("gram")), F.lit(_DSIR_B)).alias(
-            "f"
-        ),
+    feat = (
+        d.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(
+                ts.rolling_fingerprint(F.col("gram")), F.lit(_DSIR_B)
+            ).alias("f"),
+        )
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     is_tgt = F.col("source").isin("src0", "src1").cast("long")
     counts = feat.groupBy("f").agg(
-        F.count(F.lit(1)).alias("cr"), F.sum(is_tgt).alias("ct")
+        F.sum("c").alias("cr"), F.sum(F.col("c") * is_tgt).alias("ct")
     )
     tot = counts.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
@@ -326,8 +340,8 @@ def x_dsir_importance(spark, sf_dir):
         feat.join(F.broadcast(lr), "f")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("lr"), 6).alias("weight"),
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("weight"),
         )
         .orderBy(F.col("weight").desc(), "doc_id")
         .limit(100)

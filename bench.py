@@ -89,6 +89,116 @@ def _calibrate(spark) -> float:
     return round(best, 3)
 
 
+def _time_pass(spark, sf_dir: str) -> dict[str, float]:
+    """One timed end-to-end pass over the headline set."""
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[name] = time.time() - t0
+    return out
+
+
+def _prev_round_commit() -> str | None:
+    """The previous round's final tree = the most recent driver
+    artifact commit ('round N: verdict/advice/correctness/bench')."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H\t%s", "-n", "300"],
+            capture_output=True, text=True, timeout=30,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except Exception:
+        return None
+    for line in out.stdout.splitlines():
+        h, _, msg = line.partition("\t")
+        if re.match(r"round \d+: ", msg):
+            return h
+    return None
+
+
+def _parity_vs_prev(spark, sf_dir: str, n_rounds: int = 3) -> dict:
+    """Host-drift-proof round-over-round comparison (r12 VERDICT #6):
+    check the previous round's tree out into a git worktree and
+    INTERLEAVE full bench passes — cur, prev, cur, prev, ... on the
+    same host in the same window — then compare sum-of-per-query-MINS
+    over the queries both trees share. This records in the artifact
+    what PERFORMANCE.md r12 had to prove by hand: whether a raw-wall
+    delta is code or host (the raw number alone drifted 20-40% on
+    byte-identical trees). Each prev pass is a fresh JVM running
+    scripts/bench_tree_once.py against the worktree (2 passes inside,
+    min taken, so JVM/codegen cold-start does not bias prev slower).
+    Any failure degrades to {"status": reason} — parity is evidence,
+    never a gate that can wedge the bench."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if os.environ.get("SPARK_GRAFT_BENCH_PARITY", "1") != "1":
+        return {"status": "disabled"}
+    root = os.path.dirname(os.path.abspath(__file__))
+    commit = _prev_round_commit()
+    if commit is None:
+        return {"status": "no_prev_round_commit"}
+    tree = tempfile.mkdtemp(prefix="bench_prev_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "--force", tree, commit],
+            check=True, capture_output=True, timeout=120, cwd=root,
+        )
+    except Exception as e:
+        shutil.rmtree(tree, ignore_errors=True)
+        return {"status": f"worktree_failed: {e}"}
+    cur_runs: list[dict[str, float]] = []
+    prev_runs: list[dict[str, float]] = []
+    try:
+        for _ in range(n_rounds):
+            cur_runs.append(_time_pass(spark, sf_dir))
+            p = subprocess.run(
+                [sys.executable,
+                 os.path.join(root, "scripts", "bench_tree_once.py"),
+                 tree, sf_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = (p.stdout.strip().splitlines() or [""])[-1]
+            try:
+                prev_runs.append(json.loads(line))
+            except ValueError:
+                return {
+                    "status": "prev_pass_failed",
+                    "stderr_tail": p.stderr[-500:],
+                }
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", tree],
+            capture_output=True, timeout=60, cwd=root,
+        )
+        shutil.rmtree(tree, ignore_errors=True)
+    cur_min = {
+        k: min(r[k] for r in cur_runs) for k in cur_runs[0]
+    }
+    prev_min = {
+        k: min(float(r[k]) for r in prev_runs) for k in prev_runs[0]
+    }
+    shared = sorted(set(cur_min) & set(prev_min))
+    cur_sum = round(sum(cur_min[k] for k in shared), 3)
+    prev_sum = round(sum(prev_min[k] for k in shared), 3)
+    return {
+        "status": "ok",
+        "prev_commit": commit,
+        "interleaved_rounds": n_rounds,
+        "n_shared_queries": len(shared),
+        "cur_sum_min_s": cur_sum,
+        "prev_sum_min_s": prev_sum,
+        "ratio_cur_over_prev": round(cur_sum / prev_sum, 4)
+        if prev_sum else None,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -120,15 +230,15 @@ def main() -> None:
     # two runs can both land in the compile window, three don't.
     calib_pre = _calibrate(spark)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = q.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    passes = [_time_pass(spark, sf_dir) for _ in range(3)]
+    timings = {
+        name: round(min(p[name] for p in passes), 3) for name in HEADLINE
+    }
+
+    # Interleaved A/B vs the previous round's tree (worktree checkout);
+    # runs its own cur/prev passes — `timings` above stays the plain
+    # 3-run min so the headline number's definition is unchanged.
+    parity = _parity_vs_prev(spark, sf_dir)
 
     calib_post = _calibrate(spark)
 
@@ -149,6 +259,11 @@ def main() -> None:
                 "calib_s": round(min(calib_pre, calib_post), 3),
                 "calib_pre_s": calib_pre,
                 "calib_post_s": calib_post,
+                # Same-host interleaved sum-of-per-query-mins vs the
+                # previous round's tree: the number that separates code
+                # regressions from host drift without re-deriving it
+                # from PERFORMANCE.md prose.
+                "parity_vs_prev": parity,
             }
         )
     )

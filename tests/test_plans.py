@@ -803,3 +803,47 @@ def test_semantic_decontaminate_broadcasts_eval_side(spark):
     # contract with the SRP path) + the fixture fan_out
     assert n_exchanges(p) <= 3
     assert ">= 0.9" in p.split("Exchange", 1)[1]  # filter below agg
+
+
+def test_aqe_skew_join_rewrite_fires_on_skewed_derivation(spark):
+    """The 100 TB skew story has two levers and both must be REAL:
+    the salted families handle skew statically (plan-pinned above in
+    test_salted_agg_two_stage_shape), and AQE's runtime skew-join
+    split is the dynamic fallback for skew nobody salted. This pins
+    the dynamic lever: on a skewed derivation (one key owning ~90% of
+    a fact side, thresholds scaled to the fixture) the executed
+    adaptive plan must show the SortMergeJoin rewritten with
+    skew=true — i.e. the oversized partition was actually split at
+    runtime, not assumed to be (r12 VERDICT #9)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # fact: 2M rows, ~90% on key 0 -> one reducer partition far
+        # beyond the (scaled-down) skew threshold; dim: 1k keys
+        fact = spark.range(0, 2_000_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k",
+            "id AS v",
+            # pad so the hot partition crosses the byte threshold
+            "repeat('x', 64) AS pad",
+        )
+        dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+        joined = fact.join(dim, "k").groupBy("k").count()
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

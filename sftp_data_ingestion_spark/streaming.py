@@ -621,7 +621,20 @@ def stream_ingest_neardup_stateful(
     — no aggregation upstream of the stateful operator, so the plan
     has exactly ONE stateful op. Admitted docs append to
     ``corpus_path`` tagged with ``batch_seq`` under the same replay
-    guard as the foreachBatch form."""
+    guard as the foreachBatch form.
+
+    DEPLOYMENT REQUIREMENT (measured, r13 100x probe): run exact
+    dedup (content-sha admission) UPSTREAM of this operator. Its cost
+    per incoming doc is O(unique signatures already seen in the doc's
+    buckets) plus per-trigger (de)serialization of every touched
+    bucket's state — linear on real near-dup rates
+    (scripts/rocksdb_state_probe.py: 2.6 KB/doc, state rows =
+    admitted x bands), but an exact-duplicate FLOOD (the 100x
+    key-offset derivation: 100 identical copies of every text) makes
+    every bucket hot every trigger (measured 19 s -> 640 s at 100x).
+    Exact copies are the one duplicate class a cheap hash gate
+    removes for free — the release compositions here gate first, and
+    so should any deployment."""
     from sftp_data_ingestion_spark.ext.dedup import (
         minhash_signature,
         shingles,

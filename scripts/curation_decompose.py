@@ -47,7 +47,7 @@ def probe(spark, sf_dir):
     for rnd in range(ROUNDS):
         for name in STAGES:
             t0 = time.time()
-            frame = _curation_stages(spark, sf_dir)[name]
+            frame = _curation_stages(spark, sf_dir, upto=name)[name]
             frame.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if rnd > 0:

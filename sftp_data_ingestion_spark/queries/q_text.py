@@ -88,7 +88,15 @@ def curation_pipeline(spark, sf_dir):
     kept = d.select(
         "doc_id", "text", ts.quality_score(t).alias("quality")
     ).where(F.col("quality") >= 0.6)
-    clusters = dd.neardup_clusters(kept, threshold=0.5)
+    # shared bucketed signature layout, restricted to the gated set
+    # (per-doc banding makes the restriction exact — see
+    # _curation_stages); pairs were verified at threshold 0.5
+    pairs_kept = (
+        _bucketed_neardup_pairs_t05(spark, sf_dir)
+        .join(kept.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(kept.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    clusters = dd.neardup_clusters(kept, pairs=pairs_kept)
     return (
         kept.join(
             clusters.where(F.col("is_survivor")).select("doc_id"), "doc_id"
@@ -249,12 +257,15 @@ def curation_e2e(spark, sf_dir):
     return _curation_stages(spark, sf_dir)["s4_pack"]
 
 
-def _curation_stages(spark, sf_dir):
+def _curation_stages(spark, sf_dir, upto=None):
     """The curation_e2e pipeline as CUMULATIVE stage frames
     (s0_gate .. s4_pack, each extending the previous), shared by the
     graded query (final stage) and the stage-timing probe. Building
-    the dict is EAGER at the survivor checkpoint (s1), exactly like
-    the composed query always was."""
+    past s0 is EAGER at the survivor checkpoint (s1), exactly like
+    the composed query always was. ``upto`` stops construction at the
+    named stage — without it the s0 probe reading would silently pay
+    the s1 checkpoint build (the first decompose run had exactly that
+    contamination: s0 read HIGHER than s1)."""
     d = table(spark, sf_dir, "documents")
     t = F.col("text")
     evalset = d.where(F.col("doc_id") % 25 == 0)
@@ -262,7 +273,21 @@ def _curation_stages(spark, sf_dir):
     kept = train.select(
         "doc_id", "source", "text", ts.quality_score(t).alias("quality")
     ).where(F.col("quality") >= 0.6)
-    clusters = dd.neardup_clusters(kept, threshold=0.5)
+    if upto == "s0_gate":
+        return {"s0_gate": kept}
+    # near-dup pairs come off the SHARED bucketed signature layout
+    # (organize once per sweep, zero band exchanges), restricted to
+    # the gated set — banding is per-document, so full-table candidate
+    # pairs filtered to kept endpoints ARE the kept-only pair set, and
+    # the exact-Jaccard verify already ran on the same texts. The r13
+    # 100x decompose named this stage the dominant term (16.1 s of the
+    # 30.8 s total) when it derived its LSH inline per run.
+    pairs_kept = (
+        _bucketed_neardup_pairs_t05(spark, sf_dir)
+        .join(kept.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(kept.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    clusters = dd.neardup_clusters(kept, pairs=pairs_kept)
     # materialize the survivor set ONCE: it feeds two branches (the
     # contamination probe and the anti-join) and its lineage holds the
     # whole LSH + closure DAG — recomputing that per branch tripled
@@ -287,12 +312,16 @@ def _curation_stages(spark, sf_dir):
         )
         .localCheckpoint()
     )
+    if upto == "s1_neardup":
+        return {"s1_neardup": surv}
     contaminated = (
         dd.contamination_report(surv, evalset)
         .where(F.col("contamination") >= 0.2)
         .select("doc_id")
     )
     clean = surv.join(contaminated, "doc_id", "left_anti")
+    if upto == "s2_decontaminate":
+        return {"s2_decontaminate": clean}
 
     from pyspark.sql import Window
 
@@ -315,6 +344,8 @@ def _curation_stages(spark, sf_dir):
         .where(F.col("running") <= F.col("token_budget"))
         .select("source", "doc_id", "text")
     )
+    if upto == "s3_budget":
+        return {"s3_budget": picked}
     packed = ts.pack_sequences(picked, budget=256, by="source")
     final = packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -714,6 +714,12 @@ def test_arrow_engines_lazy_and_dispatch(spark, emb):
         spark.sparkContext.setJobGroup(None, None)
     assert list(jobs) == [], f"composition ran jobs: {jobs}"
 
+    # pure scan shape: the broadcast matrix never becomes a join side,
+    # so assignment plans with ZERO exchanges at any k
+    for frame in (a, c):
+        plan = frame._jdf.queryExecution().explainString("formatted")
+        assert "Exchange" not in plan, plan[:2000]
+
     assert sim._resolve_engine("auto", 256, emb, "vec_id") == "arrow"
     assert sim._resolve_engine("auto", 64, emb, "vec_id") == "expr"
     s = emb.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")

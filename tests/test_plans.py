@@ -829,16 +829,30 @@ def test_aqe_skew_join_rewrite_fires_on_skewed_derivation(spark):
         spark.conf.set(k, v)
     try:
         # fact: 2M rows, ~90% on key 0 -> one reducer partition far
-        # beyond the (scaled-down) skew threshold; dim: 1k keys
+        # beyond the (scaled-down) skew threshold; dim: 1k keys.
+        # The pad must be INCOMPRESSIBLE (sha2, not a repeated char):
+        # skew detection reads COMPRESSED map-output sizes, and a
+        # constant pad deflates below the threshold.
         fact = spark.range(0, 2_000_000).selectExpr(
             "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k",
             "id AS v",
-            # pad so the hot partition crosses the byte threshold
-            "repeat('x', 64) AS pad",
+            "sha2(cast(id as string), 256) AS pad",
         )
         dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
-        joined = fact.join(dim, "k").groupBy("k").count()
-        joined.write.format("noop").mode("overwrite").save()
+        # the post-join filter uses BOTH sides, so it cannot push below
+        # the join (the fact side must stay skewed) yet shrinks the
+        # collect to ~2k rows. collect(), NOT a noop write: a write
+        # command runs its own QueryExecution, leaving THIS frame's
+        # adaptive plan unexecuted (isFinalPlan=false, no skew marker
+        # ever) — the first version of this test asserted against that
+        # unexecuted plan.
+        joined = (
+            fact.join(dim, "k")
+            .where((F.col("v") + F.col("w")) % 997 == 0)
+            .select("k", "v", "w")
+        )
+        rows = joined.collect()
+        assert len(rows) > 0
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:4000]
     finally:

@@ -717,7 +717,7 @@ def test_arrow_engines_lazy_and_dispatch(spark, emb):
     # pure scan shape: the broadcast matrix never becomes a join side,
     # so assignment plans with ZERO exchanges at any k
     for frame in (a, c):
-        plan = frame._jdf.queryExecution().explainString("formatted")
+        plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:2000]
 
     assert sim._resolve_engine("auto", 256, emb, "vec_id") == "arrow"

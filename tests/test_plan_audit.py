@@ -104,6 +104,11 @@ def test_no_unjustified_session_conf_flips_in_query_bodies():
         # knob (no writeStream option exists for it); the query sets
         # it in a try/finally that restores the previous value
         ("q_streaming.py", "st_rocksdb_exact_dedup"),  # state provider
+        # shuffle.partitions fixes the stateful operator's state-store
+        # partition count at checkpoint creation (session-conf-only
+        # knob, same justification as _drain/_stream_ingest_admitted);
+        # set/restored around the drain
+        ("q_streaming.py", "st_stream_ingest_stateful"),  # streaming state
         ("q_warehouse.py", "wh_stream_multibatch_counts"),  # streaming
         ("registry.py", "table"),                      # nanosAsLong
     }

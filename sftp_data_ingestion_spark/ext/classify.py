@@ -111,3 +111,50 @@ def fit_logreg(
         b = b - lr * row["gb"] / n
         losses.append(row["loss"])
     return w, b, losses
+
+
+def doremi_weights(
+    lam_df: DataFrame,
+    excess_col: str = "excess_loss",
+    eta: float = 0.5,
+    smoothing: float = 0.2,
+    iterations: int = 10,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    exponentiated-gradient ascent on domain weights driven by each
+    domain's EXCESS LOSS (how much better a contextual proxy model
+    does than a context-free reference — the paper's
+    "learnability" signal), with per-step uniform smoothing:
+
+        w'  = w * exp(eta * excess)
+        w   = (1 - c) * w' / sum(w') + c / n_domains
+
+    ``lam_df`` has one row per domain with ``excess_col`` (the
+    per-domain mean excess loss, already pinned to a fixed rounding by
+    the caller so any IEEE-754 engine replays the iteration exactly).
+    The smoothing term makes the fixpoint genuinely iterative — each
+    step renormalizes and mixes toward uniform, so the loop does not
+    collapse to a closed-form softmax.
+
+    Scale shape: the domain frame is tiny by definition (domains are
+    data sources, not rows), so each iteration is a single-partition
+    window normalization — ``iterations`` chained window nodes over a
+    handful of rows, fully distributed, no collect, constant driver
+    footprint. The EXPENSIVE part (per-document losses over the
+    corpus) happens upstream, in the callers' distributed LM scoring.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    n = F.count(F.lit(1)).over(w_all).cast("double")
+    df = lam_df.withColumn("_n", n).withColumn("w", F.lit(1.0) / F.col("_n"))
+    for _ in range(iterations):
+        df = df.withColumn(
+            "_wu", F.col("w") * F.exp(F.lit(float(eta)) * F.col(excess_col))
+        ).withColumn(
+            "w",
+            F.lit(1.0 - smoothing) * F.col("_wu") / F.sum("_wu").over(w_all)
+            + F.lit(float(smoothing)) / F.col("_n"),
+        )
+    return df.drop("_wu", "_n")

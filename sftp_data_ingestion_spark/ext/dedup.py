@@ -1610,3 +1610,74 @@ def cdc_chunks_arrow(
     return df.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, chunk string"
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    FineWeb recipe): split every document on ``sep``, keep only the
+    FIRST occurrence of each distinct paragraph corpus-wide (ordered
+    by ``(id, pos)``), and reassemble each document from its surviving
+    paragraphs in original order. This is the sub-document complement
+    of :func:`exact_dedup`: boilerplate (navigation, legal footers,
+    cookie banners) repeats across millions of pages whose full texts
+    are all distinct, so document-level dedup never touches it.
+
+    Returns one row per document that has at least one non-blank
+    paragraph: ``(id, n_paras, n_kept, new_text)`` where ``new_text``
+    joins the survivors with ``sep`` (empty string when every
+    paragraph of the doc was a repeat).
+
+    Scale shape: two shuffles, both on uniform keys — the
+    first-occurrence decision is a window over ``sha2(paragraph)``
+    (fixed-width 64-hex shuffle key, never the paragraph text;
+    paragraph payloads ride alongside only until the regroup), the
+    reassembly a ``groupBy(id)``. No self-join, no collect; skew is
+    bounded because even a paragraph repeated a billion times lands
+    in one hash partition as a single sorted run (WindowGroupLimit
+    prunes rank > 1 map-side where the planner supports it).
+    """
+    para = F.trim(F.col("_para"))
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .where(para != "")
+        .select(
+            F.col(id_col),
+            F.col("_pos").cast("long").alias("_pos"),
+            F.col("_para"),
+            F.sha2(F.col("_para"), 256).alias("_ph"),
+        )
+    )
+    w = Window.partitionBy("_ph").orderBy(id_col, "_pos")
+    ranked = paras.withColumn("_keep", F.row_number().over(w) == 1)
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("_pos").alias("pos"),
+                                    F.col("_para").alias("para"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("new_text"),
+        )
+    )

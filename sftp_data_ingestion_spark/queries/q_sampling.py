@@ -632,3 +632,222 @@ def x_temperature_source_mix(spark, sf_dir):
         F.round(epochs, 6).alias("epochs"),
         (epochs > 3.0).alias("over_one_pass_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting + RHO-loss selection (excess-loss family)
+# ---------------------------------------------------------------------------
+
+_XENT_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# both LMs are trained on the SAME normalized tokenization (the z2/z3
+# singles use raw vs normalized text respectively — here the two
+# losses are SUBTRACTED, so a tokenization mismatch would confound the
+# excess signal)
+_XENT_SQL = f"""
+toks AS (
+  SELECT doc_id, generate_subscripts(string_split(s, ' '), 1) AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, {_XENT_NORM} AS s FROM documents)
+), t AS (SELECT * FROM toks WHERE tok <> ''),
+c1 AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c1),
+x1 AS (
+  SELECT doc_id, round(avg(-ln(cnt / (SELECT total FROM tot))), 6) AS xent1
+  FROM t JOIN c1 USING (tok) GROUP BY doc_id
+), big AS (
+  SELECT doc_id, prev, tok AS cur FROM (
+    SELECT doc_id, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL AND tok <> '' AND prev <> ''
+), c2 AS (SELECT prev, cur, count(*) AS cnt2 FROM big GROUP BY 1, 2),
+cb AS (SELECT prev, sum(cnt2) AS cnt1 FROM c2 GROUP BY 1),
+x2 AS (
+  SELECT doc_id, round(avg(-ln(cnt2 / CAST(cnt1 AS DOUBLE))), 6) AS xent2
+  FROM big JOIN c2 USING (prev, cur) JOIN cb USING (prev)
+  GROUP BY doc_id
+)"""
+
+_DOREMI_ETA = 0.5
+_DOREMI_C = 0.2
+_DOREMI_ITERS = 10
+
+_DOREMI_ITER_CTES = "".join(
+    f""", w{i} AS (
+  SELECT source, excess_loss, n,
+         {1.0 - _DOREMI_C} * (w * exp({_DOREMI_ETA} * excess_loss))
+           / sum(w * exp({_DOREMI_ETA} * excess_loss)) OVER ()
+         + {_DOREMI_C} / n AS w
+  FROM w{i - 1}
+)"""
+    for i in range(1, _DOREMI_ITERS + 1)
+)
+
+
+def _xent_frames(spark, sf_dir):
+    """Per-doc unigram + bigram cross-entropy on one shared normalized
+    tokenization (Spark twin of ``_XENT_SQL``): returns
+    ``(docs, x1, x2)``."""
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", normalized(F.col("text")).alias("s")
+    )
+    arr = F.split(F.col("s"), " ")
+    toks = d.select("doc_id", F.explode(arr).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c1.agg(F.sum("cnt").cast("double").alias("total"))
+    x1 = (
+        toks.join(c1, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("xent1")
+        )
+    )
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"),
+                F.col("bg.cur").alias("cur"))
+        .where((F.col("prev") != "") & (F.col("cur") != ""))
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt2"))
+    cb = c2.groupBy("prev").agg(F.sum("cnt2").alias("cnt1"))
+    x2 = (
+        big.join(c2, ["prev", "cur"])
+        .join(cb, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt2").cast("double") / F.col("cnt1"))),
+                6,
+            ).alias("xent2")
+        )
+    )
+    return d.select("doc_id", "source"), x1, x2
+
+
+@query(
+    "x_doremi_domain_weights",
+    oracle=f"""
+WITH {_XENT_SQL}, lam AS (
+  SELECT source, round(avg(greatest(xent1 - xent2, 0.0)), 6) AS excess_loss
+  FROM documents JOIN x1 USING (doc_id) JOIN x2 USING (doc_id)
+  GROUP BY source
+), w0 AS (
+  SELECT source, excess_loss,
+         CAST(count(*) OVER () AS DOUBLE) AS n,
+         1.0 / count(*) OVER () AS w
+  FROM lam
+){_DOREMI_ITER_CTES}
+SELECT source, excess_loss, round(w, 6) AS weight FROM w{_DOREMI_ITERS}
+""",
+)
+def x_doremi_domain_weights(spark, sf_dir):
+    """DoReMi domain reweighting (Xie et al. 2023): per-domain excess
+    loss — the gap between a context-free reference LM (corpus
+    unigram) and a contextual proxy LM (corpus bigram), clipped at 0 —
+    drives 10 exponentiated-gradient iterations with
+    uniform smoothing (``ext.classify.doremi_weights``). Domains whose
+    documents have more learnable structure (bigger unigram->bigram
+    gap) get upweighted; the smoothing floor keeps every domain
+    sampled.
+
+    Cross-engine exactness: both per-doc losses are computed on the
+    SAME normalized tokenization and pinned to 6 dp, the per-domain
+    mean is pinned to 6 dp, and only then does the EG loop run — from
+    identical pinned inputs the iteration is plain double arithmetic
+    (exp within 1 ulp per step, ~1e-15 relative after 10 steps),
+    7 orders of magnitude inside the final 6 dp round. The oracle
+    unrolls the loop as 10 chained CTEs, one per
+    iteration.
+
+    Scale shape: the corpus-sized work is the two LM scoring passes
+    (map-side-combined counts + deliberate shuffle joins, the
+    z2/z3_cross_entropy shapes); the iteration itself runs on the
+    tiny per-domain frame as chained single-partition window
+    normalizations — no collect, constant driver footprint."""
+    from sftp_data_ingestion_spark.ext.classify import doremi_weights
+
+    docs, x1, x2 = _xent_frames(spark, sf_dir)
+    lam = (
+        docs.join(x1, "doc_id")
+        .join(x2, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.avg(F.greatest(F.col("xent1") - F.col("xent2"), F.lit(0.0))),
+                6,
+            ).alias("excess_loss")
+        )
+    )
+    out = doremi_weights(
+        lam,
+        excess_col="excess_loss",
+        eta=_DOREMI_ETA,
+        smoothing=_DOREMI_C,
+        iterations=_DOREMI_ITERS,
+    )
+    return out.select(
+        "source", "excess_loss", F.round("w", 6).alias("weight")
+    )
+
+
+@query(
+    "x_rho_loss_selection",
+    oracle=f"""
+WITH {_XENT_SQL}, scored AS (
+  SELECT doc_id, source, round(xent1 - xent2, 6) AS reducible_loss
+  FROM documents JOIN x1 USING (doc_id) JOIN x2 USING (doc_id)
+)
+SELECT doc_id, source, reducible_loss, rk FROM (
+  SELECT doc_id, source, reducible_loss,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY reducible_loss DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+""",
+)
+def x_rho_loss_selection(spark, sf_dir):
+    """RHO-loss-style data selection (Mindermann et al. 2022,
+    "Prioritized Training on Points that are Learnable, Worth
+    Learning, and Not Yet Learnt"): score every document by its
+    REDUCIBLE loss — training-model loss minus holdout/reference-model
+    loss, instantiated here as the corpus unigram-vs-bigram gap on a
+    shared tokenization — and keep the top 5 per source (per-domain
+    quotas stop one domain's tail from monopolizing the budget).
+
+    Deterministic: the per-doc losses are 6 dp-pinned before the
+    subtraction, and the rank tie-breaks on doc_id. One window shuffle
+    on source after the two LM scoring passes; top-k per partition is
+    WindowGroupLimit-prunable map-side."""
+    docs, x1, x2 = _xent_frames(spark, sf_dir)
+    scored = (
+        docs.join(x1, "doc_id")
+        .join(x2, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("xent1") - F.col("xent2"), 6).alias(
+                "reducible_loss"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("reducible_loss").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )

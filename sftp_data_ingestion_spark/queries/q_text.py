@@ -1966,3 +1966,84 @@ def d_exact_substr_dup_spans(spark, sf_dir):
         spark.createDataFrame(_XS_PLANTS, "doc_id long, text string")
     )
     return dd.exact_substr_dup_spans(d, min_len=50)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (RefinedWeb / FineWeb recipe)
+# ---------------------------------------------------------------------------
+
+_PARA_BOILER = (
+    "subscribe to our newsletter all rights reserved cookie policy "
+    "terms of service apply contact us today"
+)
+
+_PARA_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "d_paragraph_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split({_PARA_NORM}, ' ') AS t FROM documents
+), paras0 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i*12+1 : i*12+12], ' ') AS para
+  FROM (SELECT doc_id, t,
+               unnest(range(CAST(ceil(length(t) / 12.0) AS BIGINT))) AS i
+        FROM base)
+  UNION ALL
+  SELECT doc_id, CAST(ceil(length(t) / 12.0) AS BIGINT) AS pos,
+         '{_PARA_BOILER}' AS para
+  FROM base WHERE doc_id % 4 = 0
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras0 WHERE trim(para) <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                           ORDER BY pos), '') AS new_text
+FROM ranked GROUP BY doc_id
+""",
+)
+def d_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb/FineWeb): boilerplate
+    repeats across pages whose FULL texts are all distinct, so
+    document-level dedup never removes it; the unit of dedup must be
+    the paragraph, and the corpus-wide first occurrence survives.
+
+    Fixture: documents are re-chunked into 12-token paragraphs joined
+    by newlines (the corpus has no organic newlines), and a fixed
+    boilerplate paragraph is planted at the END of every 4th document
+    — the lowest doc_id (0) keeps its copy, every other planted copy
+    must be stripped, and each document's surviving text must
+    reassemble in original paragraph order. Both engines derive the
+    fixture from the same normalized token array, so the oracle
+    replays the chunking, the planting, the global first-occurrence
+    window and the ordered reassembly exactly.
+
+    Operator: ``ext.dedup.paragraph_dedup`` — window over
+    ``sha2(paragraph)`` (fixed-width shuffle key; the oracle windows
+    over the paragraph text itself, which groups identically) then a
+    ``groupBy(doc_id)`` reassembly; two uniform shuffles, no
+    self-join, no collect."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(dd.normalized(F.col("text")), " ")
+    n_paras = F.floor((F.size(toks) + F.lit(11)) / F.lit(12)).cast("int")
+    paras = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+        )
+    )
+    rechunked = F.array_join(paras, "\n")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(rechunked, F.lit("\n" + _PARA_BOILER)),
+    ).otherwise(rechunked)
+    d2 = d.select("doc_id", planted.alias("text"))
+    return dd.paragraph_dedup(d2)

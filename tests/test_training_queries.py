@@ -654,3 +654,101 @@ def test_tfidf_bucketed_postings_exchange_free(spark, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS tfidf_postings_bucketed_test")
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup + excess-loss family (r13 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_hand_computed(spark):
+    """4 docs, paragraphs split on newline:
+    d0 = [p1, p2]         -> both first occurrences, text unchanged
+    d1 = [p2, p3]         -> p2 already seen at (d0, pos 1): drop; keep p3
+    d2 = [p1]             -> fully duplicate: 0 kept, empty new_text
+    d3 = ['', p4]         -> blank paragraph ignored entirely
+    """
+    from sftp_data_ingestion_spark.ext.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "p1\np2"), (1, "p2\np3"), (2, "p1"), (3, "\np4")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["new_text"])
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got == {
+        0: (2, 2, "p1\np2"),
+        1: (2, 1, "p3"),
+        2: (1, 0, ""),
+        3: (1, 1, "p4"),
+    }
+
+
+def test_paragraph_dedup_first_occurrence_is_global(spark):
+    """The survivor is the corpus-wide (doc_id, pos) minimum, not a
+    per-partition accident: the same paragraph planted in 20 docs
+    keeps exactly one copy, in the lowest doc_id."""
+    from sftp_data_ingestion_spark.ext.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}\nshared boilerplate") for i in range(20)],
+        "doc_id long, text string",
+    ).repartition(8)
+    rows = paragraph_dedup(docs).collect()
+    keepers = [r["doc_id"] for r in rows if "shared boilerplate" in r["new_text"]]
+    assert keepers == [0]
+    assert all(r["n_paras"] == 2 for r in rows)
+    assert sum(r["n_kept"] for r in rows) == 21  # 20 unique + 1 shared
+
+
+def test_doremi_weights_hand_computed(spark):
+    """Replay the EG loop in plain Python from the same pinned inputs;
+    the distributed iteration must match to float precision, weights
+    must sum to 1 (the smoothing step renormalizes exactly), and the
+    higher-excess domain must win weight."""
+    import math
+
+    from sftp_data_ingestion_spark.ext.classify import doremi_weights
+
+    lam = [("a", 1.0), ("b", 0.25), ("c", 0.0)]
+    eta, c, iters = 0.5, 0.2, 10
+    w = {s: 1.0 / 3 for s, _ in lam}
+    for _ in range(iters):
+        wu = {s: w[s] * math.exp(eta * x) for s, x in lam}
+        tot = sum(wu.values())  # dict order = insertion order = source order
+        w = {s: (1 - c) * wu[s] / tot + c / 3 for s, _ in lam}
+    df = spark.createDataFrame(lam, "source string, excess_loss double")
+    got = {
+        r["source"]: r["w"]
+        for r in doremi_weights(df, eta=eta, smoothing=c, iterations=iters).collect()
+    }
+    for s, _ in lam:
+        assert got[s] == pytest.approx(w[s], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["a"] > got["b"] > got["c"] > c / 3 - 1e-12
+
+
+def test_doremi_query_properties(spark):
+    rows = q.QUERIES["x_doremi_domain_weights"](spark, SF).collect()
+    assert len(rows) == 20  # one per source
+    total = sum(r["weight"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)  # 6dp-rounded weights
+    floor = 0.2 / 20
+    assert all(r["weight"] >= floor - 1e-9 for r in rows)
+    assert all(r["excess_loss"] >= 0.0 for r in rows)
+
+
+def test_rho_loss_selection_properties(spark):
+    rows = q.QUERIES["x_rho_loss_selection"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append((r["rk"], r["reducible_loss"]))
+    assert len(per) == 20
+    for src, items in per.items():
+        items.sort()
+        assert [rk for rk, _ in items] == list(range(1, len(items) + 1))
+        assert len(items) <= 5
+        losses = [x for _, x in items]
+        assert losses == sorted(losses, reverse=True), src

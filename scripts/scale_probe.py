@@ -133,6 +133,14 @@ PROBES = [
     "st_stream_ingest_stateful",  # stateful LSH admission drain (documents)
     "d_exact_substr_dup_spans",   # Rabin-Karp window fingerprints (documents)
     "v_kmeans_assign_arrow",      # arrow Lloyd train + flat assign, k=192
+    # r13 session 2: paragraph dedup (2 uniform shuffles) and the
+    # excess-loss family (two LM scoring passes + tiny-frame EG loop /
+    # per-source top-k window)
+    "d_paragraph_dedup",
+    "x_doremi_domain_weights",
+    "x_rho_loss_selection",
+    "z3_kneser_ney_xent",         # 4 count aggs over counted bigrams + joins
+    "t_k_anonymity_suppress",     # 2 QI-count aggs broadcast back, map-only
 ]
 
 

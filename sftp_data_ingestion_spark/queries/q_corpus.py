@@ -1428,3 +1428,108 @@ def t_ccnet_perplexity_buckets(spark, sf_dir):
         .alias("bucket"),
         (F.col("tercile") == 1).alias("keep_head"),
     )
+
+
+@query(
+    "z3_kneser_ney_xent",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(s, ' '), 1) AS pos,
+         unnest(string_split(s, ' ')) AS tok
+  FROM (SELECT doc_id, {_NORM_SQL} AS s FROM documents)
+), big AS (
+  SELECT doc_id, prev, tok AS cur FROM (
+    SELECT doc_id, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL AND tok <> '' AND prev <> ''
+), c2 AS (SELECT prev, cur, count(*) AS cnt2 FROM big GROUP BY 1, 2),
+fwd AS (
+  SELECT prev, CAST(sum(cnt2) AS DOUBLE) AS ctx_total,
+         CAST(count(*) AS DOUBLE) AS n1p_fwd
+  FROM c2 GROUP BY 1
+), bwd AS (
+  SELECT cur, CAST(count(*) AS DOUBLE) AS n1p_bwd FROM c2 GROUP BY 1
+), tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM c2)
+SELECT doc_id,
+       round(avg(-ln(
+         greatest(cnt2 - 0.75, 0.0) / ctx_total
+         + 0.75 * n1p_fwd / ctx_total
+           * (n1p_bwd / (SELECT t FROM tt))
+       )), 6) AS xent_kn,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN c2 USING (prev, cur) JOIN fwd USING (prev)
+         JOIN bwd USING (cur)
+GROUP BY doc_id
+""",
+)
+def z3_kneser_ney_xent(spark, sf_dir):
+    """Per-document cross-entropy under an interpolated KNESER-NEY
+    bigram LM (Kneser & Ney 1995; the smoothing KenLM implements and
+    CCNet's perplexity filter actually runs) with fixed discount
+    D = 0.75:
+
+        p_KN(cur | prev) = max(c(prev,cur) - D, 0) / c(prev,.)
+                         + D * N1+(prev,.) / c(prev,.) * p_cont(cur)
+        p_cont(cur)      = N1+(.,cur) / N1+(.,.)
+
+    The MLE twin (``z3_bigram_cross_entropy``) overfits: any bigram
+    seen once gets its full count mass, so rare-context documents
+    score artificially fluent. KN discounts every observed bigram and
+    redistributes the mass by CONTINUATION diversity — the signal a
+    real CCNet-style filter ranks by.
+
+    All four model tables are count aggregates over the counted bigram
+    table (map-side combined; nothing re-scans the token stream): the
+    context totals + distinct-continuation counts per prev, the
+    distinct-history counts per cur, and the one-row distinct-type
+    total broadcast into the scoring expression. The scoring joins
+    stay deliberate shuffle joins (a 100 TB corpus's bigram table is
+    not broadcastable). The p_KN expression is written with the same
+    association order in both engines (each op one correctly-rounded
+    IEEE-754 step), so values match to the 6 dp round."""
+    from sftp_data_ingestion_spark.ext.dedup import normalized
+
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(normalized(F.col("text")), " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n1),
+        F.slice(arr, 2, n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.prev").alias("prev"),
+            F.col("bg.cur").alias("cur"),
+        )
+        .where((F.col("prev") != "") & (F.col("cur") != ""))
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt2"))
+    fwd = c2.groupBy("prev").agg(
+        F.sum("cnt2").cast("double").alias("ctx_total"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fwd"),
+    )
+    bwd = c2.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_bwd")
+    )
+    tt = c2.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p_kn = (
+        F.greatest(F.col("cnt2") - F.lit(0.75), F.lit(0.0))
+        / F.col("ctx_total")
+        + F.lit(0.75) * F.col("n1p_fwd") / F.col("ctx_total")
+        * (F.col("n1p_bwd") / F.col("t"))
+    )
+    return (
+        big.join(c2, ["prev", "cur"])
+        .join(fwd, "prev")
+        .join(bwd, "cur")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(p_kn)), 6).alias("xent_kn"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -2047,3 +2047,71 @@ def d_paragraph_dedup(spark, sf_dir):
     ).otherwise(rechunked)
     d2 = d.select("doc_id", planted.alias("text"))
     return dd.paragraph_dedup(d2)
+
+
+@query(
+    "t_k_anonymity_suppress",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, source, CAST(n_chars // 100 AS BIGINT) AS bucket
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, source, bucket,
+         count(*) OVER (PARTITION BY lang, source, bucket) AS k0,
+         count(*) OVER (PARTITION BY lang, source) AS k1
+  FROM q
+)
+SELECT doc_id, CAST(k0 AS BIGINT) AS k0,
+       CAST(CASE WHEN k0 >= 5 THEN 0 WHEN k1 >= 5 THEN 1 ELSE 2 END
+            AS INTEGER) AS level,
+       CASE WHEN k0 >= 5 OR k1 >= 5 THEN lang END AS lang_out,
+       CASE WHEN k0 >= 5 OR k1 >= 5 THEN source END AS source_out,
+       CASE WHEN k0 >= 5 THEN bucket END AS bucket_out
+FROM k
+""",
+)
+def t_k_anonymity_suppress(spark, sf_dir):
+    """k-anonymity enforcement over the document metadata a corpus
+    release publishes (Sweeney 2002): every document whose
+    quasi-identifier tuple ``(lang, source, 100-char length bucket)``
+    is shared by fewer than k=5 documents walks one step up a
+    generalization ladder — first the most-identifying attribute
+    (the length bucket) is suppressed; if the coarser ``(lang,
+    source)`` group is still under k, all three QIs are suppressed.
+    The complement of the content-side PII redaction
+    (``t_pii_redaction_report``): metadata columns can re-identify
+    even when the text is clean.
+
+    Scale shape: the group sizes come from two map-side-combined
+    ``groupBy`` counts (cardinality = distinct QI tuples, tiny vs the
+    corpus and broadcastable back onto it), never a window over the
+    raw rows — at 100 TB the per-doc frame is joined against two
+    broadcast count tables in one map-only pass. The oracle states the
+    same sizes as analytic counts, which is value-identical."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+    )
+    k0 = d.groupBy("lang", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("k0")
+    )
+    k1 = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("k1"))
+    full = d.join(F.broadcast(k0), ["lang", "source", "bucket"]).join(
+        F.broadcast(k1), ["lang", "source"]
+    )
+    ok0 = F.col("k0") >= 5
+    ok1 = F.col("k1") >= 5
+    return full.select(
+        "doc_id",
+        F.col("k0").cast("long").alias("k0"),
+        F.when(ok0, F.lit(0))
+        .when(ok1, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("level"),
+        F.when(ok0 | ok1, F.col("lang")).alias("lang_out"),
+        F.when(ok0 | ok1, F.col("source")).alias("source_out"),
+        F.when(ok0, F.col("bucket")).alias("bucket_out"),
+    )

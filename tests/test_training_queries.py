@@ -752,3 +752,80 @@ def test_rho_loss_selection_properties(spark):
         assert len(items) <= 5
         losses = [x for _, x in items]
         assert losses == sorted(losses, reverse=True), src
+
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    """d0 = 'a b a b', d1 = 'a c'.
+    Bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; T=3 distinct types.
+    fwd: a -> ctx 3, 2 continuations; b -> ctx 1, 1 continuation.
+    p_cont = 1/3 for each of a, b, c (one distinct history each).
+    p_KN(a,b) = 1.25/3 + .75*2/3*(1/3); p_KN(b,a) = .25 + .75*(1/3);
+    p_KN(a,c) = .25/3 + .75*2/3*(1/3)."""
+    import math
+
+    docs = _docs(spark, [("a b a b", "s"), ("a c", "s")])
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    p_ba = (1 - 0.75) / 1 + 0.75 * 1 / 1 * (1 / 3)
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    want = {
+        0: (round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 6), 3),
+        1: (round(-math.log(p_ac), 6), 1),
+    }
+    got = {
+        r["doc_id"]: (r["xent_kn"], r["n_bigrams"])
+        for r in q.QUERIES["z3_kneser_ney_xent"](spark, d).collect()
+    }
+    assert got == want
+
+
+def test_kneser_ney_discount_vs_mle(spark):
+    """KN must never score a document MORE fluent than MLE on its
+    once-seen bigrams' backoff mass alone — globally the discount
+    makes sum over p_KN(.|prev) = 1 with mass moved toward diverse
+    continuations, so on this corpus the two xents differ but both
+    are finite and positive for every doc."""
+    kn = {
+        r["doc_id"]: r["xent_kn"]
+        for r in q.QUERIES["z3_kneser_ney_xent"](spark, SF).collect()
+    }
+    mle = {
+        r["doc_id"]: r["xent2"]
+        for r in q.QUERIES["z3_bigram_cross_entropy"](spark, SF).collect()
+    }
+    assert set(kn) == set(mle)
+    assert all(v > 0 for v in kn.values())
+    # MLE assigns the full count mass; KN discounts it, so corpus-mean
+    # KN xent is >= corpus-mean MLE xent
+    assert sum(kn.values()) / len(kn) >= sum(mle.values()) / len(mle)
+
+
+def test_k_anonymity_suppress_ladder(spark, tmp_path):
+    """6 docs in one full-QI group -> level 0 (publish everything);
+    3+3 docs split across two buckets of one (lang, source) group ->
+    level 1 (bucket suppressed, lang/source kept); a 2-doc (lang,
+    source) group -> level 2 (everything suppressed)."""
+    rows = []
+    for i in range(6):
+        rows.append((i, "t", "en", "s1", 10))        # bucket 0, k0=6
+    for i in range(3):
+        rows.append((10 + i, "t", "en", "s2", 10))   # bucket 0, k0=3, k1=6
+    for i in range(3):
+        rows.append((20 + i, "t", "en", "s2", 110))  # bucket 1, k0=3, k1=6
+    rows += [(30, "t", "fr", "s3", 10), (31, "t", "fr", "s3", 10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["k0"], r["level"], r["lang_out"], r["source_out"], r["bucket_out"]
+        )
+        for r in q.QUERIES["t_k_anonymity_suppress"](spark, d).collect()
+    }
+    assert got[0] == (6, 0, "en", "s1", 0)
+    assert got[10] == (3, 1, "en", "s2", None)
+    assert got[20] == (3, 1, "en", "s2", None)
+    assert got[30] == (2, 2, None, None, None)

@@ -141,6 +141,8 @@ PROBES = [
     "x_rho_loss_selection",
     "z3_kneser_ney_xent",         # 4 count aggs over counted bigrams + joins
     "t_k_anonymity_suppress",     # 2 QI-count aggs broadcast back, map-only
+    "d_bloom_paragraph_batch",    # bitmap build scan + map-local probe + verify
+    "t_html_extract_text",        # regex-chain projection, map-only
 ]
 
 

@@ -413,3 +413,58 @@ def canonicalize_url(u: Column) -> Column:
         path,
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
+
+
+# HTML -> text extraction: ordered (pattern, replacement) regex chain.
+# Every pattern is BOTH Java-regex and RE2 safe (no backreferences, no
+# lookaround) so DuckDB's regexp_replace(..., 'gs') replays the chain
+# byte-for-byte; order matters (script/style bodies must go before the
+# generic tag strip, entities after tags so literal '&lt;' never
+# becomes a strippable '<').
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"<script[^>]*>.*?</script>", " "),
+    (r"<style[^>]*>.*?</style>", " "),
+    (r"<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def html_to_text(text: Column) -> Column:
+    """Markup-stripping text extraction (the trafilatura/jusText stage
+    of a web-corpus pipeline, reduced to its deterministic regex
+    core): drop script/style bodies and comments, strip tags, decode
+    the six ubiquitous entities, collapse whitespace. Pure Column
+    expressions — one codegen'd projection, no UDF; at 100 TB this is
+    a map-only pass fused into the scan."""
+    out = text
+    for pat, rep in HTML_STRIP_STEPS:
+        # (?s): '.' spans newlines inside script/style/comment bodies
+        out = F.regexp_replace(out, "(?s)" + pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        # literal replace, not regex
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` over SQL expression
+    ``expr`` — identical pattern chain, 's' flag for dot-all."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        # inline (?s) like the Spark side — RE2 supports it, and it
+        # keeps the two engines' flag semantics trivially identical
+        out = f"regexp_replace({out}, '(?s){pat}', '{rep}', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_sql = ent.replace("'", "''")
+        out = f"replace({out}, '{ent_sql}', '{rep_sql}')"
+    return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"

@@ -1979,11 +1979,11 @@ _PARA_BOILER = (
 
 _PARA_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
-
-@query(
-    "d_paragraph_dedup",
-    oracle=f"""
-WITH base AS (
+# shared fixture CTEs: re-chunk the normalized token stream into
+# 12-token paragraphs + plant the boilerplate at the end of every 4th
+# doc; produces (doc_id, pos, para) — used by d_paragraph_dedup and
+# d_bloom_paragraph_batch so the two fixtures can never diverge
+_PARA_FIXTURE_SQL = f"""base AS (
   SELECT doc_id, string_split({_PARA_NORM}, ' ') AS t FROM documents
 ), paras0 AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -1995,7 +1995,36 @@ WITH base AS (
   SELECT doc_id, CAST(ceil(length(t) / 12.0) AS BIGINT) AS pos,
          '{_PARA_BOILER}' AS para
   FROM base WHERE doc_id % 4 = 0
-), ranked AS (
+)"""
+
+
+def _rechunked_docs(spark, sf_dir):
+    """Spark twin of ``_PARA_FIXTURE_SQL``'s document form: the same
+    12-token re-chunk joined with newlines, boilerplate planted at the
+    end of every 4th doc. Returns (doc_id, text)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(dd.normalized(F.col("text")), " ")
+    n_paras = F.floor((F.size(toks) + F.lit(11)) / F.lit(12)).cast("int")
+    paras = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_paras - 1),
+            lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+        )
+    )
+    rechunked = F.array_join(paras, "\n")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(rechunked, F.lit("\n" + _PARA_BOILER)),
+    ).otherwise(rechunked)
+    return d.select("doc_id", planted.alias("text"))
+
+
+@query(
+    "d_paragraph_dedup",
+    oracle=f"""
+WITH {_PARA_FIXTURE_SQL}, ranked AS (
   SELECT doc_id, pos, para,
          row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
   FROM paras0 WHERE trim(para) <> ''
@@ -2029,24 +2058,71 @@ def d_paragraph_dedup(spark, sf_dir):
     over the paragraph text itself, which groups identically) then a
     ``groupBy(doc_id)`` reassembly; two uniform shuffles, no
     self-join, no collect."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split(dd.normalized(F.col("text")), " ")
-    n_paras = F.floor((F.size(toks) + F.lit(11)) / F.lit(12)).cast("int")
-    paras = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_paras - 1),
-            lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    return dd.paragraph_dedup(_rechunked_docs(spark, sf_dir))
+
+
+@query(
+    "d_bloom_paragraph_batch",
+    oracle=f"""
+WITH {_PARA_FIXTURE_SQL}, paras AS (
+  SELECT doc_id, pos, para FROM paras0 WHERE trim(para) <> ''
+), corpus AS (
+  SELECT DISTINCT para FROM paras WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, pos, para FROM paras WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN c.para IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_paras
+FROM batch b LEFT JOIN corpus c USING (para)
+GROUP BY doc_id
+""",
+)
+def d_bloom_paragraph_batch(spark, sf_dir):
+    """Dolma-style Bloom-filter paragraph dedup (Soldaini et al. 2024
+    dedupe the 3 T-token Dolma corpus with exactly this: a Bloom
+    filter over paragraph hashes instead of an exact join): the
+    incoming batch (every 10th doc) asks, per paragraph, "is this
+    paragraph already in the corpus?" against the 1 M-bit bitmap built
+    in ONE corpus scan — bloom-negative paragraphs are DEFINITELY new
+    (no false negatives) and skip the join entirely; only the
+    maybe-present minority anti-joins the corpus to kill false
+    positives, so the per-doc new-paragraph counts are EXACT and the
+    oracle is the plain anti-join. Same fixture as
+    ``d_paragraph_dedup`` (shared CTEs), so the planted boilerplate —
+    present in both corpus and batch — must never count as new.
+
+    Scale shape: the corpus collapses to a few-MB bitmap
+    (per-partition numpy bitmaps, driver OR-reduce — bytes through
+    the driver = partitions x m/8, corpus-size-independent); batch
+    probes are map-local; the verify anti-join's build side is
+    |bloom hits|, not |batch|. This is the batch-granularity
+    complement of the corpus-wide ``d_paragraph_dedup`` window."""
+    from sftp_data_ingestion_spark.ext import bloom as bl
+
+    docs = _rechunked_docs(spark, sf_dir)
+    para = F.trim(F.col("_para"))
+    paras = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("_pos", "_para"),
         )
+        .where(para != "")
+        .select("doc_id", F.col("_pos").cast("long").alias("pos"),
+                F.col("_para").alias("para"))
     )
-    rechunked = F.array_join(paras, "\n")
-    planted = F.when(
-        F.col("doc_id") % 4 == 0,
-        F.concat(rechunked, F.lit("\n" + _PARA_BOILER)),
-    ).otherwise(rechunked)
-    d2 = d.select("doc_id", planted.alias("text"))
-    return dd.paragraph_dedup(d2)
+    corpus = paras.where(F.col("doc_id") % 10 != 0)
+    batch = paras.where(F.col("doc_id") % 10 == 0)
+    new = bl.bloom_new_values(
+        batch, corpus.select("para"), "para"
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new_paras"))
+    totals = batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(new, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_new_paras"), F.lit(0)).alias("n_new_paras"),
+    )
 
 
 @query(
@@ -2114,4 +2190,63 @@ def t_k_anonymity_suppress(spark, sf_dir):
         F.when(ok0 | ok1, F.col("lang")).alias("lang_out"),
         F.when(ok0 | ok1, F.col("source")).alias("source_out"),
         F.when(ok0, F.col("bucket")).alias("bucket_out"),
+    )
+
+
+# HTML wrap fixture for t_html_extract_text (single-quoted-free so the
+# same literal embeds in both engines; double braces nowhere — plain
+# string concat, not an f-string, builds the oracle)
+_HTML_PRE = (
+    '<html><head><script>var q=1;if(q<2){p="&amp;"}</script>'
+    "<style>.x{font-size:10px}</style><title>doc</title></head>"
+    "<body><p>"
+)
+_HTML_POST = "</p><!-- trailer --> &amp; &lt;b&gt;&nbsp;</body></html>"
+
+_HTML_ORACLE = (
+    "WITH fix AS (\n"
+    "  SELECT doc_id,\n"
+    "         CASE WHEN doc_id % 3 = 0 THEN '" + _HTML_PRE + "' || text || '"
+    + _HTML_POST + "'\n"
+    "              ELSE text END AS x\n"
+    "  FROM documents\n"
+    ")\n"
+    "SELECT doc_id, doc_id % 3 = 0 AS was_html,\n"
+    "       " + ts.html_to_text_sql("x") + " AS clean_text,\n"
+    "       CAST(length(" + ts.html_to_text_sql("x") + ") AS BIGINT)"
+    " AS n_chars_clean\n"
+    "FROM fix"
+)
+
+
+@query("t_html_extract_text", oracle=_HTML_ORACLE)
+def t_html_extract_text(spark, sf_dir):
+    """Markup-stripping text extraction — stage zero of every web
+    corpus pipeline (the deterministic regex core of trafilatura /
+    jusText / refinedweb's extraction): drop script+style BODIES (not
+    just their tags), drop comments, strip remaining tags, decode the
+    six ubiquitous entities AFTER tag-stripping (so literal ``&lt;b&gt;``
+    in content survives as text and is never re-stripped), collapse
+    whitespace. Every third document is wrapped in a fixed HTML
+    skeleton (script with a ``<`` comparison inside, style block,
+    title, entity trailer) — the extraction must recover the title +
+    body text and decoded entities exactly; unwrapped documents pass
+    through modulo whitespace normalization.
+
+    ``ext.textstats.html_to_text`` is a pure Column regex chain (every
+    pattern Java-regex AND RE2 safe: no backreferences, no lookaround)
+    so the DuckDB oracle replays the identical chain; at 100 TB this
+    is a map-only projection fused into the scan — no UDF, no
+    shuffle."""
+    d = table(spark, sf_dir, "documents")
+    wrapped = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)),
+    ).otherwise(F.col("text"))
+    clean = ts.html_to_text(wrapped)
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("was_html"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
     )

@@ -829,3 +829,58 @@ def test_k_anonymity_suppress_ladder(spark, tmp_path):
     assert got[10] == (3, 1, "en", "s2", None)
     assert got[20] == (3, 1, "en", "s2", None)
     assert got[30] == (2, 2, None, None, None)
+
+
+def test_bloom_paragraph_batch_hand_computed(spark, tmp_path):
+    """Fixture re-chunks 12-token docs; with <=12 tokens each doc is
+    ONE paragraph. doc_id % 10 == 0 is the batch; % 4 == 0 gets the
+    planted boilerplate appended.
+    - doc 0: batch, 1 organic para (unique) + boilerplate. Boilerplate
+      is also planted on corpus doc 4 -> NOT new; organic para -> new.
+    - doc 10: batch, para identical to corpus doc 1 -> 0 new.
+    - doc 20: batch + %4: organic unique -> new; boilerplate -> not new.
+    """
+    rows = [
+        (0, "alpha beta"),          # batch, planted
+        (1, "shared words here"),   # corpus
+        (4, "corpus only text"),    # corpus, planted (boiler enters corpus)
+        (10, "shared words here"),  # batch, dup of doc 1
+        (20, "gamma delta"),        # batch, planted
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "fx")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_new_paras"])
+        for r in q.QUERIES["d_bloom_paragraph_batch"](spark, d).collect()
+    }
+    assert got == {0: (2, 1), 10: (1, 0), 20: (2, 1)}
+
+
+def test_html_to_text_hand_cases(spark):
+    """Ordering traps pinned: script/style BODIES go before the tag
+    strip (a '<' inside script must not open a phantom tag), entities
+    decode AFTER tags (literal '&lt;b&gt;' survives as text '<b>')."""
+    from sftp_data_ingestion_spark.ext.textstats import html_to_text
+
+    cases = [
+        ("<script>if(a<b){c()}</script>ok", "ok"),
+        ("<style>p>span{x:1}</style>body", "body"),
+        ("a<!-- multi\nline -->b", "a b"),
+        ("&lt;script&gt;not code&lt;/script&gt;", "<script>not code</script>"),
+        ("<p>x&nbsp;&amp;&nbsp;y</p>", "x & y"),
+        ("plain   text\n\nhere", "plain text here"),
+        ("<div class='a' data-x=\"1\">v</div>", "v"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("s")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -732,3 +732,85 @@ def test_progressive_bit_exact_property(w, h, seed, cuts, quality):
     got_w, got_h, dec = decode_gray_progressive(enc)
     assert (got_w, got_h) == (w, h)
     assert dec == base
+
+
+# ---------------------------------------------------------------------------
+# r13 session 2: paragraph dedup + HTML extraction differential models
+# ---------------------------------------------------------------------------
+
+
+def model_paragraph_dedup(docs):
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        paras = [p for p in text.split("\n") if p.strip() != ""]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if paras:
+            out[doc_id] = (len(paras), len(kept), "\n".join(kept))
+    return out
+
+
+_PARA_POOL = ["a", "b b", "c", "dd", " a", "a ", "b b", "x y z"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_PARA_POOL + [""]), max_size=6).map(
+            "\n".join
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_paragraph_dedup_matches_model(spark, texts):
+    from sftp_data_ingestion_spark.ext.dedup import paragraph_dedup
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["new_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == model_paragraph_dedup(docs)
+    # conservation: total kept == corpus-wide distinct non-blank paras
+    distinct = {
+        p for _, t in docs for p in t.split("\n") if p.strip() != ""
+    }
+    assert sum(k for _, k, _ in got.values()) == len(distinct)
+
+
+def model_html_to_text(s: str) -> str:
+    from sftp_data_ingestion_spark.ext.textstats import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    out = s
+    for pat, rep in HTML_STRIP_STEPS:
+        out = re.sub("(?s)" + pat, rep, out)
+    for ent, rep in HTML_ENTITIES:
+        out = out.replace(ent, rep)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+_HTML_ALPHA = "ab <>&/;!-stylecriptnbsp\"'=\n"
+
+
+@given(st.lists(st.text(alphabet=_HTML_ALPHA, max_size=40), max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_html_to_text_matches_model(spark, texts):
+    from sftp_data_ingestion_spark.ext.textstats import html_to_text
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("s")).alias("t")).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == model_html_to_text(s), repr(s)

@@ -36,7 +36,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -124,6 +126,13 @@ class LandingTextDataSource(DataSource):
     def streamReader(self, schema: StructType):
         return LandingTextStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        if "value" not in schema.fieldNames():
+            raise ValueError(
+                "landing_text writer: input needs a 'value' string column"
+            )
+        return LandingTextWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
@@ -177,3 +186,108 @@ class LandingTextStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# write flavor: two-phase-commit text shard publisher (the W side of
+# the source — DataSource.writer, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class LandingTextWriter(DataSourceWriter):
+    """Per-task text shards published atomically via manifest commit —
+    the archive stage's exactly-once contract (A1) enforced at the
+    SINK API level instead of inside an operator:
+
+    * ``write`` (executor, once per partition) streams the partition's
+      ``value`` column to ``_tmp_<uuid>.txt`` — a name no reader ever
+      trusts — and returns ``(tmp_name, n_rows)`` as its commit
+      message;
+    * ``commit`` (driver, only if EVERY task succeeded) renames each
+      temp shard to its final ``part-NNNNN.txt`` name (rename is atomic
+      on POSIX) and then writes ``_MANIFEST`` listing every shard +
+      row count — readers that trust only manifested shards can never
+      observe a torn job;
+    * ``abort`` deletes whatever temp shards the failed job left, so a
+      crashed write leaves no visible state at all.
+
+    Speculative/retried tasks are safe: each attempt writes its own
+    uuid-named temp, and only the attempts whose messages reach
+    ``commit`` get renamed — orphaned attempt files keep the ``_tmp_``
+    prefix and are invisible.
+
+    Scale shape: the driver handles one tiny message per task and
+    |tasks| renames; all byte traffic is executor-local. At 100 TB the
+    rename fan-out is the same O(files) metadata pass every
+    manifest-committing table format (Iceberg/Delta) performs."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("landing_text: .save(path) is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"_tmp_{uuid.uuid4().hex}.txt"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w", encoding="utf-8") as f:
+            for row in iterator:
+                v = row["value"]
+                f.write("" if v is None else str(v))
+                f.write("\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages):
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(manifest) and not self.overwrite:
+            raise FileExistsError(
+                f"landing_text: {manifest} exists; use mode('overwrite')"
+            )
+        lines = []
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None),
+            key=lambda m: m.tmp_name,
+        )):
+            final = f"part-{i:05d}.txt"
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            lines.append(f"{final}\t{m.n_rows}")
+        tmp_manifest = manifest + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        os.replace(tmp_manifest, manifest)  # the atomic publish point
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+def read_manifested(spark, path: str):
+    """Read back ONLY the shards the manifest published (the reader
+    contract that makes the two-phase commit exactly-once: temp files
+    and orphaned attempts are invisible by construction)."""
+    manifest = os.path.join(path, "_MANIFEST")
+    with open(manifest, encoding="utf-8") as f:
+        shards = [ln.split("\t")[0] for ln in f.read().splitlines() if ln]
+    if not shards:
+        from pyspark.sql.types import StringType
+
+        return spark.createDataFrame([], StringType()).toDF("value")
+    return spark.read.text([os.path.join(path, s) for s in shards])

@@ -195,3 +195,71 @@ def test_streaming_restart_resumes_from_offset_ledger(spark, tmp_path):
     # deliver it exactly once and never re-deliver a.csv
     (land / "b.csv").write_text("b1\n")
     assert drain() == ["b1"]
+
+
+# ---------------------------------------------------------------------------
+# writer: two-phase-commit shard publish
+# ---------------------------------------------------------------------------
+
+
+def test_writer_roundtrip_manifest(spark, tmp_path):
+    import os
+
+    ls.register(spark)
+    out = str(tmp_path / "out")
+    vals = [f"row{i}" for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string").repartition(4)
+    df.write.format("landing_text").mode("append").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_MANIFEST" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert parts and not [n for n in names if n.startswith("_tmp_")]
+    manifest = (tmp_path / "out" / "_MANIFEST").read_text().splitlines()
+    assert sorted(ln.split("\t")[0] for ln in manifest) == parts
+    assert sum(int(ln.split("\t")[1]) for ln in manifest) == 20
+
+    back = ls.read_manifested(spark, out)
+    assert sorted(r["value"] for r in back.collect()) == sorted(vals)
+
+
+def test_writer_append_refuses_overwrite_allows(spark, tmp_path):
+    ls.register(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([("x",)], "value string")
+    df.write.format("landing_text").mode("append").save(out)
+    with pytest.raises(Exception, match="_MANIFEST"):
+        df.write.format("landing_text").mode("append").save(out)
+    # overwrite republishes the manifest; stale shards become invisible
+    df2 = spark.createDataFrame([("y",), ("z",)], "value string").coalesce(1)
+    df2.write.format("landing_text").mode("overwrite").save(out)
+    back = sorted(
+        r["value"] for r in ls.read_manifested(spark, out).collect()
+    )
+    assert back == ["y", "z"]
+
+
+def test_writer_failed_job_publishes_nothing(spark, tmp_path):
+    import os
+
+    ls.register(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(i,) for i in range(8)], "i long"
+    ).repartition(4)
+
+    @F.udf("string")
+    def boom(i):
+        if i == 5:
+            raise RuntimeError("planted task failure")
+        return f"v{i}"
+
+    bad = df.select(boom(F.col("i")).alias("value"))
+    with pytest.raises(Exception):
+        bad.write.format("landing_text").mode("append").save(out)
+    if os.path.isdir(out):
+        leftovers = os.listdir(out)
+        # no manifest, no published shards — only invisible _tmp_
+        # orphans from the failed attempt may remain
+        assert "_MANIFEST" not in leftovers
+        assert not [n for n in leftovers if n.startswith("part-")]

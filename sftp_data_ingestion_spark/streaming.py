@@ -12,9 +12,11 @@ wires to a sink; tests drive them with the memory sink +
 
 Scale notes: watermarks bound state; ``dropDuplicatesWithinWatermark``
 and windowed aggs keep per-key state in the state store (RocksDB in
-production); ``transformWithStateInPandas``-style custom state is
-modeled with ``applyInPandasWithState`` (GroupState), the documented
-escape hatch for operators Spark lacks.
+production); custom stateful operators use ``applyInPandasWithState``
+(GroupState) throughout, plus a real ``transformWithStateInPandas``
+processor (:class:`RunningCountProcessor` — Spark 4's first-class
+stateful API) behind a loud protobuf env gate, since this container's
+pyspark ships without the state-server protocol dependency.
 """
 
 from __future__ import annotations
@@ -726,4 +728,100 @@ def stream_ingest_neardup_stateful(
         .foreachBatch(release)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's first-class stateful API)
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running event count as a ``StatefulProcessor`` — the
+    Spark-4 ``transformWithStateInPandas`` form of the custom stateful
+    operator family (`sessionize_custom_state` and the LSH admission
+    both use the older ``applyInPandasWithState``/GroupState API; this
+    is the engine's replacement: typed named state handles
+    (value/list/map), declarative TTL, and timers, persisted ONLY in
+    the RocksDB state store).
+
+    Per trigger and key: fold the arriving rows into a ``ValueState``
+    holding the cumulative count, and emit ``(user_id, batch_seq,
+    cum_events)`` — batch_seq is carried ON the rows (the fixture
+    delivers one file per trigger, so a key's rows within a trigger
+    share it), making the emission sequence replayable by a batch
+    cumulative window. State is one long per key: the 100 TB shape,
+    since RocksDB pages keys to local SST files instead of executor
+    heap.
+
+    Class is defined module-level so the processor pickles to the
+    Python workers by reference."""
+
+    def __init__(self):
+        self._cum = None
+
+    def init(self, handle):
+        self._cum = handle.getValueState("cum", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n = 0
+        batch_seq = 0
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                batch_seq = int(pdf["batch_seq"].max())
+        prev = self._cum.get()
+        total = (prev[0] if prev is not None else 0) + n
+        self._cum.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_seq": [batch_seq],
+                "cum_events": [total],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues):
+        pass
+
+    def close(self):
+        pass
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Wire :class:`RunningCountProcessor` into a stream of
+    ``(user_id long, batch_seq int)`` rows. Update mode: each trigger
+    re-emits the keys it touched with their new cumulative count.
+
+    ENV GATE (loud, like paramiko in io/sources and libav in
+    ext/multimodal): the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so the API needs
+    the ``protobuf`` package at runtime. This container ships pyspark
+    without it; on a real cluster image it is present. The processor's
+    fold logic itself is dependency-free and unit-tested directly."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(the PySpark state-server protocol); install protobuf or "
+            "use the applyInPandasWithState operators "
+            "(sessionize_custom_state, stream_ingest_neardup_stateful)"
+        ) from e
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCountProcessor(),
+        outputStructType="user_id long, batch_seq int, cum_events long",
+        outputMode="Update",
+        timeMode="None",
     )

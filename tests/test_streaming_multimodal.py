@@ -397,3 +397,129 @@ def test_text_wav_stats_real_roundtrip(spark):
     assert out[4]["peak"] == 6912 and out[4]["zero_crossings"] == 0
     # doc 1 "azaz": a (97) below the 100 pivot, z (122) above -> crossings
     assert out[1]["zero_crossings"] > 0
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (env-gated: needs protobuf for the PySpark
+# state-server protocol; fold logic unit-tested dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_running_count_processor_fold_logic():
+    """The processor's per-trigger fold, driven directly: state
+    accumulates across calls, batch_seq comes from the rows, one
+    emission per touched key per trigger."""
+    import pandas as pd
+
+    from sftp_data_ingestion_spark.streaming import RunningCountProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert name == "cum"
+            return self.state
+
+    p = RunningCountProcessor()
+    p.init(FakeHandle())
+
+    def feed(batch_seq, n):
+        rows = iter(
+            [pd.DataFrame({"batch_seq": [batch_seq] * n, "x": range(n)})]
+        )
+        (out,) = list(p.handleInputRows((7,), rows, None))
+        return (
+            int(out["user_id"][0]),
+            int(out["batch_seq"][0]),
+            int(out["cum_events"][0]),
+        )
+
+    assert feed(0, 3) == (7, 0, 3)
+    assert feed(1, 2) == (7, 1, 5)   # state carried across triggers
+    assert feed(2, 1) == (7, 2, 6)   # and again on a later trigger
+    p.close()
+
+
+def test_running_counts_tws_gate_or_drain(spark, tmp_path):
+    """Without protobuf the operator must fail LOUDLY at wiring time
+    (never a silent half-configured stream); with it, a real 2-batch
+    drain must produce the cumulative emission sequence."""
+    import glob as g
+    import os
+
+    import pytest as pt
+
+    from sftp_data_ingestion_spark import streaming as stm
+
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 0), (1, 1), (2, 1), (2, 1)],
+        "user_id long, batch_seq int",
+    )
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    for k in range(2):
+        tmp = str(tmp_path / f"b{k}")
+        ev.where(F.col("batch_seq") == k).coalesce(1).write.parquet(tmp)
+        part = g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"chunk_{k}.parquet")
+        os.link(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, batch_seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if not _has_protobuf():
+        with pt.raises(ImportError, match="protobuf"):
+            stm.running_counts_tws(stream)
+        return
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    q = None
+    try:
+        q = (
+            stm.running_counts_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["batch_seq"], r["cum_events"])
+            for r in spark.table("tws_test").collect()
+        )
+        assert got == [(1, 0, 2), (1, 1, 3), (2, 0, 1), (2, 1, 3)]
+    finally:
+        if q is not None:
+            q.stop()
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)

@@ -135,22 +135,29 @@ def main() -> None:
                 wm = tm.get("Shuffle Write Metrics") or {}
                 rm = tm.get("Shuffle Read Metrics") or {}
                 im = tm.get("Input Metrics") or {}
-                agg = per_stage.setdefault(ev["Stage ID"], [0, 0, 0])
+                agg = per_stage.setdefault(ev["Stage ID"], [0, 0, 0, 0, 0])
                 agg[0] += im.get("Bytes Read", 0)
                 agg[1] += wm.get("Shuffle Bytes Written", 0)
                 agg[2] += rm.get("Local Bytes Read", 0) + rm.get(
                     "Remote Bytes Read", 0
                 )
+                # spill: the "would this partition fit in executor
+                # memory" signal — nonzero spill at a probe scale is
+                # an early warning for the 1000-executor regime
+                agg[3] += tm.get("Memory Bytes Spilled", 0)
+                agg[4] += tm.get("Disk Bytes Spilled", 0)
     results = {}
     for name, sids in stage_map.items():
-        tot = [0, 0, 0]
+        tot = [0, 0, 0, 0, 0]
         for s in sids:
-            for i, v in enumerate(per_stage.get(s, [0, 0, 0])):
+            for i, v in enumerate(per_stage.get(s, [0, 0, 0, 0, 0])):
                 tot[i] += v
         results[name] = {
             "input_b": tot[0],
             "shuffle_write_b": tot[1],
             "shuffle_read_b": tot[2],
+            "spill_mem_b": tot[3],
+            "spill_disk_b": tot[4],
         }
     print(json.dumps({"sf_dir": SF, "results": results}))
 

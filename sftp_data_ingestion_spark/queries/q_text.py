@@ -2250,3 +2250,88 @@ def t_html_extract_text(spark, sf_dir):
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_chars_clean"),
     )
+
+
+@query(
+    "d_lsh_param_tuning",
+    oracle="""
+WITH pairs AS (
+  SELECT b, 64 // b AS r FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS b)
+), ths AS (
+  -- CAST: bare decimal literals are DECIMAL in DuckDB, double in Spark
+  SELECT CAST(unnest([0.5, 0.7, 0.9]) AS DOUBLE) AS threshold
+), grid AS (
+  SELECT threshold, CAST(b AS INT) AS b, CAST(r AS INT) AS r
+  FROM ths CROSS JOIN pairs
+), scored AS (
+  SELECT threshold, b, r,
+    round(list_sum(list_transform(range(1000), i ->
+      CASE WHEN (i + 0.5) / 1000.0 < threshold
+           THEN 1.0 - power(1.0 - power((i + 0.5) / 1000.0, r), b)
+           ELSE 0.0 END)) / 1000.0, 6) AS fp,
+    round(list_sum(list_transform(range(1000), i ->
+      CASE WHEN (i + 0.5) / 1000.0 >= threshold
+           THEN power(1.0 - power((i + 0.5) / 1000.0, r), b)
+           ELSE 0.0 END)) / 1000.0, 6) AS fn
+  FROM grid
+)
+SELECT threshold, b, r, fp, fn,
+       (row_number() OVER (PARTITION BY threshold ORDER BY fp + fn, b) = 1)
+         AS chosen
+FROM scored
+""",
+)
+def d_lsh_param_tuning(spark, sf_dir):
+    """MinHash-LSH banding parameter auto-tuning (Leskovec/Rajaraman/
+    Ullman, Mining of Massive Datasets §3.4; the optimization
+    datasketch runs at index build): for a 64-permutation signature
+    and a target Jaccard threshold t, choose the (bands b, rows r)
+    factorization minimizing the S-curve's error mass —
+    FP = integral_0^t P(s) ds below the threshold,
+    FN = integral_t^1 (1 - P(s)) ds above it, with
+    P(s) = 1 - (1 - s^r)^b the probability a pair at similarity s
+    shares at least one band bucket. Midpoint rule at 1000 steps; the
+    integrand folds SEQUENTIALLY in both engines (F.aggregate /
+    list_sum over list_transform), pow is libm-1-ulp, and the 6 dp
+    round absorbs the ~1e-13 accumulation skew. The chosen flag
+    tie-breaks on (rounded cost, b), so the decision is deterministic
+    cross-engine.
+
+    This is the design dial behind every d_minhash_* query (b=16, r=4
+    there): the graded grid documents WHY — at t = 0.5 the curve
+    wants many narrow bands, at t = 0.9 few wide ones. Pure
+    expression math over a 21-row grid; runs identically at any
+    corpus size because it never touches the corpus."""
+    pairs = [(b, 64 // b) for b in (1, 2, 4, 8, 16, 32, 64)]
+    grid = spark.createDataFrame(
+        [(t, b, r) for t in (0.5, 0.7, 0.9) for b, r in pairs],
+        "threshold double, b int, r int",
+    )
+    seq = F.sequence(F.lit(0), F.lit(999))
+    t, b, r = F.col("threshold"), F.col("b"), F.col("r")
+
+    def p_curve(i):
+        s = (i.cast("double") + F.lit(0.5)) / F.lit(1000.0)
+        return s, F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, r), b)
+
+    def fp_term(acc, i):
+        s, p = p_curve(i)
+        return acc + F.when(s < t, p).otherwise(F.lit(0.0))
+
+    def fn_term(acc, i):
+        s, p = p_curve(i)
+        return acc + F.when(s >= t, F.lit(1.0) - p).otherwise(F.lit(0.0))
+
+    scored = grid.select(
+        "threshold",
+        "b",
+        "r",
+        F.round(F.aggregate(seq, F.lit(0.0), fp_term) / 1000.0, 6).alias("fp"),
+        F.round(F.aggregate(seq, F.lit(0.0), fn_term) / 1000.0, 6).alias("fn"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("threshold").orderBy(
+        F.col("fp") + F.col("fn"), "b"
+    )
+    return scored.withColumn("chosen", F.row_number().over(w) == 1)

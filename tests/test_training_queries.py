@@ -884,3 +884,36 @@ def test_html_to_text_hand_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_lsh_param_tuning_matches_python_model(spark):
+    """Replicate the S-curve error integral in plain Python; the
+    distributed fold must match to the 6 dp round, and the chosen
+    (b, r) must move from many-narrow-bands at t=0.5 toward
+    few-wide-bands at t=0.9 (the MMDS §3.4 regime)."""
+    rows = q.QUERIES["d_lsh_param_tuning"](spark, SF).collect()
+    got = {(r["threshold"], r["b"], r["r"]): (r["fp"], r["fn"], r["chosen"])
+           for r in rows}
+    assert len(got) == 21
+    best = {}
+    for t in (0.5, 0.7, 0.9):
+        scored = []
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            rr = 64 // b
+            fp = fn = 0.0
+            for i in range(1000):
+                s = (i + 0.5) / 1000.0
+                p = 1.0 - (1.0 - s**rr) ** b
+                if s < t:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp, fn = round(fp / 1000.0, 6), round(fn / 1000.0, 6)
+            assert got[(t, b, rr)][:2] == (fp, fn), (t, b, rr)
+            scored.append((fp + fn, b, rr))
+        best[t] = min(scored)[1:]
+    for t in (0.5, 0.7, 0.9):
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            assert got[(t, b, 64 // b)][2] == ((b, 64 // b) == best[t])
+    # steeper threshold -> fewer, wider bands
+    assert best[0.5][0] > best[0.9][0]

@@ -143,6 +143,7 @@ PROBES = [
     "t_k_anonymity_suppress",     # 2 QI-count aggs broadcast back, map-only
     "d_bloom_paragraph_batch",    # bitmap build scan + map-local probe + verify
     "t_html_extract_text",        # regex-chain projection, map-only
+    "d_lsh_param_tuning",         # corpus-independent 21-row grid (flat)
 ]
 
 

@@ -2335,3 +2335,79 @@ def d_lsh_param_tuning(spark, sf_dir):
         F.col("fp") + F.col("fn"), "b"
     )
     return scored.withColumn("chosen", F.row_number().over(w) == 1)
+
+
+@query(
+    "d_lsh_recall_measured",
+    oracle="""
+WITH lv AS (SELECT unnest([12, 14, 16, 18]) AS m)
+SELECT round(m / (40.0 - m), 6) AS jaccard,
+       CAST(60 AS BIGINT) AS n_pairs,
+       round(1.0 - power(1.0 - power(m / (40.0 - m), 4), 16), 6)
+         AS expected_recall,
+       TRUE AS recall_within_band
+FROM lv
+""",
+)
+def d_lsh_recall_measured(spark, sf_dir):
+    """Empirical LSH banding recall at controlled similarities — the
+    measured complement of ``d_lsh_param_tuning``'s S-curve: 60
+    document pairs are planted at each of four EXACT token-set Jaccard
+    levels (20-token docs sharing m of the union, J = m/(40-m):
+    0.4286, 0.5385, 0.6667, 0.8182 — deliberately below the
+    J >= 0.9 regime where the graded near-dup fixtures sit and recall
+    is indistinguishable from 1), pushed through the production
+    pipeline (``minhash_near_dup_pairs``, unigram shingles, 64 hashes,
+    16 bands, verify threshold 0.4), and per-level recall is gated
+    within ±0.2 of the curve's prediction 1-(1-J^4)^16 (0.42, 0.75,
+    0.97, 0.9999). The expectation itself is a value-graded column
+    (pure double math both engines); the measured recall is one fixed
+    deterministic draw of the engine's hash family, so the band flag
+    is stable run to run — same bounded-evidence pattern as
+    ``v_ivf_ann_recall`` / ``z3_source_minhash_jaccard``.
+
+    This pins the probabilistic claim every banded-dedup docstring
+    makes: banding is not exact; its miss rate is the S-curve's, and
+    the threshold/band choice must come from ``d_lsh_param_tuning``'s
+    optimization, not hope."""
+    levels = [12, 14, 16, 18]
+    docs, planted = [], []
+    for L in levels:
+        for p in range(60):
+            a_id = 10_000_000 + L * 100_000 + p * 2
+            b_id = a_id + 1
+            shared = [f"s{L}x{p}x{i}" for i in range(L)]
+            a_only = [f"a{L}x{p}x{i}" for i in range(20 - L)]
+            b_only = [f"b{L}x{p}x{i}" for i in range(20 - L)]
+            docs.append((a_id, " ".join(shared + a_only)))
+            docs.append((b_id, " ".join(shared + b_only)))
+            planted.append((a_id, b_id, L))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    exp_pairs = spark.createDataFrame(
+        planted, "id_a long, id_b long, m int"
+    )
+    caught = dd.minhash_near_dup_pairs(
+        d, shingle_n=1, threshold=0.4
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    j = F.col("m") / (F.lit(40.0) - F.col("m"))
+    per = (
+        exp_pairs.join(caught, ["id_a", "id_b"], "left")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double")).alias(
+                "_recall"
+            ),
+        )
+    )
+    expected = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(j, F.lit(4)), F.lit(16)), 6
+    )
+    return per.select(
+        F.round(j, 6).alias("jaccard"),
+        "n_pairs",
+        expected.alias("expected_recall"),
+        (F.abs(F.col("_recall") - expected) <= 0.2).alias(
+            "recall_within_band"
+        ),
+    )

@@ -917,3 +917,20 @@ def test_lsh_param_tuning_matches_python_model(spark):
             assert got[(t, b, 64 // b)][2] == ((b, 64 // b) == best[t])
     # steeper threshold -> fewer, wider bands
     assert best[0.5][0] > best[0.9][0]
+
+
+def test_lsh_recall_measured_bands(spark):
+    """The measured-recall fixture: exact fixture Jaccards, curve
+    expectations from the closed form, every level within band, and
+    the LOW levels must actually be lossy (recall < 1 at J=0.43 —
+    the regime the graded near-dup fixtures never probe)."""
+    import math
+
+    rows = {r["jaccard"]: r for r in
+            q.QUERIES["d_lsh_recall_measured"](spark, SF).collect()}
+    assert set(rows) == {0.428571, 0.538462, 0.666667, 0.818182}
+    for jac, r in rows.items():
+        assert r["n_pairs"] == 60
+        want = round(1.0 - (1.0 - jac ** 4) ** 16, 6)
+        assert math.isclose(r["expected_recall"], want, abs_tol=2e-6)
+        assert r["recall_within_band"]

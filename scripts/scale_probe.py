@@ -144,6 +144,7 @@ PROBES = [
     "d_bloom_paragraph_batch",    # bitmap build scan + map-local probe + verify
     "t_html_extract_text",        # regex-chain projection, map-only
     "d_lsh_param_tuning",         # corpus-independent 21-row grid (flat)
+    "d_lsh_recall_measured",      # corpus-independent 480-doc fixture (flat)
 ]
 
 

@@ -189,3 +189,228 @@ def g_approx_quantiles_bounded(spark, sf_dir):
             & (F.col("n_lt") / F.col("n") <= qlit + F.lit(eps))
         ).alias("within_rank_bound"),
     )
+
+
+@query(
+    "g_psi_drift",
+    oracle="""
+WITH med AS (
+  SELECT median(event_id) AS m FROM events
+), binned AS (
+  SELECT CASE WHEN e.event_id < med.m THEN 'ref' ELSE 'cur' END AS half,
+         CAST(least(floor(e.value / 10), 9) AS BIGINT) AS bin
+  FROM events e, med
+  WHERE e.value IS NOT NULL AND e.value >= 0
+), counts AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE half = 'ref') AS DOUBLE) AS n_ref,
+         CAST(count(*) FILTER (WHERE half = 'cur') AS DOUBLE) AS n_cur
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts
+), terms AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 0.5) / (t_ref + 0.5 * (SELECT count(*) FROM counts))
+           AS p_ref,
+         (n_cur + 0.5) / (t_cur + 0.5 * (SELECT count(*) FROM counts))
+           AS p_cur
+  FROM counts, tot
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM terms
+""",
+)
+def g_psi_drift(spark, sf_dir):
+    """Population Stability Index between a reference window and the
+    current one — the standard model-monitoring drift score (each bin
+    contributes ``(p_cur - p_ref) * ln(p_cur / p_ref)``; PSI > 0.2 is
+    the conventional "significant shift" alarm). Bins and windows are
+    exactly g_drift_chisq's (median event-id split, value decile
+    bins) so the two drift scores are directly comparable gates over
+    one shared construction; counts are Laplace-smoothed (+0.5) so an
+    empty bin on either side cannot produce ln(0).
+
+    Scale shape: identical to the chi-square gate — one broadcast
+    scalar median, ONE map-side-combined conditional pivot aggregate
+    over the scan (never a join of the two windows), then arithmetic
+    over the <= 10-row bin table. The ln() is computed on both
+    engines' libm and rounded to 6 dp (the pagerank precedent: the
+    rational core is bit-equal, the transcendental is last-ulp and
+    rounding absorbs it)."""
+    e = table(spark, sf_dir, "events")
+    med = e.agg(F.expr("median(event_id)").alias("m"))
+    binned = (
+        e.where(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.col("event_id") < F.col("m"), "ref")
+            .otherwise("cur")
+            .alias("half"),
+            F.least(F.floor(F.col("value") / 10), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "ref", 1)).cast("double").alias("n_ref"),
+        F.count(F.when(F.col("half") == "cur", 1)).cast("double").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).cast("double").alias("n_bins"),
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bins"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
+
+
+@query(
+    "g_mad_outliers",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         l_extendedprice
+           * CASE WHEN l_orderkey % 997 = 0 THEN 25 ELSE 1 END AS x
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+  FROM base GROUP BY l_returnflag
+), mad AS (
+  SELECT b.l_returnflag,
+         quantile_cont(abs(b.x - m.med), 0.5) AS mad
+  FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag
+  GROUP BY b.l_returnflag
+)
+SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+       round(0.6745 * (b.x - m.med) / d.mad, 6) AS robust_z
+FROM base b
+JOIN med m ON b.l_returnflag = m.l_returnflag
+JOIN mad d ON b.l_returnflag = d.l_returnflag
+WHERE abs(0.6745 * (b.x - m.med) / d.mad) > 3.5
+""",
+)
+def g_mad_outliers(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation
+    (Iglewicz-Hoaglin modified z-score: ``0.6745 * (x - median) /
+    MAD``, flag |z| > 3.5) — the outlier gate that, unlike
+    ``c_value_zscore_outliers``'s mean/stddev z-score, is itself
+    immune to the outliers it hunts (50% breakdown point vs 0%). The
+    fixture prices are too tame to trip a robust gate, so every
+    997th order's price is deterministically inflated 25x in BOTH
+    engines (the t_redact_pii planted-fixture pattern) — the flag
+    path is exercised, not vacuously green.
+
+    Scale shape: two grouped exact medians (each one shuffle bounded
+    by the group count, computed per group not per row) broadcast
+    back onto the scan; the flag pass is map-only. ``percentile``
+    and DuckDB ``quantile_cont`` share the same linear-interpolation
+    definition (the g_exact_percentiles precedent); the division is
+    rounded at 6 dp. The >3.5 predicate compares the UNROUNDED value
+    in both engines, so the rounded output can never disagree on set
+    membership."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (
+            F.col("l_extendedprice")
+            * F.when(F.col("l_orderkey") % 997 == 0, 25).otherwise(1)
+        ).alias("x"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    mad = with_med.groupBy("l_returnflag").agg(
+        F.expr("percentile(abs(x - med), 0.5)").alias("mad")
+    )
+    z = 0.6745 * (F.col("x") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "l_returnflag")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
+
+
+_DP_EPS = 0.5  # Laplace scale b = 1/eps = 2.0
+
+
+def _dp_oracle() -> str:
+    from sftp_data_ingestion_spark.ext.textstats import (
+        rolling_fingerprint_sql,
+    )
+
+    fp = rolling_fingerprint_sql("source || '|' || lang")
+    return f"""
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS exact_n
+  FROM documents GROUP BY source, lang
+), seeded AS (
+  SELECT source, lang, exact_n,
+         (CAST({fp} % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS u
+  FROM counts
+)
+SELECT source, lang, exact_n,
+       round(exact_n - {1.0 / _DP_EPS}
+             * sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_n
+FROM seeded
+"""
+
+
+@query("g_dp_noisy_counts", oracle=_dp_oracle())
+def g_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private histogram release (Dwork et al. 2006
+    Laplace mechanism): per-(source, lang) document counts plus
+    Laplace(1/eps) noise, eps = 0.5 — the privacy-preserving
+    publication step of a corpus datasheet. The "randomness" is a
+    deterministic inverse-CDF draw seeded by the engine-portable
+    polynomial fingerprint of the group key (`ext/textstats
+    .rolling_fingerprint`), so both engines draw the SAME noise and
+    the release is replayable — a property real DP deployments get
+    from a recorded PRNG seed. ``exact_n`` stays in the graded output
+    purely as the correctness anchor; a production release publishes
+    only ``noisy_n``.
+
+    Scale shape: one map-side-combined groupBy over the scan; the
+    noise arithmetic runs on the group table (cardinality = distinct
+    key pairs, tiny). ln() is last-ulp cross-engine and rounded at
+    6 dp (pagerank precedent); sensitivity of a disjoint-partition
+    histogram is 1, so Laplace(1/eps) is the textbook calibration."""
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    fp = ts.rolling_fingerprint(
+        F.concat(F.col("source"), F.lit("|"), F.col("lang"))
+    )
+    u = (F.pmod(fp, F.lit(1000000)).cast("double") + 0.5) / 1000000.0 - 0.5
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        "source",
+        "lang",
+        "exact_n",
+        F.round(F.col("exact_n") + noise, 6).alias("noisy_n"),
+    )

@@ -468,3 +468,118 @@ def html_to_text_sql(expr: str) -> str:
         ent_sql = ent.replace("'", "''")
         out = f"replace({out}, '{ent_sql}', '{rep_sql}')"
     return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003 — the MOSS local fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # k-gram length (guarantee floor: no match shorter than k)
+WINNOW_W = 4  # window size (guarantee ceiling: every match >= k+w-1 shared)
+
+
+def winnow_gram_hashes(text: Column) -> Column:
+    """Array of polynomial k-gram hashes over ``lower(trim(text))``
+    (`rolling_fingerprint`'s engine-portable constants, folded over
+    exactly ``WINNOW_K`` characters per position; intermediates
+    < 2^39). Empty array for docs shorter than k.
+
+    IMPORTANT: materialize this in its OWN projection and let the
+    selection step reference the resulting column — the winnow
+    expression references the gram array many times, and Catalyst's
+    CollapseProject deliberately keeps a multiply-referenced
+    expensive expression in a separate Project node, so the array is
+    computed once per row instead of once per lambda reference
+    (which would be O(n^2 * w) per document)."""
+    t = F.lower(F.trim(text))
+
+    def gram(i: Column) -> Column:
+        h = F.ascii(F.substring(t, i + 1, 1)).cast("long")
+        for j in range(1, WINNOW_K):
+            h = F.pmod(
+                h * _FP_B + F.ascii(F.substring(t, i + 1 + j, 1)),
+                F.lit(_FP_P),
+            )
+        return h
+
+    return F.when(
+        F.length(t) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), F.length(t) - WINNOW_K), gram
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_select(grams: Column) -> Column:
+    """Winnowing selection over a gram-hash array: every w-window of
+    consecutive gram hashes selects its minimum — rightmost
+    occurrence on ties (the paper's tie rule; it maximizes adjacent
+    windows re-selecting the same gram, which is what bounds the
+    fingerprint density to 2/(w+1)) — and the distinct selected
+    positions form the fingerprint set.
+
+    Returns ``array<struct<pos:long, fp:long>>``. Docs with fewer
+    than w grams winnow a single window over all of them, so every
+    doc with >= 1 gram keeps >= 1 fingerprint. Pass the MATERIALIZED
+    gram column from :func:`winnow_gram_hashes`, never the raw
+    expression (see its docstring)."""
+    w_eff = F.least(F.lit(WINNOW_W), F.size(grams))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - w_eff),
+            lambda s: F.aggregate(
+                F.sequence(F.lit(0), w_eff - 1),
+                F.lit(-1).cast("long"),
+                lambda acc, j: F.when(
+                    F.element_at(grams, (s + j + 1).cast("int"))
+                    == F.array_min(F.slice(grams, s + 1, w_eff)),
+                    (s + j).cast("long"),
+                ).otherwise(acc),
+            ),
+        )
+    )
+    pairs = F.transform(
+        sel,
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.element_at(grams, (p + 1).cast("int")).alias("fp"),
+        ),
+    )
+    return F.when(F.size(grams) > 0, pairs).otherwise(
+        F.array().cast("array<struct<pos:bigint,fp:bigint>>")
+    )
+
+
+def winnow_oracle_cte(source_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin: CTEs materialize the gram array once per row
+    (mirroring the Spark two-projection shape), then unnest the
+    selected (pos, fp) pairs. Same constants, same tie rule."""
+    t = f"lower(trim({text_col}))"
+    h = f"CAST(unicode(t[i+1]) AS BIGINT)"
+    for j in range(1, WINNOW_K):
+        h = f"(({h}) * {_FP_B} + unicode(t[i+1+{j}])) % {_FP_P}"
+    return f"""
+WITH wn_base AS (
+  SELECT {id_col} AS wn_id, {t} AS t FROM ({source_sql})
+), wn_grams AS (
+  SELECT wn_id,
+         list_transform(range(0, length(t) - {WINNOW_K} + 1),
+                        i -> {h}) AS grams
+  FROM wn_base WHERE length(t) >= {WINNOW_K}
+), wn_sel AS (
+  SELECT wn_id, grams,
+         list_distinct(list_transform(
+           range(0, len(grams) - least({WINNOW_W}, len(grams)) + 1),
+           s -> list_reduce(
+             list_prepend(CAST(-1 AS BIGINT),
+                          range(0, least({WINNOW_W}, len(grams)))),
+             (acc, j) -> CASE
+               WHEN grams[s+j+1] = list_min(
+                 list_slice(grams, s+1, s+least({WINNOW_W}, len(grams))))
+               THEN s+j ELSE acc END))) AS sel_pos
+  FROM wn_grams WHERE len(grams) > 0
+)
+SELECT wn_id, CAST(u.p AS BIGINT) AS pos, grams[u.p+1] AS fp
+FROM wn_sel, unnest(sel_pos) AS u(p)
+"""

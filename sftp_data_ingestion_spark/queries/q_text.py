@@ -2411,3 +2411,98 @@ def d_lsh_recall_measured(spark, sf_dir):
             "recall_within_band"
         ),
     )
+
+
+@query(
+    "t_winnowing_fingerprints",
+    oracle="SELECT wn_id AS doc_id, pos, fp FROM ("
+    + ts.winnow_oracle_cte("SELECT doc_id, text FROM documents", "doc_id", "text")
+    + ")",
+)
+def t_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): k-gram hashes (k=5), each
+    w-window (w=4) keeps its rightmost minimum, distinct selected
+    positions are the document's fingerprint set. The LOCAL
+    fingerprinting complement to the global MinHash/SimHash families:
+    winnowing guarantees any shared substring of length >= k+w-1
+    produces at least one shared fingerprint (detection floor), while
+    keeping density <= 2/(w+1) — the published basis for plagiarism /
+    license-contamination scanning over a training corpus.
+
+    Scale shape: two chained scan-local projections (gram array, then
+    selection — split so the multiply-referenced gram array is
+    computed once per row; Catalyst's CollapseProject keeps
+    non-cheap multi-referenced projections separate), then one
+    explode. Zero shuffles, zero UDFs: runs at parquet-scan speed,
+    embarrassingly parallel over documents at 100 TB. Cross-doc
+    matching on the emitted (fp -> doc) posting list is then a plain
+    hash-shuffle groupBy, same as d_crossdoc_dup_spans."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", ts.winnow_gram_hashes(F.col("text")).alias("grams")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(ts.winnow_select(F.col("grams"))).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+@query(
+    "t_l_diversity_suppress",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, source,
+         CAST(n_chars // 100 AS BIGINT) AS sens
+  FROM documents
+), div AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS k_size,
+         CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+  FROM q GROUP BY lang, source
+)
+SELECT q.doc_id, d.k_size, d.l_div,
+       d.k_size >= 5 AND d.l_div >= 3 AS releasable,
+       CASE WHEN d.k_size >= 5 AND d.l_div >= 3 THEN q.lang END AS lang_out,
+       CASE WHEN d.k_size >= 5 AND d.l_div >= 3 THEN q.source END
+         AS source_out
+FROM q JOIN div d ON q.lang = d.lang AND q.source = d.source
+""",
+)
+def t_l_diversity_suppress(spark, sf_dir):
+    """l-diversity release gate (Machanavajjhala et al. 2007) — the
+    stronger-than-k-anonymity criterion ``t_k_anonymity_suppress``
+    stops short of: a quasi-identifier group of k >= 5 documents is
+    still unsafe if they all share ONE sensitive value (homogeneity
+    attack — the attacker learns the secret without identifying the
+    row). QI = (lang, source); sensitive attribute = the 100-char
+    length bucket; a group is releasable iff k >= 5 AND it contains
+    >= 3 distinct sensitive values, else its QIs are suppressed.
+
+    Scale shape: one groupBy computing (count, count distinct
+    sensitive) per QI tuple — map-side-combined, cardinality =
+    distinct QI pairs — broadcast back onto the corpus in one
+    map-only pass. Same shape as the k-anonymity ladder; the two
+    gates compose (this one is strictly tighter wherever both
+    apply)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("sens"),
+    )
+    div = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("k_size"),
+        F.countDistinct("sens").alias("l_div"),
+    )
+    ok = (F.col("k_size") >= 5) & (F.col("l_div") >= 3)
+    return d.join(F.broadcast(div), ["lang", "source"]).select(
+        "doc_id",
+        "k_size",
+        "l_div",
+        ok.alias("releasable"),
+        F.when(ok, F.col("lang")).alias("lang_out"),
+        F.when(ok, F.col("source")).alias("source_out"),
+    )

@@ -413,3 +413,99 @@ def _round_half_up(x: float, digits: int) -> float:
     return float(
         decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation —
+    the standard scale-out schedule (Cohen 2009, "Graph twiddling in
+    a MapReduce world"; Suri & Vassilvitskii 2011): orient every
+    undirected edge from its lower-(degree, id) endpoint to the
+    higher one, so every wedge is enumerated at its LOWEST-degree
+    corner. A hub of degree d contributes O(d) outgoing wedge roots
+    only if no lower-degree corner exists, which bounds the wedge
+    count by O(m^1.5) overall instead of O(Σ d²) — the difference
+    between a skew-killed and a skew-proof plan on a power-law graph
+    at 100 TB.
+
+    ``edges``: columns (u, v), u < v, distinct (undirected edge set).
+    Returns (node, n_tri) for every node in >= 1 triangle.
+
+    Plan: one groupBy for degrees (broadcast back onto the edge
+    list), then wedge⋈closure as two hash joins on the oriented
+    list. No driver-side state.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(
+            F.broadcast(deg.withColumnsRenamed({"node": "u", "d": "du"})), "u"
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"node": "v", "d": "dv"})), "v"
+        )
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+        )
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.t")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` over the same
+    (u, v) u < v distinct edge set."""
+    return f"""
+WITH edges AS ({edges_sql}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM ori e1
+  JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+  JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY node
+"""

@@ -1533,3 +1533,134 @@ def z3_kneser_ney_xent(spark, sf_dir):
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+_NB_TOK_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "z3_naive_bayes_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_NB_TOK_SQL}) AS token
+  FROM documents
+), doc_tok AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS cnt
+  FROM tok GROUP BY doc_id, token
+), doc_len AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS len FROM tok GROUP BY doc_id
+), class_tok AS (
+  SELECT source AS cls, token, CAST(count(*) AS DOUBLE) AS n_tc
+  FROM tok GROUP BY source, token
+), class_tot AS (
+  SELECT cls, sum(n_tc) AS n_c FROM class_tok GROUP BY cls
+), vocab AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok
+), prior AS (
+  SELECT source AS cls, CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+  GROUP BY source
+), n_all AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), hits AS (
+  SELECT d.doc_id, c.cls, sum(d.cnt * ln(c.n_tc + 1)) AS hit_term
+  FROM doc_tok d JOIN class_tok c ON d.token = c.token
+  GROUP BY d.doc_id, c.cls
+), scores AS (
+  SELECT l.doc_id, p.cls,
+         round(ln(p.n_docs / n_all.n)
+               - l.len * ln(t.n_c + vocab.v)
+               + coalesce(h.hit_term, 0.0), 6) AS score
+  FROM doc_len l
+  CROSS JOIN prior p
+  JOIN class_tot t ON p.cls = t.cls
+  CROSS JOIN vocab CROSS JOIN n_all
+  LEFT JOIN hits h ON h.doc_id = l.doc_id AND h.cls = p.cls
+), ranked AS (
+  SELECT doc_id, cls, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rk
+  FROM scores
+)
+SELECT r.doc_id, d.source AS true_source, r.cls AS predicted,
+       r.score AS log_score, r.cls = d.source AS correct
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+WHERE r.rk = 1
+""",
+)
+def z3_naive_bayes_source(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier (Laplace-smoothed,
+    McCallum & Nigam 1998) — train on the corpus's own (token,
+    source) counts, score every document, emit the argmax class. The
+    closed-form sibling of the gradient-trained
+    ``z2_quality_logreg_score``: NB is THE bulk document classifier
+    at crawl scale (fastText's own baseline) because training is one
+    aggregation pass — no iterations, no driver state.
+
+    The sparse-dot identity keeps the join sparse: score(d,c) =
+    ln P(c) - len_d·ln(n_c + V) + Σ_{t∈d} cnt_d(t)·ln(n_tc + 1),
+    so zero-count (token, class) pairs contribute exactly 0 and the
+    per-doc work is (tokens in doc) × (classes containing them),
+    never |vocab| × |classes|. Plan: training = two map-side-combined
+    groupBys (class-token counts, class totals); scoring = one
+    token-keyed shuffle join + per-(doc, class) sum; the class/prior/
+    vocab tables are broadcast scalars. Scores are rounded to 6 dp
+    BEFORE the argmax window in BOTH engines, so a last-ulp ln()
+    wobble cannot flip the ranking (ties break on class name)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    doc_tok = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    doc_len = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("len")
+    )
+    class_tok = tok.groupBy(F.col("source").alias("cls"), "token").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tc")
+    )
+    class_tot = class_tok.groupBy("cls").agg(F.sum("n_tc").alias("n_c"))
+    vocab = tok.agg(F.countDistinct("token").cast("double").alias("v"))
+    prior = d.groupBy(F.col("source").alias("cls")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    n_all = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hits = (
+        doc_tok.join(class_tok, "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("cnt") * F.log(F.col("n_tc") + 1)).alias("hit_term"))
+    )
+    scores = (
+        doc_len.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(class_tot), "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_all))
+        .join(hits, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            F.round(
+                F.log(F.col("n_docs") / F.col("n"))
+                - F.col("len") * F.log(F.col("n_c") + F.col("v"))
+                + F.coalesce(F.col("hit_term"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    best = scores.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return best.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        F.col("source").alias("true_source"),
+        F.col("cls").alias("predicted"),
+        F.col("score").alias("log_score"),
+        (F.col("cls") == F.col("source")).alias("correct"),
+    )

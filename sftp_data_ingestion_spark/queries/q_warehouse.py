@@ -634,3 +634,153 @@ def wh_orc_roundtrip(spark, sf_dir):
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_len"),
     )
+
+
+@query(
+    "wh_schema_evolution_read",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END
+         AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy
+FROM orders
+GROUP BY 1
+""",
+)
+def wh_schema_evolution_read(spark, sf_dir):
+    """Schema-evolution read over a landed table whose shards were
+    written under DIFFERENT schema versions — the normal state of a
+    long-lived 100 TB lake table (columns get added; history is never
+    rewritten). Batch 1 (even order keys) lands (o_orderkey,
+    o_totalprice); batch 2 (odd keys) adds o_orderstatus;
+    ``mergeSchema`` unifies the footers at read time and back-fills
+    the missing column with NULL — the Parquet-native answer to
+    ALTER TABLE ADD COLUMN with zero data rewrite. The aggregate
+    groups by the evolved column, so NULL-backfill semantics are in
+    the graded values, and ``n_legacy`` pins that every even-key row
+    really came through the narrow schema.
+
+    Scale shape: both writes and the merged read are distributed;
+    schema merge happens on file FOOTERS (per-file metadata), not
+    data — the read plan is still one pruned columnar scan. The /tmp
+    layout is keyed on sf_dir + source mtime and reused when fresh
+    (marker-gated, the shared-sigtable convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    src = os.path.join(sf_dir, "orders.parquet")
+    params = f"v1|mtime={os.path.getmtime(src)}"
+    marker = os.path.join(path, "_EVO_PARAMS")
+    fresh = False
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            fresh = fh.read() == params
+    if not fresh:
+        (
+            o.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "b1"))
+        )
+        (
+            o.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "b2"))
+        )
+        tmp = marker + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(params)
+        os.rename(tmp, marker)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias(
+            "n_legacy"
+        ),
+    )
+
+
+_COMPACT_TARGET = 50_000  # bytes per output bin (rolling fill)
+
+
+@query(
+    "wh_compaction_binpack",
+    oracle=f"""
+WITH files AS (
+  SELECT source, CAST(doc_id // 20 AS BIGINT) AS file_id,
+         CAST(sum(n_chars) AS BIGINT) AS f_bytes
+  FROM documents GROUP BY source, doc_id // 20
+), planned AS (
+  SELECT source, file_id, f_bytes,
+         CAST(floor((sum(f_bytes) OVER (ORDER BY source, file_id
+                       ROWS UNBOUNDED PRECEDING) - f_bytes)
+                    / {_COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM files
+)
+SELECT source, file_id, f_bytes, bin,
+       CAST(sum(f_bytes) OVER (PARTITION BY bin) AS BIGINT) AS bin_bytes,
+       CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
+FROM planned
+""",
+)
+def wh_compaction_binpack(spark, sf_dir):
+    """Small-file compaction planning (Delta/Iceberg OPTIMIZE's
+    bin-packing step): the table manifest — one row per data file
+    with its byte size — is rolled into target-size output bins by
+    deterministic rolling fill (bin = floor(preceding_bytes /
+    target) over the manifest order), the policy both engines can
+    state identically. Small files are THE silent killer of a 100 TB
+    scan (per-file open cost + footer reads + starved vectorization);
+    the planner's output is the rewrite job's task list.
+
+    Scale shape: the manifest is METADATA — rows = file count, not
+    data size — so the single-partition running sum is over ~10^5
+    rows for a petabyte table (Iceberg keeps it in Avro manifests;
+    here it derives from one groupBy on the fixture). The actual
+    rewrite each bin describes is embarrassingly parallel. A
+    manifest-scale window is the same driver-bounded-small pattern
+    as the file-ledger operators (S3/S10)."""
+    files = (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "source", F.floor(F.col("doc_id") / 20).cast("long").alias("file_id")
+        )
+        .agg(F.sum("n_chars").cast("long").alias("f_bytes"))
+    )
+    from pyspark.sql import Window
+
+    order = Window.orderBy("source", "file_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = files.select(
+        "source",
+        "file_id",
+        "f_bytes",
+        F.floor(
+            (F.sum("f_bytes").over(order) - F.col("f_bytes"))
+            / _COMPACT_TARGET
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    per_bin = Window.partitionBy("bin")
+    return planned.select(
+        "source",
+        "file_id",
+        "f_bytes",
+        "bin",
+        F.sum("f_bytes").over(per_bin).cast("long").alias("bin_bytes"),
+        F.count(F.lit(1)).over(per_bin).cast("long").alias("bin_files"),
+    )

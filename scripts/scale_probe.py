@@ -145,6 +145,25 @@ PROBES = [
     "t_html_extract_text",        # regex-chain projection, map-only
     "d_lsh_param_tuning",         # corpus-independent 21-row grid (flat)
     "d_lsh_recall_measured",      # corpus-independent 480-doc fixture (flat)
+    # r13 session 3: statistical gates (tiny bin/group tables), local
+    # fingerprinting (scan-local HOFs), NB classifier (token join),
+    # schema-evo read + compaction planner (metadata-scale), WARC
+    # archive roundtrip (file-per-task; shard count scales with docs).
+    # z2_triangle_count is NOT probed as-registered: the derivation
+    # grows facts with dims FIXED, so the part co-occurrence graph
+    # gets 100x DENSER (same 2000 nodes), and triangle count explodes
+    # combinatorially — a fixture artifact, not a scaling property
+    # (at 100 TB the node set grows with the corpus; the operator's
+    # m^1.5 orientation bound is the scale story).
+    "g_psi_drift",
+    "g_mad_outliers",
+    "g_dp_noisy_counts",
+    "t_winnowing_fingerprints",
+    "t_l_diversity_suppress",
+    "z3_naive_bayes_source",
+    "wh_schema_evolution_read",
+    "wh_compaction_binpack",
+    "wh_warc_roundtrip",
 ]
 
 

@@ -2506,3 +2506,71 @@ def t_l_diversity_suppress(spark, sf_dir):
         F.when(ok, F.col("lang")).alias("lang_out"),
         F.when(ok, F.col("source")).alias("source_out"),
     )
+
+
+_WINNOW_MAX_DF = 20  # drop fingerprints shared by more docs (boilerplate)
+_WINNOW_MIN_SHARED = 3  # report pairs sharing at least this many
+
+
+@query(
+    "t_winnowing_matches",
+    oracle="WITH fps AS (SELECT DISTINCT wn_id AS doc_id, fp FROM ("
+    + ts.winnow_oracle_cte("SELECT doc_id, text FROM documents", "doc_id", "text")
+    + f""")),
+pruned AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {_WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM pruned a JOIN pruned b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+""",
+)
+def t_winnowing_matches(spark, sf_dir):
+    """Cross-document winnowing matcher — the MOSS detection stage on
+    top of ``t_winnowing_fingerprints``: documents sharing >= 3
+    selected fingerprints (after dropping fingerprints common to
+    > 20 docs — shared boilerplate carries no plagiarism signal, and
+    unpruned hot postings are the quadratic trap) are reported with
+    their shared-fingerprint count. Winnowing's guarantee makes this
+    sound: any shared run of >= k+w-1 chars must surface at least
+    one shared fingerprint, so the matcher's floor is structural,
+    not probabilistic (the contrast with MinHash banding's tunable
+    false-negative rate).
+
+    Scale shape: the SAME posting-list discipline as
+    d_crossdoc_dup_spans — fingerprint-keyed shuffle, per-posting
+    pair explosion bounded by max_df² per fingerprint (hot postings
+    pruned map-side via one count), never an all-pairs doc join."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", ts.winnow_gram_hashes(F.col("text")).alias("grams")
+    )
+    fps = (
+        d.select(
+            "doc_id",
+            F.explode(ts.winnow_select(F.col("grams"))).alias("s"),
+        )
+        .select("doc_id", F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+    df_count = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    pruned = (
+        fps.join(df_count.where(F.col("df") <= _WINNOW_MAX_DF), "fp")
+        .select("doc_id", "fp")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )

@@ -827,17 +827,28 @@ def wh_warc_roundtrip(spark, sf_dir):
     from sftp_data_ingestion_spark.io import warc_source as ws
 
     d = table(spark, sf_dir, "documents")
+    # shard count scales with the corpus (~125 docs/archive, min 4):
+    # a constant shard count would cap read parallelism at any scale —
+    # real CC dumps grow the FILE count with the crawl, never the file
+    # size. The count is a metadata-cheap scalar.
+    n_docs = d.count()
+    n_shards = max(4, n_docs // 125)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"warc_dump_{tag}")
     src = os.path.join(sf_dir, "documents.parquet")
-    params = f"v1|shards=4|mtime={os.path.getmtime(src)}"
+    params = f"v1|shards={n_shards}|mtime={os.path.getmtime(src)}"
     marker = os.path.join(out, "_WARC_PARAMS")
     fresh = False
     if os.path.isfile(marker):
         with open(marker) as fh:
             fresh = fh.read() == params
     if not fresh:
-        ws.write_warc_shards(d, out, n_shards=4)
+        import shutil
+
+        # params changed -> stale shards under OTHER names would
+        # survive a plain rewrite and be read alongside the new ones
+        shutil.rmtree(out, ignore_errors=True)
+        ws.write_warc_shards(d, out, n_shards=n_shards)
         tmp = marker + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             fh.write(params)

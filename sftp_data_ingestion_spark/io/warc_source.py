@@ -42,6 +42,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -186,6 +187,45 @@ class WarcDataSource(DataSource):
     def reader(self, schema: StructType) -> WarcReader:
         return WarcReader(self.options)
 
+    def streamReader(self, schema: StructType):
+        return WarcStreamReader(self.options)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch WARC ingestion: the offset is the processed-archive
+    ledger (sorted newline-joined file set — the landing_text
+    convention), checkpointed by the engine, so each arriving archive
+    is parsed EXACTLY once across triggers and crash replays re-read
+    the same file set. This is the continuous form of how Common
+    Crawl dumps actually land: new archives appear; nothing already
+    processed is touched. One planner task per NEW archive."""
+
+    def __init__(self, options):
+        self.inner = WarcReader(options)
+
+    def _list(self) -> list[str]:
+        return [p.path for p in self.inner.partitions()]
+
+    def initialOffset(self) -> dict:
+        return {"seen": ""}
+
+    def latestOffset(self) -> dict:
+        return {"seen": "\n".join(self._list())}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(filter(None, start.get("seen", "").split("\n")))
+        now = filter(None, end.get("seen", "").split("\n"))
+        return [_WarcFilePartition(p) for p in now if p not in seen]
+
+    def read(self, partition):
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint holds the ledger
+
+    def stop(self) -> None:
+        pass
+
 
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
@@ -198,6 +238,7 @@ def write_warc_shards(
     n_shards: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    name_prefix: str = "",
 ) -> None:
     """Export (id, text) rows as ``n_shards`` standalone WARC files —
     one executor task per shard, gzip members for odd shards
@@ -225,7 +266,7 @@ def write_warc_shards(
         for shard in sorted(by_shard):
             rows = sorted(by_shard[shard])
             gz = shard % 2 == 1
-            name = f"shard-{shard:04d}.warc" + (".gz" if gz else "")
+            name = f"{name_prefix}shard-{shard:04d}.warc" + (".gz" if gz else "")
             tmp = os.path.join(out_dir, f".{name}.tmp.{pid}.{os.getpid()}")
             buf = io.BytesIO()
             for rid, text in rows:

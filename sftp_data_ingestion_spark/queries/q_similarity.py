@@ -1515,3 +1515,84 @@ def v_pca_top2_components(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     _v1, _v2, proj = sim.pca_top2_components(e, dim=64, n_iters=10)
     return proj
+
+
+_JL_OUT_DIM = 16
+_JL_W1, _JL_W2 = 2654435761, 2246822519  # Knuth / xxhash primes
+_JL_M = 2147483647
+
+
+@query(
+    "v_jl_projection",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), proj AS (
+  SELECT vec_id, v,
+         list_transform(range(0, {_JL_OUT_DIM}), j ->
+           list_reduce(
+             list_transform(range(0, len(v)), i -> v[i+1]
+               * (1.0 - 2.0 * CAST((i * {_JL_W1} + j * {_JL_W2})
+                                   % {_JL_M} % 2 AS DOUBLE))),
+             (a, b) -> a + b
+           ) / sqrt({_JL_OUT_DIM}.0)) AS y
+  FROM x
+)
+SELECT vec_id,
+       list_transform(y, e -> round(e, 6)) AS y_rounded,
+       round(list_dot_product(y, y) / list_dot_product(v, v), 6)
+         AS norm_ratio
+FROM proj
+""",
+)
+def v_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    database-friendly form: entries ±1/√d', no Gaussians needed) —
+    the embedding down-projection that preserves pairwise distances
+    within (1±ε) whp, used to shrink ANN index footprints before
+    LSH/IVF. The "random" sign matrix is a deterministic portable
+    hash of (i, j) (Knuth/xxhash multiplicative primes — the CMS
+    convention), so both engines materialize the SAME matrix and the
+    projection is exactly replayable; ``norm_ratio`` = ‖y‖²/‖x‖²
+    exposes the isometry quality per vector in the graded output.
+
+    Scale shape: a pure scan-local HOF projection — O(d·d') mults
+    per row, zero shuffle, zero UDFs, embarrassingly parallel. The
+    sign matrix is never materialized anywhere (it's an expression),
+    which at 100 TB means no broadcast at all — the projection
+    travels as code. The left-fold accumulation order is fixed and
+    identical in both engines, so values are bit-equal before the
+    6 dp display rounding."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", v.alias("v"))
+
+    def sign(i, j):
+        return 1.0 - 2.0 * F.pmod(
+            F.pmod(i * F.lit(_JL_W1) + j * F.lit(_JL_W2), F.lit(_JL_M)),
+            F.lit(2),
+        ).cast("double")
+
+    y = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_OUT_DIM - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.size("v") - 1),
+            F.lit(0.0).cast("double"),
+            lambda acc, i: acc
+            + F.element_at(F.col("v"), (i + 1).cast("int")) * sign(i, j),
+        )
+        / F.sqrt(F.lit(float(_JL_OUT_DIM))),
+    )
+    proj = d.select("vec_id", "v", y.alias("y"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda p, q: p * q),
+        F.lit(0.0).cast("double"),
+        lambda acc, z: acc + z,
+    )
+    return proj.select(
+        "vec_id",
+        F.transform("y", lambda e_: F.round(e_, 6)).alias("y_rounded"),
+        F.round(
+            dot(F.col("y"), F.col("y")) / dot(F.col("v"), F.col("v")), 6
+        ).alias("norm_ratio"),
+    )

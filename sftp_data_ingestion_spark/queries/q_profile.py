@@ -414,3 +414,53 @@ def g_dp_noisy_counts(spark, sf_dir):
         "exact_n",
         F.round(F.col("exact_n") + noise, 6).alias("noisy_n"),
     )
+
+
+@query(
+    "g_gini_doc_length",
+    oracle="""
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY source
+""",
+)
+def g_gini_doc_length(spark, sf_dir):
+    """Per-source Gini coefficient of document length — the
+    concentration diagnostic a corpus datasheet publishes: gini ~ 0
+    means a source's token budget is spread evenly over its
+    documents; gini -> 1 means a few huge documents own the source
+    (and a doc-level sampler silently becomes a token-level skew).
+    Exact rank formulation: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending xᵢ (deterministic doc_id tie-break so ranks are
+    identical cross-engine; the value is tie-order-invariant anyway
+    since equal x swap equal addends).
+
+    Scale shape: one per-source sort window (rows shuffle once on
+    source, sort within partition — the window never crosses
+    sources) + one groupBy. Rational arithmetic only: bit-equal
+    before the display rounding."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -1596,3 +1596,97 @@ def v_jl_projection(spark, sf_dir):
             dot(F.col("y"), F.col("y")) / dot(F.col("v"), F.col("v")), 6
         ).alias("norm_ratio"),
     )
+
+
+_MKNN_K = 5
+
+_MKNN_EDGES_SQL = f"""
+  WITH allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+  ranked AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_SQL} DESC, b.vec_id ASC
+           ) AS rn
+    FROM allv a JOIN allv b ON a.vec_id <> b.vec_id
+  ), knn AS (
+    SELECT query_id, neighbor_id FROM ranked WHERE rn <= {_MKNN_K}
+  )
+  SELECT a.query_id AS id_a, a.neighbor_id AS id_b
+  FROM knn a JOIN knn b
+    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+  WHERE a.query_id < a.neighbor_id
+"""
+
+
+@query(
+    "v_mutual_knn_clusters",
+    oracle=f"""
+WITH RECURSIVE mutual AS ({_MKNN_EDGES_SQL}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM mutual
+  UNION ALL SELECT id_b, id_a FROM mutual
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+),
+comp AS (SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id)
+SELECT c.vec_id, c.component,
+       CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+         AS comp_size
+FROM comp c
+""",
+)
+def v_mutual_knn_clusters(spark, sf_dir):
+    """Mutual-kNN graph clustering over the embedding corpus: exact
+    cosine k=5 neighbor lists, an edge kept only when BOTH endpoints
+    rank each other (the mutuality filter that strips hub-induced
+    false links — asymmetric kNN graphs over-connect through
+    high-degree "hub" vectors in high dims), then connected
+    components by large/small-star contraction. This is the
+    density-style grouping used for semantic corpus curation when
+    cluster count is unknown (SemDeDup's k-means needs k; mutual-kNN
+    discovers granularity).
+
+    Scale shape: the kNN stage here is the EXACT brute-force arm
+    (broadcast query side, per-partition top-k heaps — correct at
+    fixture scale and the recall baseline at any scale); the 100 TB
+    path swaps in the graded ANN engines (SRP/IVF/PQ — same
+    (query_id, neighbor_id) contract), after which the mutuality
+    join is one self-join on the k-bounded edge list (|E| <= k·n)
+    and the component step is the O(log² n)-round star contraction —
+    no stage touches n² pairs. Singletons keep their own component
+    (vertices seed the contraction), so coverage is total."""
+    from sftp_data_ingestion_spark.ext.graph import cc_star_contraction
+
+    e = table(spark, sf_dir, "embeddings")
+    knn = sim.cosine_topk(e, e, k=_MKNN_K, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    a, b = knn.alias("a"), knn.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+        )
+    )
+    comp = cc_star_contraction(
+        e.select(F.col("vec_id")), mutual, id_col="vec_id"
+    ).select(F.col("id").alias("vec_id"), "component")
+    from pyspark.sql import Window
+
+    per = Window.partitionBy("component")
+    return comp.select(
+        F.col("vec_id"),
+        "component",
+        F.count(F.lit(1)).over(per).cast("long").alias("comp_size"),
+    )

@@ -814,3 +814,82 @@ def test_html_to_text_matches_model(spark, texts):
     }
     for i, s in enumerate(texts):
         assert got[i] == model_html_to_text(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints vs pure-python model (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def model_winnow(text: str, k: int = 5, w: int = 4):
+    t = text.lower().strip()
+    if len(t) < k:
+        return []
+    grams = []
+    for i in range(len(t) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * 131 + ord(t[i + j])) % 2147483647
+        grams.append(h)
+    w_eff = min(w, len(grams))
+    out = set()
+    for s in range(len(grams) - w_eff + 1):
+        m = min(grams[s : s + w_eff])
+        p = max(s + j for j in range(w_eff) if grams[s + j] == m)
+        out.add((p, grams[p]))
+    return sorted(out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(st.characters(codec="ascii"), max_size=60),
+            # repeated-token text drives the tie-break path (equal
+            # gram hashes inside one window -> rightmost must win)
+            st.integers(2, 12).map(lambda n: "ab " * n),
+            st.sampled_from(["", "   ", "aaaa", "aaaaaaaaaa", "ab"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_winnow_matches_model(spark, values):
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, s string"
+    )
+    got = {
+        r["i"]: sorted((p["pos"], p["fp"]) for p in r["o"])
+        for r in df.select(
+            "i", ts.winnow_gram_hashes(F.col("s")).alias("grams")
+        )
+        .select("i", ts.winnow_select(F.col("grams")).alias("o"))
+        .collect()
+    }
+    want = {i: model_winnow(v) for i, v in enumerate(values)}
+    assert got == want
+
+
+def test_winnow_density_and_guarantee(spark):
+    """The paper's two contracts on real fixture docs: (a) density —
+    fingerprints per gram <= ~2/(w+1) on random-ish text; (b) the
+    detection floor — two docs sharing a substring of >= k+w-1 chars
+    share >= 1 fingerprint."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    shared = "absolutely unique shared run"
+    b = "completely different prefix text " + shared
+    c = shared + " with a different suffix here"
+    fps = {}
+    from sftp_data_ingestion_spark.ext import textstats as ts
+
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "i long, s string"
+    )
+    for r in df.select(
+        "i", ts.winnow_gram_hashes(F.col("s")).alias("g")
+    ).select("i", ts.winnow_select(F.col("g")).alias("o")).collect():
+        fps[r["i"]] = {p["fp"] for p in r["o"]}
+    assert fps[1] & fps[2]  # detection floor on the shared run
+    assert len(fps[0]) <= 2 * (len(a) - 5 + 1) / (4 + 1) + 2  # density

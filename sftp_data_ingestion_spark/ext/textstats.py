@@ -479,34 +479,52 @@ WINNOW_K = 5  # k-gram length (guarantee floor: no match shorter than k)
 WINNOW_W = 4  # window size (guarantee ceiling: every match >= k+w-1 shared)
 
 
-def winnow_gram_hashes(text: Column) -> Column:
-    """Array of polynomial k-gram hashes over ``lower(trim(text))``
-    (`rolling_fingerprint`'s engine-portable constants, folded over
-    exactly ``WINNOW_K`` characters per position; intermediates
-    < 2^39). Empty array for docs shorter than k.
+def winnow_codepoints(text: Column) -> Column:
+    """Codepoint array of ``lower(trim(text))`` — the ONE-pass
+    normalization + char explode that everything downstream indexes
+    into with O(1) ``element_at``.
 
-    IMPORTANT: materialize this in its OWN projection and let the
-    selection step reference the resulting column — the winnow
-    expression references the gram array many times, and Catalyst's
-    CollapseProject deliberately keeps a multiply-referenced
-    expensive expression in a separate Project node, so the array is
-    computed once per row instead of once per lambda reference
-    (which would be O(n^2 * w) per document)."""
+    MATERIALIZE this in its own projection. Two costs hide in the
+    naive alternative of calling ``substring(lower(trim(text)), i, 1)``
+    per position inside a higher-order-function lambda: (1) captured
+    sub-expressions inside an HOF lambda are re-evaluated PER ELEMENT
+    (Catalyst does not hoist them), so the lower+trim string copy runs
+    n times per row; (2) ``UTF8String.substring(i)`` itself walks the
+    byte buffer to find the char offset, O(i). Together that is O(n²)
+    per document with large constants — measured 5.2 ms/doc at
+    ~300 chars and 77 ms/doc at ~600 chars (super-linear) before this
+    split; the array form is one split + one transform per row."""
     t = F.lower(F.trim(text))
+    return F.transform(
+        F.split(t, ""), lambda c: F.coalesce(F.ascii(c), F.lit(0)).cast("long")
+    )
+
+
+def winnow_gram_hashes(cps: Column) -> Column:
+    """Array of polynomial k-gram hashes over a MATERIALIZED codepoint
+    array from :func:`winnow_codepoints` (`rolling_fingerprint`'s
+    engine-portable constants folded over exactly ``WINNOW_K``
+    codepoints per position; intermediates < 2^39). Empty array for
+    docs shorter than k.
+
+    Keep this in its own projection too: the selection step references
+    the gram array many times, and Catalyst's CollapseProject
+    deliberately leaves a multiply-referenced non-cheap projection
+    uncollapsed, so each array is computed once per row."""
 
     def gram(i: Column) -> Column:
-        h = F.ascii(F.substring(t, i + 1, 1)).cast("long")
+        h = F.element_at(cps, (i + 1).cast("int"))
         for j in range(1, WINNOW_K):
             h = F.pmod(
-                h * _FP_B + F.ascii(F.substring(t, i + 1 + j, 1)),
+                h * _FP_B + F.element_at(cps, (i + 1 + j).cast("int")),
                 F.lit(_FP_P),
             )
         return h
 
     return F.when(
-        F.length(t) >= WINNOW_K,
+        F.size(cps) >= WINNOW_K,
         F.transform(
-            F.sequence(F.lit(0), F.length(t) - WINNOW_K), gram
+            F.sequence(F.lit(0), F.size(cps) - WINNOW_K), gram
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
@@ -523,17 +541,24 @@ def winnow_select(grams: Column) -> Column:
     than w grams winnow a single window over all of them, so every
     doc with >= 1 gram keeps >= 1 fingerprint. Pass the MATERIALIZED
     gram column from :func:`winnow_gram_hashes`, never the raw
-    expression (see its docstring)."""
+    expression (see its docstring). Per-window minima are computed
+    ONCE in a zip_with input array (HOF inputs evaluate once per
+    row; only lambda bodies re-evaluate per element), so the
+    rightmost-argmin scan does w work per window, not w²."""
     w_eff = F.least(F.lit(WINNOW_W), F.size(grams))
+    starts = F.sequence(F.lit(0), F.size(grams) - w_eff)
+    mins = F.transform(
+        starts, lambda s: F.array_min(F.slice(grams, s + 1, w_eff))
+    )
     sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(grams) - w_eff),
-            lambda s: F.aggregate(
+        F.zip_with(
+            starts,
+            mins,
+            lambda s, m: F.aggregate(
                 F.sequence(F.lit(0), w_eff - 1),
                 F.lit(-1).cast("long"),
                 lambda acc, j: F.when(
-                    F.element_at(grams, (s + j + 1).cast("int"))
-                    == F.array_min(F.slice(grams, s + 1, w_eff)),
+                    F.element_at(grams, (s + j + 1).cast("int")) == m,
                     (s + j).cast("long"),
                 ).otherwise(acc),
             ),

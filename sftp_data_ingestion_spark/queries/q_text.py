@@ -2438,8 +2438,10 @@ def t_winnowing_fingerprints(spark, sf_dir):
     embarrassingly parallel over documents at 100 TB. Cross-doc
     matching on the emitted (fp -> doc) posting list is then a plain
     hash-shuffle groupBy, same as d_crossdoc_dup_spans."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", ts.winnow_gram_hashes(F.col("text")).alias("grams")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", ts.winnow_codepoints(F.col("text")).alias("cps"))
+        .select("doc_id", ts.winnow_gram_hashes(F.col("cps")).alias("grams"))
     )
     return (
         d.select(
@@ -2545,8 +2547,10 @@ def t_winnowing_matches(spark, sf_dir):
     d_crossdoc_dup_spans — fingerprint-keyed shuffle, per-posting
     pair explosion bounded by max_df² per fingerprint (hot postings
     pruned map-side via one count), never an all-pairs doc join."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", ts.winnow_gram_hashes(F.col("text")).alias("grams")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", ts.winnow_codepoints(F.col("text")).alias("cps"))
+        .select("doc_id", ts.winnow_gram_hashes(F.col("cps")).alias("grams"))
     )
     fps = (
         d.select(

@@ -863,8 +863,9 @@ def test_winnow_matches_model(spark, values):
     got = {
         r["i"]: sorted((p["pos"], p["fp"]) for p in r["o"])
         for r in df.select(
-            "i", ts.winnow_gram_hashes(F.col("s")).alias("grams")
+            "i", ts.winnow_codepoints(F.col("s")).alias("cps")
         )
+        .select("i", ts.winnow_gram_hashes(F.col("cps")).alias("grams"))
         .select("i", ts.winnow_select(F.col("grams")).alias("o"))
         .collect()
     }
@@ -888,7 +889,9 @@ def test_winnow_density_and_guarantee(spark):
         [(0, a), (1, b), (2, c)], "i long, s string"
     )
     for r in df.select(
-        "i", ts.winnow_gram_hashes(F.col("s")).alias("g")
+        "i", ts.winnow_codepoints(F.col("s")).alias("cps")
+    ).select(
+        "i", ts.winnow_gram_hashes(F.col("cps")).alias("g")
     ).select("i", ts.winnow_select(F.col("g")).alias("o")).collect():
         fps[r["i"]] = {p["fp"] for p in r["o"]}
     assert fps[1] & fps[2]  # detection floor on the shared run

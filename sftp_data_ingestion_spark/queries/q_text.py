@@ -885,9 +885,11 @@ def _shared_banded_sigtable(spark, sf_dir):
     module (`d_minhash_lsh_near_dup_bucketed`, `d_neardup_clusters`,
     `d_neardup_best_survivor`). Reuse is gated on a params marker
     WRITTEN INSIDE the table path (so a table rewrite invalidates it
-    automatically) recording the LSH parameters and the source
-    parquet's mtime; any mismatch — or a session that has not
-    registered the table — rebuilds. Path/name are deterministic per
+    automatically) recording the LSH parameters, the source parquet's
+    mtime AND the Spark applicationId; any mismatch — or a session
+    that has not registered the table — rebuilds, so every
+    bench/oracle invocation derives the layout from the parquet
+    inputs itself (reuse amortizes only WITHIN one application). Path/name are deterministic per
     (sf_dir, user), the same convention as the other organize-once
     layouts. The marker lands via write-temp + os.rename (atomic on
     POSIX), so a sibling sweep racing this one can never read a torn
@@ -908,7 +910,15 @@ def _shared_banded_sigtable(spark, sf_dir):
         tempfile.gettempdir(), f"d_lsh_bucketed_{tag}", "banded"
     )
     src = os.path.join(sf_dir, "documents.parquet")
-    params = f"v1|nh=64|bands=16|n=3|mtime={os.path.getmtime(src)}"
+    # applicationId in the marker: reuse is scoped to THIS Spark
+    # application. The in-memory catalog already forces a rebuild in
+    # any new process (tableExists is false), but the marker now says
+    # so explicitly — no intermediate derived from the test data is
+    # ever REUSED across bench/oracle invocations.
+    params = (
+        f"v1|nh=64|bands=16|n=3|mtime={os.path.getmtime(src)}"
+        f"|app={spark.sparkContext.applicationId}"
+    )
     marker = os.path.join(path, "_LSH_PARAMS")
     if os.path.isfile(marker) and spark.catalog.tableExists(name):
         with open(marker) as fh:

@@ -675,7 +675,14 @@ def wh_schema_evolution_read(spark, sf_dir):
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
     src = os.path.join(sf_dir, "orders.parquet")
-    params = f"v1|mtime={os.path.getmtime(src)}"
+    # marker includes the applicationId: reuse is scoped to THIS Spark
+    # application (one sweep derives the two-schema layout once; a new
+    # bench/oracle invocation always rebuilds from the parquet input —
+    # nothing derived from the test data persists across runs)
+    params = (
+        f"v1|mtime={os.path.getmtime(src)}"
+        f"|app={spark.sparkContext.applicationId}"
+    )
     marker = os.path.join(path, "_EVO_PARAMS")
     fresh = False
     if os.path.isfile(marker):
@@ -836,7 +843,12 @@ def wh_warc_roundtrip(spark, sf_dir):
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"warc_dump_{tag}")
     src = os.path.join(sf_dir, "documents.parquet")
-    params = f"v1|shards={n_shards}|mtime={os.path.getmtime(src)}"
+    # app-scoped reuse (see wh_schema_evolution_read): one export per
+    # Spark application; a fresh invocation re-derives the shards
+    params = (
+        f"v1|shards={n_shards}|mtime={os.path.getmtime(src)}"
+        f"|app={spark.sparkContext.applicationId}"
+    )
     marker = os.path.join(out, "_WARC_PARAMS")
     fresh = False
     if os.path.isfile(marker):

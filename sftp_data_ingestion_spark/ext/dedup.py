@@ -617,9 +617,24 @@ def lsh_candidate_pairs(
     """LSH banding: split each signature into ``bands`` rows keyed by
     ``(band_idx, hash(band slice))``, self-join per bucket -> candidate
     pairs (a < b). Shuffle key is the band hash — uniform; bucket-local
-    join cost only. Requires a ``minhash`` column (see with_minhash)."""
+    join cost only. Requires a ``minhash`` column (see with_minhash).
+
+    The banded frame is cut with a LAZY ``localCheckpoint`` before the
+    self-join (r14, guide §2.4/§3.3): when AQE broadcasts one side of
+    the bucket join — the whole fixture-scale regime — there is no
+    shuffle exchange for ReuseExchange to dedup, so BOTH join sides
+    re-derived the entire signature pipeline (two parquet scans, two
+    shingle explosions, two 64-min aggregations — visible as twin
+    subtrees in the before-plan). The lazy cut pins one RDD that both
+    sides share; the first downstream action materializes it once
+    (measured 1.9 -> 1.5 s for the candidate stage at sf0.1). In the
+    shuffle-join regime at scale the exchange itself would dedup, but
+    the cut also keeps the iterated-broadcast case honest and costs
+    one in-memory materialization either way. The bucketed-table path
+    (:func:`lsh_candidate_pairs_from_banded` over a catalog scan)
+    needs no cut — its scan is already materialized storage."""
     return lsh_candidate_pairs_from_banded(
-        _banded(df, id_col, num_hashes, bands)
+        _banded(df, id_col, num_hashes, bands).localCheckpoint(eager=False)
     )
 
 
@@ -1104,6 +1119,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation: every vertex
     starts labeled with its own id; each iteration every vertex takes
@@ -1126,8 +1142,37 @@ def connected_components(
     iterative-algorithm pattern). Iteration count is the graph
     diameter, and near-dup graphs are dense little cliques
     (diameter 2-3), not long chains.
+
+    ``reliable_checkpoint=True`` cuts lineage with ``checkpoint()``
+    to the session's checkpoint dir (``sc.setCheckpointDir`` on a
+    replicated store) instead of ``localCheckpoint()``. Local
+    checkpoints live on executor-local storage: on executor loss the
+    superstep state is GONE and the whole iteration restarts from the
+    LSH pipeline — acceptable single-host tradeoff, not acceptable on
+    a preemptible 100 TB cluster, which should pass True (r13 VERDICT
+    #10). Default False: local mode has no reliable store and the
+    extra write-to-dir round-trip per superstep is pure cost there.
+
+    Fault-tolerance caveat on the two SETUP cuts (sym/labels): with
+    lazy checkpoints Spark only materializes the FIRST checkpoint the
+    action reaches (``spark.checkpoint.checkpointAllMarkedAncestors``
+    defaults to false), so ``sym``/``labels`` are effectively
+    persist-level caches (MEMORY_AND_DISK), not checkpoints — they
+    recompute from the full upstream pipeline if their cached blocks
+    are lost (r13 ADVICE). "Computed exactly once" therefore holds
+    per-process in local mode and best-effort on a cluster; the
+    per-superstep ``updated`` cut is the one that genuinely truncates
+    lineage each iteration.
     """
     ids = vertices.select(F.col(id_col).alias("id"))
+
+    def _cut(df: DataFrame) -> DataFrame:
+        """Lineage cut: reliable checkpoint() on a cluster,
+        localCheckpoint() locally. Lazy either way — the convergence
+        count is the materializing action."""
+        if reliable_checkpoint:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
     # Materialize the edge list ONCE: `edges` is typically the output
     # of a whole LSH/verify pipeline, and without this checkpoint every
     # superstep's join re-executes that entire subtree (measured ~50 s
@@ -1144,8 +1189,8 @@ def connected_components(
         )
         .join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        .localCheckpoint(eager=False)
     )
+    sym = _cut(sym)
     # working set: edge-touched vertices, labeled with their own id
     # (sym is symmetric, so src alone covers every touched endpoint).
     # Both setup checkpoints are LAZY: superstep 1's convergence count
@@ -1155,8 +1200,8 @@ def connected_components(
         sym.select("src")
         .distinct()
         .select(F.col("src").alias("id"), F.col("src").alias("component"))
-        .localCheckpoint(eager=False)
     )
+    labels = _cut(labels)
     converged = False
     for _ in range(max_iters):
         # one-hop contributions: each edge hands its dst's label to
@@ -1176,8 +1221,8 @@ def connected_components(
                 ).alias("__old"),
             )
             .withColumn("__chg", F.col("component") < F.col("__old"))
-            .localCheckpoint(eager=False)
         )
+        updated = _cut(updated)
         # the count materializes the lazy checkpoint — one action per
         # superstep where eager-checkpoint-then-count paid two
         n_changed = updated.where(F.col("__chg")).count()

@@ -173,6 +173,11 @@ def cosine_topk(
                 F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dim
             ).alias("sim_full"),
         )
+        # nondeterministic barrier (same trap jaccard_verify pins):
+        # keeps the window comparator reading the materialized
+        # sim_full column instead of re-evaluating the flat dot per
+        # comparison after CollapseProject inlines it
+        .withColumn("__nd", F.monotonically_increasing_id())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("neighbor_id").asc()
@@ -361,7 +366,14 @@ def _plane_literals(n_planes: int, seed: int, dim: int) -> list[list[float]]:
 
     key = (n_planes, seed, dim)
     if key not in _PLANE_CACHE:
-        spark = SparkSession.getActiveSession()
+        # getActiveSession is JVM-thread-local and returns None in a
+        # plain worker thread (driver-side thread pools composing
+        # queries concurrently — guide §2.6); getOrCreate falls back
+        # to the already-instantiated global session in that case.
+        spark = (
+            SparkSession.getActiveSession()
+            or SparkSession.builder.getOrCreate()
+        )
         idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
         def plane_at(p: int):
@@ -594,6 +606,8 @@ def ivf_assign(
     was measured to cost ~15 s of Janino compilation per DISTINCT
     centroid set (k-means recompiles every iteration because the
     literals change). Flat unrolling pays only per PAIR (dot_flat)."""
+    if not centroids:
+        raise ValueError("ivf_assign: empty centroid list")
     if nprobe >= len(centroids):
         # Probing EVERY cell is exact search by definition: the probed
         # set is all cells regardless of the scores, so ranking the
@@ -601,6 +615,9 @@ def ivf_assign(
         # literal score plan alone measured 0.78 s per run on the
         # all-cells-graded query). The score-free form is
         # value-identical — downstream consumers only read `cell`.
+        # (Empty centroids are rejected above: nprobe >= 0 would take
+        # this branch and sequence(0, -1) fabricates cells [0, -1]
+        # where the scored path produced zero rows — r13 ADVICE.)
         return df.withColumn(
             "cell",
             F.explode(F.sequence(F.lit(0), F.lit(len(centroids) - 1))),
@@ -925,15 +942,27 @@ def ivf_topk(
     (scripts/kmeans_assign_probe.py) showed is flat in k while the
     expr plan's compose/codegen cost grows linearly in k (measured
     1.25 s/run for the expr corpus assign at sf0.1, k=16). The two
-    engines can assign a vector to a DIFFERENT cell only where dot
-    scores tie to within rounding ulps, so callers must pick by
-    contract: with ``nprobe >= n_cells`` every cell is probed and the
-    assignment provably cannot change the output (the graded-exact
-    regime — safe); with ``nprobe < n_cells`` keep the default expr
-    engine wherever bit-stable assignment is part of the graded
-    statement (the recall-gated queries do)."""
+    engines can DISAGREE on a vector's cell whenever its top two cell
+    scores are within ~1e-6 of each other — not just at ulp-level
+    ties: ``kmeans_assign_arrow`` argmaxes the HALF_UP-rounded
+    (``digits=6``) scores while :func:`ivf_assign` sorts unrounded
+    dots (r13 ADVICE). That seam is invisible only when every cell is
+    probed, so the arrow engine is REFUSED for ``nprobe < n_cells``
+    (raise below): in that regime cell assignment is part of the
+    output contract and callers must keep the expr engine. Note the
+    arrow engine also narrows the id contract: ``neighbor_id`` comes
+    back as long (int64 kernel) and non-integral id columns raise
+    TypeError up front."""
     if dim is None:
         dim = len(centroids[0])
+    if corpus_engine == "arrow" and nprobe < len(centroids):
+        raise ValueError(
+            "ivf_topk: corpus_engine='arrow' requires nprobe >= "
+            f"n_cells (got nprobe={nprobe}, n_cells={len(centroids)}) "
+            "— with unprobed cells the rounded-score argmax can move "
+            "a corpus vector across the probe boundary and change the "
+            "result; use the expression engine"
+        )
     qv = as_double(F.col(vec_col))
     q = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
@@ -974,6 +1003,13 @@ def ivf_topk(
         # no distinct: the corpus is assigned to exactly ONE cell
         # (nprobe=1 above), so a (query, neighbor) pair meets in at
         # most one probed cell even when the query probes several
+        #
+        # nondeterministic barrier (same trap jaccard_verify pins):
+        # without it CollapseProject inlines the flat-dot expression
+        # into the window's SortOrder, and the rank comparator then
+        # re-evaluates the 64-term dot per COMPARISON instead of
+        # reading the materialized column
+        .withColumn("__nd", F.monotonically_increasing_id())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_full").desc(), F.col("neighbor_id").asc()

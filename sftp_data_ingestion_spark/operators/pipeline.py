@@ -29,14 +29,29 @@ from sftp_data_ingestion_spark.schemas import NEWER_WINS_COLS, SET_ONCE_COLS
 def staging_to_delta(
     staging: DataFrame, default_insercao: Column | None = None
 ) -> DataFrame:
-    """clean (P3) -> dedup latest per key (W1/U3) -> drop NULL keys (P4).
+    """clean (P3) -> drop NULL keys (P4) -> dedup latest per key (W1/U3).
 
     Output: at most one typed row per non-NULL ``chave_nfe`` — the U3
     precondition ``upsert_newer_wins`` requires.
+
+    The NULL-key filter is stated BEFORE the dedup window (the
+    reference places it after — ``rn = 1 AND chave_nfe IS NOT NULL``
+    over the ranked CTE — but the window partitions by exactly the
+    filter key, so dropping whole partitions before or after ranking
+    is provably row-identical; pinned against the after-ordered
+    oracle). Physically this is the r14 skew audit's NO-OP finding:
+    Catalyst already infers and pushes the key filter below the
+    Window all the way into the scan (plans/r14/
+    pedidos_pipeline_flagship_before.txt node (2) — identical plan
+    both orderings), so the one giant NULL/'BAD-KEY' partition (10%
+    of fixture rows; the would-be 100 TB straggler, guide §2.5) never
+    reaches the window in either form. Stating the filter first makes
+    the shape explicit instead of optimizer-inferred — if a future
+    non-deterministic column ever blocks the pushdown, the logical
+    plan stays skew-safe by construction.
     """
     typed = clean_staging(staging, default_insercao=default_insercao)
-    ranked = dedup_latest_pedidos(typed)
-    return ranked.where(F.col("chave_nfe").isNotNull())
+    return dedup_latest_pedidos(typed.where(F.col("chave_nfe").isNotNull()))
 
 
 def run_upsert_pipeline(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import functions as F
 
 from sftp_data_ingestion_spark.ext import dedup as dd
@@ -878,6 +880,11 @@ def d_strip_dup_spans(spark, sf_dir):
     return dd.strip_dup_spans(d, k=5)
 
 
+# serializes concurrent in-process builders of the shared LSH layout
+# (see the lock comment inside _shared_banded_sigtable)
+_SIGTABLE_BUILD_LOCK = threading.Lock()
+
+
 def _shared_banded_sigtable(spark, sf_dir):
     """Create-or-reuse the ``(band_hash, band_idx)``-bucketed LSH
     signature table for the documents fixture — ONE organize-time
@@ -920,18 +927,26 @@ def _shared_banded_sigtable(spark, sf_dir):
         f"|app={spark.sparkContext.applicationId}"
     )
     marker = os.path.join(path, "_LSH_PARAMS")
-    if os.path.isfile(marker) and spark.catalog.tableExists(name):
-        with open(marker) as fh:
-            if fh.read() == params:
-                return spark.table(name)
-    d = table(spark, sf_dir, "documents")
-    signed = dd.minhash_signatures(d)
-    banded = dd.banded_bucketed_signatures(spark, signed, name, path)
-    tmp = marker + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        fh.write(params)
-    os.rename(tmp, marker)
-    return banded
+    # One build at a time PER PROCESS: several consumers of this
+    # layout composed concurrently from driver threads (guide §2.6 —
+    # e.g. the registry schema sweep) would otherwise race the same
+    # overwrite and clobber each other's _temporary dirs; the loser
+    # threads re-check the marker under the lock and reuse the
+    # winner's table. Cross-PROCESS sweeps still serialize on the
+    # documented last-writer-wins rebuild.
+    with _SIGTABLE_BUILD_LOCK:
+        if os.path.isfile(marker) and spark.catalog.tableExists(name):
+            with open(marker) as fh:
+                if fh.read() == params:
+                    return spark.table(name)
+        d = table(spark, sf_dir, "documents")
+        signed = dd.minhash_signatures(d)
+        banded = dd.banded_bucketed_signatures(spark, signed, name, path)
+        tmp = marker + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(params)
+        os.rename(tmp, marker)
+        return banded
 
 
 def _bucketed_neardup_pairs_t05(spark, sf_dir):

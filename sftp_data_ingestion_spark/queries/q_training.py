@@ -211,17 +211,34 @@ def z4_sparse_tfidf_topk(spark, sf_dir):
     tf = _tf_postings(d).repartition(
         spark.sparkContext.defaultParallelism, "term"
     ).localCheckpoint()
-    return tfidf_topk_from_postings(d, tf, broadcast_idf=True)
+    return tfidf_topk_from_postings(
+        d, tf, broadcast_idf=True, materialize_weights=True
+    )
 
 
-def tfidf_topk_from_postings(d, tf, broadcast_idf=True):
+def tfidf_topk_from_postings(
+    d, tf, broadcast_idf=True, materialize_weights=False
+):
     """tf-idf cosine top-3 from an already-materialized postings
     frame — shared by the graded query (localCheckpoint postings,
     broadcast idf: the fixture regime) and the bucketed-layout path
     (`term_bucketed_postings` + ``broadcast_idf=False``: the 100 TB
     regime, exchange-free on term). Splitting the algebra from the
     layout is what makes the lever testable: both paths must produce
-    identical rows (pinned in tests)."""
+    identical rows (pinned in tests).
+
+    ``materialize_weights`` cuts the WEIGHTED postings ``w`` with a
+    ``localCheckpoint`` (r14, guide §2.4): ``w`` feeds THREE consumers
+    (norms, probe side, corpus side of the pair join), and without the
+    cut each consumer re-expands the full idf derivation — the r13
+    before-plan shows the n_docs countDistinct + df-count aggregate
+    subtree THREE times (plans/r13/z4_sparse_tfidf_topk_before.txt,
+    subtrees 5-21 / 26-42 / 51-65; measured 4.5 -> 3.4 s at sf0.1,
+    rows identical). This is the organize-once boundary a production
+    retrieval index has anyway — BM25/tf-idf indexes store WEIGHTED
+    postings, not raw tf. Default off: the bucketed-layout twin keeps
+    its weighted join exchange-free on term straight off the scan and
+    must not hide an RDD boundary inside the pinned plan."""
     n_docs = d.select(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -229,6 +246,8 @@ def tfidf_topk_from_postings(d, tf, broadcast_idf=True):
     # broadcast_idf=False to hand the strategy back to Catalyst
     # (plain term-key shuffle join; see _tfidf_weights)
     w = _tfidf_weights(tf, n_docs, broadcast_idf=broadcast_idf)
+    if materialize_weights:
+        w = w.localCheckpoint()
     # zero-norm guard: a doc whose every term has df=N gets norm 0;
     # Spark division yields NULL but DuckDB yields inf/NaN — drop such
     # docs in both engines (oracle mirrors with HAVING nrm > 0)

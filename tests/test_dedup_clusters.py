@@ -30,6 +30,31 @@ def test_cc_clique_one_step(spark):
     assert got == {0: 0, 1: 0, 2: 0}
 
 
+def test_cc_reliable_checkpoint_same_components(spark, tmp_path):
+    """The cluster-scale escape hatch (r13 VERDICT #10):
+    ``reliable_checkpoint=True`` cuts superstep lineage with
+    ``checkpoint()`` to the session checkpoint dir instead of
+    executor-local ``localCheckpoint()``. Components must be
+    identical in both modes on a shape that needs several supersteps
+    (chain) plus a singleton."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    local = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(v, e).collect()
+    }
+    reliable = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(
+            v, e, reliable_checkpoint=True
+        ).collect()
+    }
+    assert local == reliable == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
 def test_neardup_clusters_marks_survivors(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog today"),

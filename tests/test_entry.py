@@ -27,12 +27,16 @@ def test_registry_orders_unproven_before_proven():
     re-proving green rows while the backlog starves."""
     from sftp_data_ingestion_spark.queries import (
         QUERIES,
+        REGRADE_FIRST,
         _green_in_driver_rows,
     )
 
     green = _green_in_driver_rows()
-    order = list(QUERIES)
-    if green and len(green) < len(order):
+    # REGRADE_FIRST pins rewritten-but-green paths to the absolute
+    # front (they are unproven-by-code); exclude them from the
+    # unproven-vs-proven ordering check below.
+    order = [n for n in QUERIES if n not in REGRADE_FIRST]
+    if green and len(green & set(order)) < len(order):
         first_proven = min(i for i, n in enumerate(order) if n in green)
         last_unproven = max(
             i for i, n in enumerate(order) if n not in green
@@ -87,16 +91,36 @@ def test_no_complex_typed_outputs(spark, sf_small):
     DataFrame analyzes the plan without running the query for lazy
     queries; the few eager ones (ANN training, streaming foreachBatch)
     run at sf0.001 where they are sub-second."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import types as T
 
+    from pyspark.util import inheritable_thread_target
+
+    # inheritable_thread_target: pool threads inherit the JVM-side
+    # thread locals (active session, job group) — without it,
+    # composition paths calling SparkSession.getActiveSession() in a
+    # worker thread see None.
+    @inheritable_thread_target
+    def schema_of(item):
+        name, fn = item
+        return name, fn(spark, sf_small).schema
+
+    # Composition is independent per query, and the eager queries'
+    # jobs overlap fine on Spark's FIFO scheduler (guide §2.6) — the
+    # serial sweep was 351 s of the 1 720 s suite (r14), almost all
+    # eager composition (checkpoints, CC supersteps, ANN training)
+    # waiting on one job at a time.
     bad = []
-    for name, fn in em.queries().items():
-        schema = fn(spark, sf_small).schema
-        for f in schema.fields:
-            if isinstance(
-                f.dataType, (T.ArrayType, T.MapType, T.StructType)
-            ):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, schema in pool.map(schema_of, em.queries().items()):
+            for f in schema.fields:
+                if isinstance(
+                    f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                ):
+                    bad.append(
+                        f"{name}.{f.name}: {f.dataType.simpleString()}"
+                    )
     assert not bad, f"complex-typed graded outputs: {bad}"
 
 
@@ -136,3 +160,27 @@ def test_proven_block_rotates_least_recently_graded_first():
     ]
     # None preserves the pre-r13 pure registration order
     assert _proof_priority_order(nm, g, None) == nm
+
+
+def test_regrade_first_pins_to_front():
+    """Rewritten-but-green paths (REGRADE_FIRST) must occupy the very
+    first rows of the registry in their listed order — inside the
+    driver's ~50-row grading window — ahead of unproven AND proven
+    queries (r13 VERDICT #1/#2: the r13 engine swaps rotated out of
+    the window and were never driver-regraded)."""
+    from sftp_data_ingestion_spark.queries import (
+        QUERIES,
+        REGRADE_FIRST,
+        _proof_priority_order,
+    )
+
+    present = [n for n in REGRADE_FIRST if n in QUERIES]
+    assert list(QUERIES)[: len(present)] == present
+    assert len(present) <= 50  # must all fit in the grading window
+
+    # pure-ordering contract: pinned beats unproven beats proven
+    nm = ["new_query", "pinned_q", "old_green"]
+    order = _proof_priority_order(
+        nm, {"pinned_q", "old_green"}, {"old_green": 3}, ("pinned_q",)
+    )
+    assert order == ["pinned_q", "new_query", "old_green"]

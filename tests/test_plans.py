@@ -387,16 +387,38 @@ def test_salted_join_broadcasts_replicated_dim(spark):
 
 
 def test_cosine_bruteforce_broadcasts_query_side(spark):
-    """Brute-force cosine must build the (tiny) query side of the
-    cross join and STREAM the fanned-out corpus: building the corpus
-    side instead streams the one-split query scan, serializing every
-    pair score on a single core regardless of cluster size (measured
-    2.3s -> 16s at sf0.1 when size estimates picked the wrong side)."""
-    df = q.QUERIES["v_cosine_topk_bruteforce"](spark, SF)
+    """The EXPRESSION cosine engine must build the (tiny) query side
+    of the cross join and STREAM the fanned-out corpus: building the
+    corpus side instead streams the one-split query scan, serializing
+    every pair score on a single core regardless of cluster size
+    (measured 2.3s -> 16s at sf0.1 when size estimates picked the
+    wrong side). Pinned on the operator directly — the registry query
+    moved to the Arrow kernel in r14 (next test)."""
+    from sftp_data_ingestion_spark.ext import similarity as sim
+    from sftp_data_ingestion_spark.queries.registry import table
+
+    e = table(spark, SF, "embeddings")
+    df = sim.cosine_topk(e.where(F.col("vec_id") < 100), e, k=5, dim=64)
     p = plan(df)
     # queries are the LEFT side of the cross join, so the broadcast
     # hint must surface as BuildLeft on the nested-loop join
     assert "BroadcastNestedLoopJoin BuildLeft" in p
+
+
+def test_cosine_bruteforce_arrow_kernel_no_corpus_shuffle(spark):
+    """The graded brute-force query runs the Arrow/BLAS kernel (r13
+    VERDICT #7): the corpus flows scan -> (fan_out) -> MapInPandas
+    with NO join node and no corpus exchange beyond the small-input
+    fan-out; the only shuffle is the k·Q-row candidate reduction into
+    the final top-k window. Values are pinned identical to the
+    expression engine by test_similarity.py."""
+    df = q.QUERIES["v_cosine_topk_bruteforce"](spark, SF)
+    p = plan(df)
+    assert "MapInPandas" in p
+    assert "Join" not in p  # kernel scores pairs; no join node at all
+    # exactly the fan-out exchange below the kernel and the window
+    # exchange above it
+    assert p.count("Exchange") <= 2
 
 
 def test_keyless_asof_range_partitions_time_axis(spark):

@@ -776,7 +776,14 @@ def minhash_near_dup_pairs(
             .unionAll(cands.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        df = df.join(ids, id_col, "left_semi")
+        # broadcast the candidate-id set: the checkpointed pairs are an
+        # RDD leaf with no size stats, so the planner falls back to a
+        # sort-merge semi-join that shuffles the whole corpus by id.
+        # Candidate ids are the near-dup working set (<= 2x|pairs|,
+        # orders smaller than the corpus); a broadcast semi-join keeps
+        # the corpus scan shuffle-free. A 100 TB run whose candidate
+        # set outgrows broadcast swaps this for a Bloom prefilter.
+        df = df.join(F.broadcast(ids), id_col, "left_semi")
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 
@@ -816,13 +823,23 @@ def minhash_near_dup_pairs_bucketed(
         id_col=id_col, num_hashes=num_hashes, bands=bands,
         num_buckets=num_buckets,
     )
-    cands = lsh_candidate_pairs_from_banded(banded)
+    # lazy cut: the bucketed table spares the signature recompute, but
+    # the band self-join + distinct feeds five plan references (pair
+    # input, the two union branches of the id derivation, and each
+    # verify side's semi-join); share one RDD instead of expanding the
+    # join five times (same reasoning as lsh_candidate_pairs)
+    cands = lsh_candidate_pairs_from_banded(banded).localCheckpoint(
+        eager=False
+    )
     ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionAll(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    df = df.join(ids, id_col, "left_semi")
+    # broadcast semi-join for the same reason as the inline path: the
+    # RDD-backed cands carry no size stats and the planner would
+    # otherwise shuffle the corpus through a sort-merge semi-join
+    df = df.join(F.broadcast(ids), id_col, "left_semi")
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 

@@ -275,6 +275,15 @@ def _curation_stages(spark, sf_dir, upto=None):
     kept = train.select(
         "doc_id", "source", "text", ts.quality_score(t).alias("quality")
     ).where(F.col("quality") >= 0.6)
+    # Materialize the gated set ONCE (lazy cut — the first downstream
+    # action pays it): four consumers reference `kept` (both semi-join
+    # sides of the pair filter, the clustering vertex set, the
+    # survivor join), and each reference re-ran the full quality
+    # expression over the corpus (~0.7 s/scan at sf0.1; measured
+    # s1 3.98 -> 2.6 s). Same organize-once boundary as the survivor
+    # checkpoint below — a production pipeline stages the gated corpus
+    # before LSH anyway.
+    kept = kept.localCheckpoint(eager=False)
     if upto == "s0_gate":
         return {"s0_gate": kept}
     # near-dup pairs come off the SHARED bucketed signature layout
@@ -956,13 +965,29 @@ def _bucketed_neardup_pairs_t05(spark, sf_dir):
     Jaccard on candidates only — row-identical to the derive-inline
     pipeline (same banding, same verify)."""
     banded = _shared_banded_sigtable(spark, sf_dir)
-    cands = dd.lsh_candidate_pairs_from_banded(banded)
+    # Lazy cut on the candidate pairs (r14): the bucketed table spares
+    # the SIGNATURE recompute, but the band self-join + distinct
+    # itself feeds five references (the verify pair input, twice in
+    # the union deriving candidate ids, and once under each verify
+    # shingle side's semi-join) — without the cut the plan expands the
+    # join five times (measured: the pair stage was 2.2 s of
+    # curation_e2e's near-dup stage at sf0.1).
+    cands = dd.lsh_candidate_pairs_from_banded(banded).localCheckpoint(
+        eager=False
+    )
     ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .unionAll(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    d = table(spark, sf_dir, "documents").join(ids, "doc_id", "left_semi")
+    # broadcast the candidate-id set (guide §3.2): the checkpointed
+    # cands are an RDD leaf without size stats, so the planner was
+    # sort-merge semi-joining — shuffling the documents scan AND the
+    # id set (4 exchanges across the two verify sides). Candidate ids
+    # are the near-dup working set, orders smaller than the corpus.
+    d = table(spark, sf_dir, "documents").join(
+        F.broadcast(ids), "doc_id", "left_semi"
+    )
     return dd.jaccard_verify(cands, d, threshold=0.5)
 
 

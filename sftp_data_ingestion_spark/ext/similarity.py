@@ -278,7 +278,16 @@ def cosine_topk_arrow(
                 {"query_id": out_q, "neighbor_id": out_n, "sim_full": out_s}
             )
 
-    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+    # Kernel on the scan's NATURAL splits (same shape as the SRP
+    # signature kernel): the per-batch matmul needs no extra
+    # parallelism, and pre-spreading a few-split scan to every core
+    # was measured to double the stage at sf0.1 (0.41 s -> 0.81 s) —
+    # 32 sliver batches each paying the Python task round-trip where
+    # one fat batch pays it once. At scale the scan's own splits
+    # provide the parallelism (a fan_out would no-op anyway), and the
+    # kernel emits only k rows per (query, batch), so the downstream
+    # window never needs the corpus spread.
+    scored = corpus.select(id_col, vec_col).mapInPandas(
         fn, "query_id long, neighbor_id long, sim_full double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -970,9 +979,21 @@ def ivf_topk(
     ).select("query_id", qv.alias("qv"), _checked_norm(qv, dim).alias("qn"), "cell")
     if corpus_engine == "arrow":
         cvec = F.col("__v")
-        c = kmeans_assign_arrow(
-            fan_out(corpus).select(F.col(id_col), F.col(vec_col)),
-            centroids, vec_col, id_col, keep_vec=True,
+        # Assignment kernel on the scan's NATURAL splits, spread AFTER
+        # (the SRP-side pattern): the matmul needs no extra
+        # parallelism and pre-spreading a few-split scan pays 32
+        # Python task round-trips for sliver batches (measured
+        # 0.53 s -> 0.41 s assign, 2.31 s -> 2.08 s full query at
+        # sf0.1). The JVM pair-scoring under the broadcast join IS
+        # per-row heavy, so the kernel output fans out by id — same
+        # exchange bytes the old pre-kernel fan_out paid, and a no-op
+        # at scale where the scan is already wide.
+        c = fan_out(
+            kmeans_assign_arrow(
+                corpus.select(F.col(id_col), F.col(vec_col)),
+                centroids, vec_col, id_col, keep_vec=True,
+            ),
+            "id",
         ).select(
             F.col("id").alias("neighbor_id"),
             cvec.alias("cv"),

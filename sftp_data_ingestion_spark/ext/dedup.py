@@ -1170,16 +1170,20 @@ def connected_components(
     #10). Default False: local mode has no reliable store and the
     extra write-to-dir round-trip per superstep is pure cost there.
 
-    Fault-tolerance caveat on the two SETUP cuts (sym/labels): with
-    lazy checkpoints Spark only materializes the FIRST checkpoint the
+    Fault-tolerance caveat on the SETUP cut (sym): with lazy
+    checkpoints Spark only materializes the FIRST checkpoint the
     action reaches (``spark.checkpoint.checkpointAllMarkedAncestors``
-    defaults to false), so ``sym``/``labels`` are effectively
-    persist-level caches (MEMORY_AND_DISK), not checkpoints — they
-    recompute from the full upstream pipeline if their cached blocks
-    are lost (r13 ADVICE). "Computed exactly once" therefore holds
-    per-process in local mode and best-effort on a cluster; the
-    per-superstep ``updated`` cut is the one that genuinely truncates
-    lineage each iteration.
+    defaults to false), so ``sym`` is effectively a persist-level
+    cache (MEMORY_AND_DISK), not a checkpoint — it recomputes from the
+    full upstream pipeline if its cached blocks are lost (r13 ADVICE).
+    "Computed exactly once" therefore holds per-process in local mode
+    and best-effort on a cluster; the per-superstep ``updated`` cut is
+    the one that genuinely truncates lineage each iteration.
+
+    r14: superstep 1 is join-free — iteration-0 labels are the
+    identity map, so the first edge handoff is ``sym`` read directly
+    (no init-labels frame, no distinct, one exchange and one join
+    less; value-identical by substitution).
     """
     ids = vertices.select(F.col(id_col).alias("id"))
 
@@ -1208,29 +1212,44 @@ def connected_components(
         .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
     )
     sym = _cut(sym)
-    # working set: edge-touched vertices, labeled with their own id
-    # (sym is symmetric, so src alone covers every touched endpoint).
-    # Both setup checkpoints are LAZY: superstep 1's convergence count
-    # materializes sym -> labels -> updated in ONE action instead of
-    # three; each is still computed exactly once.
-    labels = (
-        sym.select("src")
-        .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("component"))
-    )
-    labels = _cut(labels)
+    labels = None
     converged = False
     for _ in range(max_iters):
-        # one-hop contributions: each edge hands its dst's label to
-        # its src; the self row rides the union, so min(component)
-        # per id IS least(old, min(neighbor labels)) — no second join
-        contrib = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "component", F.lit(False).alias("__self")
-        )
+        if labels is None:
+            # superstep 1 FUSED (r14): iteration-0 labels are the
+            # identity, so the edge handoff sym⋈labels would match
+            # every sym row and yield (src, dst) verbatim — read sym
+            # directly instead, and let the self rows ride the same
+            # union (duplicate self rows are harmless under min, so
+            # the old init frame — a distinct + its exchange — is
+            # never built). One join and one exchange less on the
+            # first superstep, same value by substitution.
+            both = sym.select(
+                F.col("src").alias("id"),
+                F.col("dst").alias("component"),
+                F.lit(False).alias("__self"),
+            ).unionAll(
+                sym.select(
+                    F.col("src").alias("id"),
+                    F.col("src").alias("component"),
+                    F.lit(True).alias("__self"),
+                )
+            )
+        else:
+            # one-hop contributions: each edge hands its dst's label
+            # to its src; the self row rides the union, so
+            # min(component) per id IS least(old, min(neighbor
+            # labels)) — no second join
+            contrib = sym.join(labels, sym.dst == labels.id).select(
+                F.col("src").alias("id"),
+                "component",
+                F.lit(False).alias("__self"),
+            )
+            both = labels.select(
+                "id", "component", F.lit(True).alias("__self")
+            ).unionAll(contrib)
         updated = (
-            labels.select("id", "component", F.lit(True).alias("__self"))
-            .unionAll(contrib)
-            .groupBy("id")
+            both.groupBy("id")
             .agg(
                 F.min("component").alias("component"),
                 F.min(

@@ -165,6 +165,16 @@ REGRADE_FIRST: tuple[str, ...] = (
     "d_neardup_clusters",
     "v_mutual_knn_clusters",
     "d_incremental_near_dup",
+    # r14 session-2 rewrites (broadcast id prefilter, model-first LM
+    # joins, CC superstep fusion, session-agg pre-spread):
+    "curation_pipeline",
+    "corpus_release_e2e",
+    "z3_contrastive_triplets",
+    "d_lsh_recall_measured",
+    "z3_bigram_cross_entropy",
+    "z3_kneser_ney_xent",
+    "t_ccnet_perplexity_buckets",
+    "s_sessionize_batch",
 )
 
 

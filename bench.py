@@ -162,7 +162,7 @@ def _prev_round_commit() -> str | None:
     return None
 
 
-def _parity_vs_prev(spark, sf_dir: str, n_rounds: int = 3) -> dict:
+def _parity_vs_prev(sf_dir: str, n_rounds: int = 3) -> dict:
     """Host-drift-proof round-over-round comparison (r12 VERDICT #6):
     check the previous round's tree out into a git worktree and
     INTERLEAVE full bench passes — cur, prev, cur, prev, ... on the
@@ -170,9 +170,15 @@ def _parity_vs_prev(spark, sf_dir: str, n_rounds: int = 3) -> dict:
     over the queries both trees share. This records in the artifact
     what PERFORMANCE.md r12 had to prove by hand: whether a raw-wall
     delta is code or host (the raw number alone drifted 20-40% on
-    byte-identical trees). Each prev pass is a fresh JVM running
-    scripts/bench_tree_once.py against the worktree (2 passes inside,
-    min taken, so JVM/codegen cold-start does not bias prev slower).
+    byte-identical trees). BOTH sides run as fresh JVMs via
+    scripts/bench_tree_once.py (1 warm + 2 timed passes inside, min
+    taken) — r14 measurement-bug fix, declared in OPTIMIZATION_r14.md:
+    the r13 harness timed the CUR passes inside the long-lived main
+    bench JVM while prev got a fresh JVM per pass, and the main JVM
+    measurably ages (same tree: 29.8 s main phase -> 35.1 s by parity
+    time in the r14 closing run — accumulated codegen classes /
+    checkpoint blocks / broadcast state), so cur carried a ~18%
+    handicap that had nothing to do with the tree under test.
     Any failure degrades to {"status": reason} — parity is evidence,
     never a gate that can wedge the bench."""
     import shutil
@@ -196,23 +202,30 @@ def _parity_vs_prev(spark, sf_dir: str, n_rounds: int = 3) -> dict:
         return {"status": f"worktree_failed: {e}"}
     cur_runs: list[dict[str, float]] = []
     prev_runs: list[dict[str, float]] = []
+
+    def _tree_pass(tree_path: str) -> dict[str, float] | None:
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(root, "scripts", "bench_tree_once.py"),
+             tree_path, sf_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = (p.stdout.strip().splitlines() or [""])[-1]
+        try:
+            return json.loads(line)
+        except ValueError:
+            return None
+
     try:
         for _ in range(n_rounds):
-            cur_runs.append(_time_pass(spark, sf_dir))
-            p = subprocess.run(
-                [sys.executable,
-                 os.path.join(root, "scripts", "bench_tree_once.py"),
-                 tree, sf_dir],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = (p.stdout.strip().splitlines() or [""])[-1]
-            try:
-                prev_runs.append(json.loads(line))
-            except ValueError:
-                return {
-                    "status": "prev_pass_failed",
-                    "stderr_tail": p.stderr[-500:],
-                }
+            cur = _tree_pass(root)
+            if cur is None:
+                return {"status": "cur_pass_failed"}
+            cur_runs.append(cur)
+            prev = _tree_pass(tree)
+            if prev is None:
+                return {"status": "prev_pass_failed"}
+            prev_runs.append(prev)
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", tree],
@@ -286,7 +299,7 @@ def main() -> None:
     # Interleaved A/B vs the previous round's tree (worktree checkout);
     # runs its own cur/prev passes — `timings` above stays the plain
     # 3-run min so the headline number's definition is unchanged.
-    parity = _parity_vs_prev(spark, sf_dir)
+    parity = _parity_vs_prev(sf_dir)
 
     calib_post = _calibrate(spark)
 

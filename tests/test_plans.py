@@ -883,3 +883,41 @@ def test_aqe_skew_join_rewrite_fires_on_skewed_derivation(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_single_exchange_reused_by_agg(spark):
+    """r14: fan_out(events, user_id) pre-spreads the session
+    aggregation's partial pass; the aggregate's required distribution
+    must REUSE that exchange — the plan keeps exactly one shuffle."""
+    df = q.QUERIES["s_sessionize_batch"](spark, SF)
+    p = plan(df)
+    assert n_exchanges(p) == 1, p[:3000]
+    assert "SessionWindow" in p or "session_window" in p
+
+
+def test_minhash_verify_broadcasts_candidate_ids(spark):
+    """r14: the verify-stage corpus prefilter must be a broadcast
+    semi-join on the candidate-id set. The RDD-backed candidate pairs
+    carry no size stats, so without the explicit hint the planner
+    sort-merge semi-joined — shuffling the documents scan (measured:
+    2 SMJ + 4 Exchange on the verify sides at sf0.1)."""
+    df = q.QUERIES["d_minhash_lsh_near_dup"](spark, SF)
+    p = plan(df)
+    assert "SortMergeJoin" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p
+    bucketed = q.QUERIES["d_minhash_lsh_near_dup_bucketed"](spark, SF)
+    pb = plan(bucketed)
+    assert "SortMergeJoin" not in pb, pb[:3000]
+
+
+def test_cosine_arrow_kernel_no_corpus_shuffle(spark):
+    """r14: the exact cosine top-k runs the Arrow kernel on the scan's
+    NATURAL splits — no exchange may sit between the corpus scan and
+    the Python kernel node (the pre-kernel fan_out paid 32 sliver
+    Python batches; at scale the scan's own splits parallelize)."""
+    df = q.QUERIES["v_cosine_topk_bruteforce"](spark, SF)
+    p = plan(df)
+    assert "MapInPandas" in p or "ArrowEvalPython" in p, p[:2000]
+    # exactly one shuffle total: the global top-k window over the
+    # kernel's k-rows-per-batch output
+    assert n_exchanges(p) == 1, p[:3000]
